@@ -1,0 +1,404 @@
+"""Software rasterizer: triangle setup + visibility-buffer scan.
+
+This is the TPU-native replacement for Vulkan's fixed-function stage
+(rasterization state configured in rhi/src/pipeline.rs:161-268; executed
+inside vkQueueSubmit, SURVEY.md §3.3). Design:
+
+1. **Vertex stage** happens outside (one batched matmul,
+   mathx.transform_points) producing clip-space positions.
+2. **Triangle setup** (vectorized over triangles): near-plane/W validity,
+   perspective divide, Vulkan viewport transform, signed area + facing,
+   sign-normalized edge functions with the top-left fill rule.
+3. **Rasterize** to a *visibility buffer* {tri_id, depth, screen barycentrics}
+   via a `lax.scan` over triangles, applying the pipeline's depth compare op
+   in submission order (exact Vulkan semantics for every CompareOp).
+4. **Shading resolves** the visibility buffer afterwards: gather per-vertex
+   attributes by tri_id, perspective-correct interpolate, shade all covered
+   pixels at once. Depth test & blend are the only order-dependent parts, so
+   only step 3 is sequential; everything else is one big fused vector program.
+
+Conventions (match Vulkan + the reference's Y-flipped projection,
+scene/src/camera.rs:117-137):
+- NDC: x right, y DOWN (+1 = bottom), z in [0,1].
+- Framebuffer row 0 = top. Pixel centers at (col+0.5, row+0.5).
+- Facing: framebuffer-space signed area a > 0 is front for
+  FrontFace.COUNTER_CLOCKWISE (Vulkan spec 25.7.1; verified against the
+  Hello Triangle winding renderer.rs:242-246, which is back-facing and only
+  renders because that pipeline sets CullMode::None).
+
+Limitations (tracked for later rounds): triangles crossing the near plane are
+dropped whole rather than clipped; MSAA resolves are single-sample.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from renderer_rs_tpu.rhi.pipeline import (
+    CompareOp,
+    CullMode,
+    FrontFace,
+    GraphicsPipeline,
+)
+
+_W_EPS = 1e-6
+
+
+@struct.dataclass
+class TriangleSetup:
+    """Screen-space per-triangle data, vectorized over T triangles.
+
+    xy:    [T,3,2] f32 framebuffer coords of the 3 vertices
+    z:     [T,3]   f32 NDC depth in [0,1]
+    w:     [T,3]   f32 clip-space w (for perspective correction)
+    area2: [T]     f32 signed 2x area in framebuffer coords
+    valid: [T]     bool survives degeneracy/near-plane/cull checks
+    """
+
+    xy: Any
+    z: Any
+    w: Any
+    area2: Any
+    valid: Any
+
+    @property
+    def num_triangles(self) -> int:
+        return self.xy.shape[0]
+
+
+def gather_triangle_clip(clip: jnp.ndarray, tris: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-triangle clip coords: [V,4],[T,3] -> [T,3,4]."""
+    return clip[tris]
+
+
+def setup_triangles(
+    tri_clip: jnp.ndarray,
+    width: int,
+    height: int,
+    pipeline: GraphicsPipeline,
+    tri_valid: jnp.ndarray | None = None,
+) -> TriangleSetup:
+    """Triangle setup: divide, viewport transform, facing/cull, validity.
+
+    tri_clip: [T,3,4] clip-space positions (x,y,z,w).
+    tri_valid: optional [T] bool (e.g. index-padding mask).
+    """
+    w_clip = tri_clip[..., 3]  # [T,3]
+    ok_w = jnp.all(w_clip > _W_EPS, axis=-1)  # near-plane drop (no clipping yet)
+
+    inv_w = 1.0 / jnp.maximum(w_clip, _W_EPS)
+    ndc = tri_clip[..., :3] * inv_w[..., None]  # [T,3,3]
+
+    # Vulkan viewport transform (whole-framebuffer viewport, minDepth=0 maxDepth=1)
+    sx = (ndc[..., 0] * 0.5 + 0.5) * width
+    sy = (ndc[..., 1] * 0.5 + 0.5) * height
+    xy = jnp.stack([sx, sy], axis=-1)  # [T,3,2]
+    z = ndc[..., 2]
+
+    # Signed 2*area in framebuffer coords: cross2(v1-v0, v2-v0)
+    d1 = xy[:, 1] - xy[:, 0]
+    d2 = xy[:, 2] - xy[:, 0]
+    area2 = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]  # [T]
+
+    front = jnp.where(
+        pipeline.front_face == FrontFace.COUNTER_CLOCKWISE, area2 > 0.0, area2 < 0.0
+    )
+    if pipeline.cull_mode == CullMode.NONE:
+        cull_ok = jnp.ones_like(front)
+    elif pipeline.cull_mode == CullMode.BACK:
+        cull_ok = front
+    elif pipeline.cull_mode == CullMode.FRONT:
+        cull_ok = ~front
+    else:  # FRONT_AND_BACK (pipeline.rs:349: rasterize nothing)
+        cull_ok = jnp.zeros_like(front)
+
+    valid = ok_w & cull_ok & (area2 != 0.0)
+    if tri_valid is not None:
+        valid = valid & tri_valid
+
+    return TriangleSetup(xy=xy, z=z, w=w_clip, area2=area2, valid=valid)
+
+
+def _pixel_centers(height: int, width: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Framebuffer-space pixel centers px[H,W], py[H,W]."""
+    py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5
+    px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5
+    return px, py
+
+
+def _edge(ax, ay, bx, by, px, py):
+    """Edge function cross2(b-a, p-a); positive on the interior side after
+    sign normalization. Evaluates to area2 at the opposite vertex."""
+    return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+
+def _top_left(ax, ay, bx, by):
+    """Top-left fill rule for a sign-normalized edge a->b (y-down coords):
+    'top' edge: dy == 0 and dx > 0 (interior below); 'left' edge: dy < 0.
+    Shared edges are then covered by exactly one of the two triangles."""
+    dx = bx - ax
+    dy = by - ay
+    return (dy < 0.0) | ((dy == 0.0) & (dx > 0.0))
+
+
+def depth_compare(op: CompareOp, z_new: jnp.ndarray, z_buf: jnp.ndarray) -> jnp.ndarray:
+    """VkCompareOp semantics (pipeline.rs:375-409)."""
+    if op == CompareOp.NEVER:
+        return jnp.zeros_like(z_new, dtype=bool)
+    if op == CompareOp.LESS:
+        return z_new < z_buf
+    if op == CompareOp.EQUAL:
+        return z_new == z_buf
+    if op == CompareOp.LESS_OR_EQUAL:
+        return z_new <= z_buf
+    if op == CompareOp.GREATER:
+        return z_new > z_buf
+    if op == CompareOp.NOT_EQUAL:
+        return z_new != z_buf
+    if op == CompareOp.GREATER_OR_EQUAL:
+        return z_new >= z_buf
+    return jnp.ones_like(z_new, dtype=bool)  # ALWAYS
+
+
+@struct.dataclass
+class VisibilityBuffer:
+    """Per-pixel rasterization result.
+
+    tri_id: [H,W] int32 triangle index (into the draw's triangle array), -1 = miss
+    depth:  [H,W] f32 final depth buffer (≙ DepthBuffer, renderer/src/depth_buffer.rs)
+    bary:   [H,W,2] f32 *screen-space* barycentrics (b0,b1); b2 = 1-b0-b1.
+            Perspective correction happens at interpolate() with vertex w.
+    """
+
+    tri_id: Any
+    depth: Any
+    bary: Any
+
+    @property
+    def covered(self) -> jnp.ndarray:
+        return self.tri_id >= 0
+
+
+def _coverage_one(setup: TriangleSetup, t, px, py):
+    """Coverage + depth + barycentrics of triangle t over all pixels.
+
+    Returns (inside [H,W] bool, z [H,W], b0, b1).
+    """
+    xy = setup.xy[t]  # [3,2]
+    s = jnp.sign(setup.area2[t])
+    area_abs = jnp.abs(setup.area2[t])
+    inv_area = jnp.where(area_abs > 0.0, 1.0 / jnp.maximum(area_abs, 1e-30), 0.0)
+
+    x0, y0 = xy[0, 0], xy[0, 1]
+    x1, y1 = xy[1, 0], xy[1, 1]
+    x2, y2 = xy[2, 0], xy[2, 1]
+
+    # Edge i is opposite vertex i: e0: v1->v2, e1: v2->v0, e2: v0->v1
+    e0 = s * _edge(x1, y1, x2, y2, px, py)
+    e1 = s * _edge(x2, y2, x0, y0, px, py)
+    e2 = s * _edge(x0, y0, x1, y1, px, py)
+    # Top-left rule on sign-normalized edge directions (flip a<->b when s<0)
+    flip = s < 0.0
+    tl0 = jnp.where(flip, _top_left(x2, y2, x1, y1), _top_left(x1, y1, x2, y2))
+    tl1 = jnp.where(flip, _top_left(x0, y0, x2, y2), _top_left(x2, y2, x0, y0))
+    tl2 = jnp.where(flip, _top_left(x1, y1, x0, y0), _top_left(x0, y0, x1, y1))
+
+    cov0 = (e0 > 0.0) | ((e0 == 0.0) & tl0)
+    cov1 = (e1 > 0.0) | ((e1 == 0.0) & tl1)
+    cov2 = (e2 > 0.0) | ((e2 == 0.0) & tl2)
+    inside = cov0 & cov1 & cov2 & setup.valid[t]
+
+    b0 = e0 * inv_area
+    b1 = e1 * inv_area
+    b2 = 1.0 - b0 - b1
+    # Depth interpolates linearly in screen space (z_ndc is already
+    # hyperbolic); Vulkan spec 25.9.
+    z = b0 * setup.z[t, 0] + b1 * setup.z[t, 1] + b2 * setup.z[t, 2]
+    inside = inside & (z >= 0.0) & (z <= 1.0)
+    return inside, z, b0, b1
+
+
+def rasterize(
+    setup: TriangleSetup,
+    height: int,
+    width: int,
+    pipeline: GraphicsPipeline,
+    depth_init: jnp.ndarray | None = None,
+    coverage_fn: Callable[..., jnp.ndarray] | None = None,
+) -> VisibilityBuffer:
+    """Rasterize all triangles into a visibility buffer.
+
+    Sequential scan over triangles in submission order — the only part of the
+    frame with an order dependency (depth test), ≙ the GPU's ROP stage.
+
+    depth_init: [H,W] starting depth (DepthAttachment clear, default 1.0).
+    coverage_fn: optional per-triangle extra coverage mask (e.g. alpha cutoff
+        computed from interpolated UVs) — mask applied *before* depth write.
+    """
+    px, py = _pixel_centers(height, width)
+    t_count = setup.num_triangles
+    if depth_init is None:
+        depth_init = jnp.ones((height, width), jnp.float32)
+
+    init = (
+        jnp.full((height, width), -1, jnp.int32),
+        depth_init,
+        jnp.zeros((height, width, 2), jnp.float32),
+    )
+
+    def body(state, t):
+        tri_id, depth, bary = state
+        inside, z, b0, b1 = _coverage_one(setup, t, px, py)
+        if coverage_fn is not None:
+            inside = inside & coverage_fn(t, b0, b1)
+        if pipeline.depth_test_enable:
+            accept = inside & depth_compare(pipeline.depth_compare_op, z, depth)
+        else:
+            accept = inside
+        if pipeline.depth_write_enable:
+            depth = jnp.where(accept, z, depth)
+        tri_id = jnp.where(accept, t, tri_id)
+        new_bary = jnp.stack([b0, b1], axis=-1)
+        bary = jnp.where(accept[..., None], new_bary, bary)
+        return (tri_id, depth, bary), None
+
+    (tri_id, depth, bary), _ = jax.lax.scan(
+        body, init, jnp.arange(t_count, dtype=jnp.int32)
+    )
+    return VisibilityBuffer(tri_id=tri_id, depth=depth, bary=bary)
+
+
+def rasterize_depth_only(
+    setup: TriangleSetup,
+    height: int,
+    width: int,
+    pipeline: GraphicsPipeline,
+    depth_init: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Depth-only pass (≙ the shadow pass, shaders/hlsl/vertex/shadow.hlsl:
+    depth-only light-space render with empty pixel shader).
+
+    Order-free: for LESS/LESS_OR_EQUAL this is a pure min-reduction, so it can
+    run as a commutative scan (XLA may reorder freely).
+    """
+    px, py = _pixel_centers(height, width)
+    if depth_init is None:
+        depth_init = jnp.ones((height, width), jnp.float32)
+
+    def body(depth, t):
+        inside, z, _, _ = _coverage_one(setup, t, px, py)
+        depth = jnp.where(
+            inside & depth_compare(pipeline.depth_compare_op, z, depth), z, depth
+        )
+        return depth, None
+
+    depth, _ = jax.lax.scan(
+        body, depth_init, jnp.arange(setup.num_triangles, dtype=jnp.int32)
+    )
+    return depth
+
+
+def perspective_bary(
+    vis: VisibilityBuffer, setup: TriangleSetup
+) -> jnp.ndarray:
+    """Perspective-correct barycentrics [H,W,3] from the visibility buffer.
+
+    b_i' = (b_i / w_i) / sum_j (b_j / w_j)  — standard hyperbolic correction
+    (what the hardware interpolator does for non-noperspective varyings).
+    Misses (tri_id < 0) get uniform weights (harmless; callers mask them).
+    """
+    tid = jnp.maximum(vis.tri_id, 0)
+    w = setup.w[tid]  # [H,W,3]
+    b0 = vis.bary[..., 0]
+    b1 = vis.bary[..., 1]
+    b2 = 1.0 - b0 - b1
+    b = jnp.stack([b0, b1, b2], axis=-1)
+    wb = b / jnp.maximum(w, _W_EPS)
+    denom = jnp.sum(wb, axis=-1, keepdims=True)
+    return wb / jnp.where(denom == 0.0, 1.0, denom)
+
+
+def interpolate(
+    vis: VisibilityBuffer,
+    tris: jnp.ndarray,
+    attr: jnp.ndarray,
+    bary3: jnp.ndarray,
+) -> jnp.ndarray:
+    """Interpolate a per-vertex attribute over the framebuffer.
+
+    tris: [T,3] vertex indices; attr: [V,K]; bary3: [H,W,3] (use
+    perspective_bary for varyings, or screen bary for noperspective).
+    Returns [H,W,K]; miss pixels get triangle 0's attribute (mask with
+    vis.covered).
+    """
+    tid = jnp.maximum(vis.tri_id, 0)  # [H,W]
+    vidx = tris[tid]  # [H,W,3]
+    vals = attr[vidx]  # [H,W,3,K]
+    return jnp.einsum("hwv,hwvk->hwk", bary3, vals)
+
+
+def shade_visibility(
+    vis: VisibilityBuffer,
+    color: jnp.ndarray,
+    background: jnp.ndarray,
+) -> jnp.ndarray:
+    """Composite shaded colors over the background using coverage.
+
+    color/background: [H,W,4]. ≙ the final attachment write after the
+    fragment stage (opaque pipelines; blending is rasterize_ordered's job).
+    """
+    return jnp.where(vis.covered[..., None], color, background)
+
+
+def rasterize_ordered(
+    setup: TriangleSetup,
+    height: int,
+    width: int,
+    pipeline: GraphicsPipeline,
+    fragment_fn: Callable[..., jnp.ndarray],
+    color_init: jnp.ndarray,
+    depth_init: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Order-preserving rasterize+shade+blend for translucent pipelines.
+
+    fragment_fn(t, bary3[H,W,3], mask[H,W]) -> rgba[H,W,4] is invoked per
+    triangle inside the scan; the blend equation from the pipeline's
+    ColorBlendAttachment composites in submission order (exact Vulkan blend
+    semantics, pipeline.rs:479-544). Costlier than the visibility path — use
+    only for blend_enable pipelines.
+
+    Returns (color[H,W,4], depth[H,W]).
+    """
+    from renderer_rs_tpu.ops.blend import apply_blend  # local import, no cycle
+
+    px, py = _pixel_centers(height, width)
+    if depth_init is None:
+        depth_init = jnp.ones((height, width), jnp.float32)
+
+    def body(state, t):
+        color, depth = state
+        inside, z, b0, b1 = _coverage_one(setup, t, px, py)
+        if pipeline.depth_test_enable:
+            accept = inside & depth_compare(pipeline.depth_compare_op, z, depth)
+        else:
+            accept = inside
+        bary3 = jnp.stack([b0, b1, 1.0 - b0 - b1], axis=-1)
+        src = fragment_fn(t, bary3, accept)
+        if pipeline.alpha_cutoff is not None:
+            accept = accept & (src[..., 3] >= pipeline.alpha_cutoff)
+        blended = apply_blend(pipeline.blend, src, color)
+        color = jnp.where(accept[..., None], blended, color)
+        if pipeline.depth_write_enable:
+            depth = jnp.where(accept, z, depth)
+        return (color, depth), None
+
+    (color, depth), _ = jax.lax.scan(
+        body,
+        (color_init, depth_init),
+        jnp.arange(setup.num_triangles, dtype=jnp.int32),
+    )
+    return color, depth

@@ -1,0 +1,78 @@
+"""Device: backend discovery and selection.
+
+TPU-native collapse of crates/rhi/src/{instance,physical_device,device}.rs:
+- Instance::new          -> importing jax (runtime discovery)
+- select_physical_device -> scoring jax.devices() (physical_device.rs:202-253)
+- Device::new            -> holding the chosen devices + a sharding Mesh
+- queues                 -> XLA program order (SURVEY.md §2.9)
+- allocator              -> XLA's arena; nothing to manage
+
+The device-scoring logic mirrors rate_device (physical_device.rs:411-448):
+prefer accelerators over CPU (≙ discrete-GPU +10000), more memory, more cores.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Sequence
+
+import jax
+
+from renderer_rs_tpu.core.errors import RhiError
+
+log = logging.getLogger("renderer_rs_tpu.rhi.device")
+
+_PLATFORM_SCORE = {"tpu": 10000, "gpu": 9000, "cuda": 9000, "rocm": 9000, "axon": 10000}
+
+
+def rate_device(d: jax.Device) -> int:
+    """Score a device (≙ rate_device, physical_device.rs:411-448)."""
+    score = _PLATFORM_SCORE.get(d.platform.lower(), 0)
+    try:
+        stats = d.memory_stats() or {}
+        score += int(stats.get("bytes_limit", 0) // (1024 * 1024 * 100))
+    except Exception:  # noqa: BLE001 - memory stats are best-effort
+        pass
+    return score
+
+
+def select_physical_device(devices: Sequence[jax.Device]) -> jax.Device:
+    """Pick the best device (≙ select_physical_device, physical_device.rs:202-253)."""
+    if not devices:
+        raise RhiError("no suitable device (≙ RhiError::NoSuitableGpu)")
+    best = max(devices, key=rate_device)
+    log.debug("selected device %s (score %d)", best, rate_device(best))
+    return best
+
+
+class Device:
+    """Logical device handle (≙ rhi::Device, device.rs:120-233).
+
+    Holds the primary compute device and, for multi-chip rendering, the full
+    device list to build a ``jax.sharding.Mesh`` over (parallel/mesh.py).
+    """
+
+    def __init__(self, backend: str | None = None) -> None:
+        try:
+            self.devices = list(jax.devices(backend) if backend else jax.devices())
+        except RuntimeError as e:  # backend not present
+            raise RhiError(f"backend unavailable: {e}") from e
+        self.primary = select_physical_device(self.devices)
+        self.platform = self.primary.platform
+        log.info(
+            "device created: %s (%d device(s), platform %s)",
+            self.primary,
+            len(self.devices),
+            self.platform,
+        )
+
+    def wait_idle(self) -> None:
+        """Block until all enqueued work completes (≙ Device::wait_idle,
+        device.rs:300-310). JAX analog: barrier on async dispatch."""
+        try:
+            (jax.device_put(0, self.primary) + 0).block_until_ready()
+        except Exception:  # noqa: BLE001
+            pass
+
+    def __repr__(self) -> str:
+        return f"Device({self.primary}, n={len(self.devices)})"

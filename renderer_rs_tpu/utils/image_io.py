@@ -1,0 +1,75 @@
+"""Image IO and framebuffer format conversion.
+
+The reference's present path hands a B8G8R8A8_SRGB image to the compositor
+(rhi/src/swapchain.rs:561-588); here the analog is converting the linear
+[H,W,4] f32 framebuffer to sRGB-encoded uint8 and writing a PNG — which also
+doubles as the golden-image mechanism the reference lacks (SURVEY.md §4.6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from renderer_rs_tpu.core.errors import ImageError
+
+
+def framebuffer_to_u8(fb, srgb_encode: bool = True) -> np.ndarray:
+    """Convert a linear [H,W,3|4] float framebuffer to uint8.
+
+    srgb_encode applies the exact IEC transfer curve — what the hardware does
+    on store to an _SRGB attachment.
+    """
+    import jax.numpy as jnp
+
+    from renderer_rs_tpu.ops.srgb import linear_to_srgb
+
+    fb = jnp.asarray(fb)
+    rgb = fb[..., :3]
+    if srgb_encode:
+        rgb = linear_to_srgb(rgb)
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    if fb.shape[-1] == 4:
+        a = jnp.clip(fb[..., 3:4], 0.0, 1.0)
+        out = jnp.concatenate([rgb, a], axis=-1)
+    else:
+        out = rgb
+    return np.asarray(jnp.round(out * 255.0).astype(jnp.uint8))
+
+
+def write_png(path: str, img_u8: np.ndarray) -> None:
+    """Write an [H,W,3|4] uint8 array as PNG."""
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - PIL is baked into the image
+        raise ImageError(f"PIL unavailable: {e}") from e
+    Image.fromarray(np.asarray(img_u8)).save(path)
+
+
+def read_image(path: str, dtype=np.float32, srgb_decode: bool = False) -> np.ndarray:
+    """Load an image to [H,W,C] float in [0,1] (optionally linearized).
+
+    This is the texture-loading primitive for the reference's stubbed
+    Task 3.1 (rhi/src/texture.rs:5).
+    """
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover
+        raise ImageError(f"PIL unavailable: {e}") from e
+    try:
+        img = Image.open(path)
+    except FileNotFoundError as e:
+        raise ImageError(f"image not found: {path}") from e
+    raw = np.asarray(img)
+    if raw.dtype == np.uint8:
+        arr = raw.astype(dtype) / 255.0
+    elif raw.dtype == np.uint16:
+        arr = raw.astype(dtype) / 65535.0
+    else:
+        arr = raw.astype(dtype)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if srgb_decode:
+        lo = arr / 12.92
+        hi = ((arr + 0.055) / 1.055) ** 2.4
+        arr = np.where(arr <= 0.04045, lo, hi).astype(dtype)
+    return arr

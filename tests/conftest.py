@@ -1,0 +1,24 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The reference's GPU tests gracefully skip without a driver
+(rhi/src/instance.rs:288-326); the rebuild does strictly better — the whole
+pipeline runs on the CPU backend, and multi-chip sharding is validated on
+a host-platform virtual mesh (SURVEY.md §4.2).
+"""
+
+import os
+
+# Must be set before jax import: 8 virtual CPU devices for sharding tests.
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the build box has a single CPU core, so XLA
+# compiles dominate test time; cache them across pytest runs.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
