@@ -1,0 +1,208 @@
+"""Texture sampling kernels: the software texture unit.
+
+Gather-based nearest/bilinear/trilinear filtering with wrap modes, screen-
+space derivative LOD selection, and cubemap addressing. This implements the
+sampler half of the reference's stubbed Tasks 3.1/3.2 plus the sampling the
+HLSL shaders assume (Texture2D.Sample / SampleLevel / cubemap Sample).
+
+TPU notes (SURVEY.md §7 hard parts): sampling is gather-bound; keeping the
+texture in fp32 [H,W,C] with lane-friendly W and letting XLA fuse the
+4-gather bilinear blend is the round-1 baseline. Tile-local VMEM sampling is
+the raster_pallas follow-up.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from renderer_rs_tpu.resources.texture import (
+    Filter,
+    MipmapMode,
+    Sampler,
+    WrapMode,
+)
+
+
+def _wrap_coord(x: jnp.ndarray, size: int, mode: WrapMode) -> jnp.ndarray:
+    """Wrap integer texel coords per VkSamplerAddressMode semantics."""
+    if mode == WrapMode.REPEAT:
+        return jnp.mod(x, size)
+    if mode == WrapMode.CLAMP_TO_EDGE:
+        return jnp.clip(x, 0, size - 1)
+    # MIRRORED_REPEAT: period 2*size, reflect the second half
+    m = jnp.mod(x, 2 * size)
+    return jnp.where(m < size, m, 2 * size - 1 - m)
+
+
+def _gather2d(tex: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """tex[H,W,C] gathered at integer coords -> [...,C]."""
+    return tex[iy, ix]
+
+
+def sample_nearest(
+    tex: jnp.ndarray, uv: jnp.ndarray, sampler: Sampler = Sampler.nearest()
+) -> jnp.ndarray:
+    """Nearest-texel sampling. uv: [...,2] in [0,1] texture space."""
+    h, w = tex.shape[0], tex.shape[1]
+    ix = jnp.floor(uv[..., 0] * w).astype(jnp.int32)
+    iy = jnp.floor(uv[..., 1] * h).astype(jnp.int32)
+    ix = _wrap_coord(ix, w, sampler.wrap_u)
+    iy = _wrap_coord(iy, h, sampler.wrap_v)
+    return _gather2d(tex, iy, ix)
+
+
+def sample_bilinear(
+    tex: jnp.ndarray, uv: jnp.ndarray, sampler: Sampler = Sampler()
+) -> jnp.ndarray:
+    """Bilinear filtering with half-texel center convention (GPU-exact)."""
+    h, w = tex.shape[0], tex.shape[1]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0w = _wrap_coord(x0, w, sampler.wrap_u)
+    x1w = _wrap_coord(x0 + 1, w, sampler.wrap_u)
+    y0w = _wrap_coord(y0, h, sampler.wrap_v)
+    y1w = _wrap_coord(y0 + 1, h, sampler.wrap_v)
+    t00 = _gather2d(tex, y0w, x0w)
+    t10 = _gather2d(tex, y0w, x1w)
+    t01 = _gather2d(tex, y1w, x0w)
+    t11 = _gather2d(tex, y1w, x1w)
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _sample_level(mips: tuple, level: int, uv: jnp.ndarray, sampler: Sampler) -> jnp.ndarray:
+    if sampler.mag_filter == Filter.NEAREST:
+        return sample_nearest(mips[level], uv, sampler)
+    return sample_bilinear(mips[level], uv, sampler)
+
+
+def sample_lod(
+    mips: tuple, uv: jnp.ndarray, lod: jnp.ndarray, sampler: Sampler = Sampler()
+) -> jnp.ndarray:
+    """SampleLevel: explicit (possibly fractional, per-pixel) LOD.
+
+    Per-pixel dynamic level over static-shape mips: evaluate each level and
+    select. Cost is bounded by the mip-chain sum (~4/3 of level 0); XLA fuses
+    the selects. Used by IBL prefiltered-map lookup (mip = roughness*(L-1),
+    pbr.hlsli:382-466) and trilinear minification.
+    """
+    n = len(mips)
+    lod = jnp.clip(lod, 0.0, n - 1.0)
+    lo = jnp.floor(lod).astype(jnp.int32)
+    frac = (lod - lo.astype(lod.dtype))[..., None]
+    out_lo = _sample_level(mips, 0, uv, sampler)
+    out_hi = out_lo
+    for lvl in range(1, n):
+        s = _sample_level(mips, lvl, uv, sampler)
+        out_lo = jnp.where((lo == lvl)[..., None], s, out_lo)
+        out_hi = jnp.where((lo + 1 == lvl)[..., None], s, out_hi)
+    if sampler.mipmap_mode == MipmapMode.NEAREST:
+        return jnp.where(frac < 0.5, out_lo, out_hi)
+    return out_lo * (1 - frac) + out_hi * frac
+
+
+def screen_space_lod(uv: jnp.ndarray, tex_h: int, tex_w: int) -> jnp.ndarray:
+    """Per-pixel LOD from screen-space UV derivatives.
+
+    uv: [H,W,2] (the interpolated UVs of the deferred shading pass).
+    Hardware computes ddx/ddy per 2x2 quad; here forward differences over
+    the framebuffer grid give the same log2(max gradient) metric.
+    """
+    du_dx = jnp.diff(uv, axis=1, append=uv[:, -1:, :]) * tex_w
+    du_dy = jnp.diff(uv, axis=0, append=uv[-1:, :, :]) * tex_h
+    rho = jnp.maximum(
+        jnp.sqrt(jnp.sum(du_dx * du_dx, axis=-1)),
+        jnp.sqrt(jnp.sum(du_dy * du_dy, axis=-1)),
+    )
+    return jnp.log2(jnp.maximum(rho, 1e-12))
+
+
+def sample_textured(
+    mips: tuple, uv: jnp.ndarray, sampler: Sampler = Sampler()
+) -> jnp.ndarray:
+    """Full Texture2D.Sample for the deferred pass: implicit LOD from screen
+    derivatives + trilinear (or per-sampler) filtering. uv must be [H,W,2]."""
+    if len(mips) == 1 or sampler.mipmap_mode == MipmapMode.NEAREST:
+        return _sample_level(mips, 0, uv, sampler)
+    lod = screen_space_lod(uv, mips[0].shape[0], mips[0].shape[1])
+    return sample_lod(mips, uv, lod, sampler)
+
+
+# --- cubemaps ----------------------------------------------------------------
+
+def direction_to_cube_uv(d: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Direction [...,3] -> (face [...], uv [...,2]).
+
+    Face order +X,-X,+Y,-Y,+Z,-Z with the standard cube-face basis (the same
+    6-way mapping as compute/equirect_to_cubemap.hlsl:22-105, inverted).
+    """
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (ay > ax) & (ay >= az)
+
+    face = jnp.where(
+        is_x,
+        jnp.where(x > 0, 0, 1),
+        jnp.where(is_y, jnp.where(y > 0, 2, 3), jnp.where(z > 0, 4, 5)),
+    ).astype(jnp.int32)
+
+    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
+    ma = jnp.maximum(ma, 1e-12)
+
+    # (u,v) per face, standard cubemap convention
+    u = jnp.where(
+        is_x,
+        jnp.where(x > 0, -z, z),
+        jnp.where(is_y, x, jnp.where(z > 0, x, -x)),
+    )
+    v = jnp.where(is_x, -y, jnp.where(is_y, jnp.where(y > 0, z, -z), -y))
+
+    uv = jnp.stack([(u / ma + 1.0) * 0.5, (v / ma + 1.0) * 0.5], axis=-1)
+    return face, uv
+
+
+def sample_cubemap(
+    faces: jnp.ndarray, d: jnp.ndarray, bilinear: bool = True
+) -> jnp.ndarray:
+    """Sample a [6,H,W,C] cubemap level along directions [...,3].
+
+    Per-face bilinear (no seam blending across faces — matches basic HW
+    behavior well enough for skybox/IBL at the sizes used).
+    """
+    face, uv = direction_to_cube_uv(d)
+    sampler = Sampler.linear_clamp()
+    out = (
+        sample_bilinear(faces[0], uv, sampler)
+        if bilinear
+        else sample_nearest(faces[0], uv, Sampler.nearest())
+    )
+    for f in range(1, 6):
+        s = (
+            sample_bilinear(faces[f], uv, sampler)
+            if bilinear
+            else sample_nearest(faces[f], uv, Sampler.nearest())
+        )
+        out = jnp.where((face == f)[..., None], s, out)
+    return out
+
+
+def sample_cubemap_lod(mips: tuple, d: jnp.ndarray, lod: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear cubemap sampling at explicit LOD (prefiltered IBL lookup)."""
+    n = len(mips)
+    lod = jnp.clip(lod, 0.0, n - 1.0)
+    lo = jnp.floor(lod).astype(jnp.int32)
+    frac = (lod - lo.astype(lod.dtype))[..., None]
+    out_lo = sample_cubemap(mips[0], d)
+    out_hi = out_lo
+    for lvl in range(1, n):
+        s = sample_cubemap(mips[lvl], d)
+        out_lo = jnp.where((lo == lvl)[..., None], s, out_lo)
+        out_hi = jnp.where((lo + 1 == lvl)[..., None], s, out_hi)
+    return out_lo * (1 - frac) + out_hi * frac

@@ -1,0 +1,193 @@
+"""Model / Mesh loading from glTF 2.0.
+
+Behavioral port of crates/resources/src/model.rs:111-345 (NOT the gltf-crate
+plumbing — see gltf.py). Per-primitive extraction with the exact defaulting
+rules:
+
+- positions REQUIRED -> NoPositionDataError (model.rs:147-150)
+- normals default Y-up (0,1,0) (model.rs:163-172)
+- tex_coords default (0,0) (model.rs:175-184)
+- tangents default +X, handedness w=1 (model.rs:187-197)
+- indices: sequential 0..n fallback (model.rs:200-209)
+- global AABB accumulated over all positions (model.rs:211-215, 243-246)
+- no meshes -> NoMeshesError (model.rs:238-241)
+
+Stats helpers match model.rs:311-345 (counts/center/size/diagonal).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+
+import numpy as np
+
+from renderer_rs_tpu.core.errors import (
+    FileNotFoundError_,
+    NoMeshesError,
+    NoPositionDataError,
+)
+from renderer_rs_tpu.resources.gltf import GltfDocument
+from renderer_rs_tpu.resources.material import Material
+
+log = logging.getLogger("renderer_rs_tpu.resources.model")
+
+
+@dataclasses.dataclass
+class Mesh:
+    """SoA mesh data (≙ resources::Mesh, model.rs:31-64). Host numpy; the
+    renderer uploads to device (≙ Buffer::new_with_data)."""
+
+    positions: np.ndarray  # [N,3] f32
+    normals: np.ndarray  # [N,3] f32
+    tex_coords: np.ndarray  # [N,2] f32
+    tangents: np.ndarray  # [N,4] f32 (w = handedness)
+    indices: np.ndarray  # [M] u32 (triangle list)
+    material_index: int | None = None
+
+    @property
+    def vertex_count(self) -> int:
+        return self.positions.shape[0]
+
+    @property
+    def index_count(self) -> int:
+        return self.indices.shape[0]
+
+    @property
+    def triangle_count(self) -> int:
+        return self.indices.shape[0] // 3
+
+
+@dataclasses.dataclass
+class Model:
+    """≙ resources::Model (model.rs:66-345)."""
+
+    meshes: list[Mesh]
+    materials: list[Material]
+    aabb_min: np.ndarray  # [3]
+    aabb_max: np.ndarray  # [3]
+
+    @staticmethod
+    def load(path: str) -> "Model":
+        """≙ Model::load (model.rs:111-270)."""
+        if not os.path.exists(path):
+            raise FileNotFoundError_(f"model file not found: {path}")
+        doc = GltfDocument.load(path)
+        materials = extract_materials(doc)
+
+        meshes: list[Mesh] = []
+        aabb_min = np.full(3, np.inf, np.float32)
+        aabb_max = np.full(3, -np.inf, np.float32)
+
+        for mesh_def in doc.doc.get("meshes", []):
+            for prim in mesh_def.get("primitives", []):
+                attrs = prim.get("attributes", {})
+                if "POSITION" not in attrs:
+                    raise NoPositionDataError(
+                        "primitive has no POSITION attribute (≙ model.rs:147-150)"
+                    )
+                pos = doc.read_accessor(attrs["POSITION"]).astype(np.float32)
+                n = pos.shape[0]
+
+                if "NORMAL" in attrs:
+                    normals = doc.read_accessor(attrs["NORMAL"]).astype(np.float32)
+                else:  # default Y-up (model.rs:163-172)
+                    normals = np.tile(np.array([[0, 1, 0]], np.float32), (n, 1))
+
+                if "TEXCOORD_0" in attrs:
+                    uv = doc.read_accessor(attrs["TEXCOORD_0"]).astype(np.float32)
+                else:  # default zero UV (model.rs:175-184)
+                    uv = np.zeros((n, 2), np.float32)
+
+                if "TANGENT" in attrs:
+                    tangents = doc.read_accessor(attrs["TANGENT"]).astype(np.float32)
+                else:  # default +X, w=1 (model.rs:187-197)
+                    tangents = np.tile(np.array([[1, 0, 0, 1]], np.float32), (n, 1))
+
+                if "indices" in prim:
+                    indices = doc.read_accessor(prim["indices"]).reshape(-1).astype(np.uint32)
+                else:  # sequential fallback (model.rs:200-209)
+                    indices = np.arange(n, dtype=np.uint32)
+
+                aabb_min = np.minimum(aabb_min, pos.min(axis=0))
+                aabb_max = np.maximum(aabb_max, pos.max(axis=0))
+
+                meshes.append(
+                    Mesh(
+                        positions=pos,
+                        normals=normals,
+                        tex_coords=uv,
+                        tangents=tangents,
+                        indices=indices,
+                        material_index=prim.get("material"),
+                    )
+                )
+
+        if not meshes:
+            raise NoMeshesError("model contains no meshes (≙ model.rs:238-241)")
+
+        model = Model(
+            meshes=meshes, materials=materials, aabb_min=aabb_min, aabb_max=aabb_max
+        )
+        log.info(
+            "loaded model %s: %d meshes, %d vertices, %d triangles, %d materials",
+            path,
+            len(meshes),
+            model.total_vertex_count(),
+            model.total_triangle_count(),
+            len(materials),
+        )
+        return model
+
+    # --- stats (≙ model.rs:311-345) -----------------------------------------
+    def mesh_count(self) -> int:
+        return len(self.meshes)
+
+    def total_vertex_count(self) -> int:
+        return sum(m.vertex_count for m in self.meshes)
+
+    def total_triangle_count(self) -> int:
+        return sum(m.triangle_count for m in self.meshes)
+
+    def center(self) -> np.ndarray:
+        return (self.aabb_min + self.aabb_max) * 0.5
+
+    def size(self) -> np.ndarray:
+        return self.aabb_max - self.aabb_min
+
+    def diagonal(self) -> float:
+        return float(np.linalg.norm(self.size()))
+
+
+def extract_materials(doc: GltfDocument) -> list[Material]:
+    """glTF pbrMetallicRoughness -> Material (≙ model.rs:273-309;
+    ao fixed at 1.0 matching material.rs defaults)."""
+    out: list[Material] = []
+    for mat in doc.doc.get("materials", []):
+        pbr = mat.get("pbrMetallicRoughness", {})
+        base = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])
+        emissive3 = mat.get("emissiveFactor", [0.0, 0.0, 0.0])
+
+        def tex_index(tex_info):
+            return tex_info["index"] if tex_info is not None else -1
+
+        out.append(
+            Material(
+                base_color=tuple(base),
+                metallic=pbr.get("metallicFactor", 1.0),
+                roughness=pbr.get("roughnessFactor", 1.0),
+                ao=1.0,
+                emissive=(*emissive3, 0.0),
+                base_color_texture=tex_index(pbr.get("baseColorTexture")),
+                metallic_roughness_texture=tex_index(pbr.get("metallicRoughnessTexture")),
+                normal_texture=tex_index(mat.get("normalTexture")),
+                occlusion_texture=tex_index(mat.get("occlusionTexture")),
+                emissive_texture=tex_index(mat.get("emissiveTexture")),
+                normal_scale=(mat.get("normalTexture") or {}).get("scale", 1.0),
+                alpha_cutoff=(
+                    mat.get("alphaCutoff", 0.5) if mat.get("alphaMode") == "MASK" else None
+                ),
+            )
+        )
+    return out

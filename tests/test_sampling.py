@@ -1,0 +1,141 @@
+"""Texture-unit tests: filtering, wrap modes, LOD, cubemaps."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from renderer_rs_tpu.ops.sampling import (
+    direction_to_cube_uv,
+    sample_bilinear,
+    sample_cubemap,
+    sample_lod,
+    sample_nearest,
+    screen_space_lod,
+)
+from renderer_rs_tpu.resources.texture import Sampler, WrapMode, build_mip_pyramid
+
+
+def _checker(h=4, w=4):
+    """2x2 checkerboard of 0/1."""
+    y, x = np.mgrid[0:h, 0:w]
+    return jnp.asarray(((x + y) % 2).astype(np.float32)[..., None])
+
+
+def test_nearest_texel_centers():
+    tex = _checker()
+    # texel (0,0)=0, texel (1,0)=1
+    uv = jnp.array([[0.125, 0.125], [0.375, 0.125]])
+    out = sample_nearest(tex, uv)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), [0.0, 1.0])
+
+
+def test_bilinear_at_texel_center_exact():
+    """At texel centers bilinear returns the texel exactly."""
+    tex = _checker()
+    uv = jnp.array([[0.125, 0.125]])
+    out = sample_bilinear(tex, uv)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), 0.0, atol=1e-6)
+
+
+def test_bilinear_midpoint_blend():
+    """Halfway between 0 and 1 texels -> 0.5."""
+    tex = _checker()
+    uv = jnp.array([[0.25, 0.125]])  # between texel 0 and 1 in x
+    out = sample_bilinear(tex, uv)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), 0.5, atol=1e-6)
+
+
+def test_wrap_repeat_vs_clamp():
+    tex = _checker()
+    uv = jnp.array([[1.125, 0.125]])  # one full wrap + texel 0 center
+    rep = sample_nearest(tex, uv, Sampler.nearest())
+    assert float(rep[0, 0]) == 0.0
+    clamp_sampler = Sampler(
+        mag_filter=Sampler.nearest().mag_filter,
+        min_filter=Sampler.nearest().min_filter,
+        mipmap_mode=Sampler.nearest().mipmap_mode,
+        wrap_u=WrapMode.CLAMP_TO_EDGE,
+        wrap_v=WrapMode.CLAMP_TO_EDGE,
+    )
+    cl = sample_nearest(tex, uv, clamp_sampler)
+    assert float(cl[0, 0]) == 1.0  # clamped to right edge texel (3,0)=1
+
+
+def test_mirror_wrap():
+    tex = jnp.arange(4, dtype=jnp.float32).reshape(1, 4, 1) / 3.0
+    s = Sampler(wrap_u=WrapMode.MIRRORED_REPEAT, wrap_v=WrapMode.MIRRORED_REPEAT)
+    # u = 1.125 -> texel index 4 (past edge) -> mirrored to texel 3
+    out = sample_nearest(tex, jnp.array([[1.0 + 0.125, 0.5]]), s)
+    np.testing.assert_allclose(float(out[0, 0]), 1.0, atol=1e-6)
+
+
+def test_sample_lod_selects_levels():
+    base = jnp.zeros((4, 4, 1))
+    mips = (base, jnp.ones((2, 2, 1)), jnp.full((1, 1, 1), 2.0))
+    uv = jnp.array([[0.5, 0.5]])
+    out0 = sample_lod(mips, uv, jnp.array([0.0]))
+    out1 = sample_lod(mips, uv, jnp.array([1.0]))
+    out_mid = sample_lod(mips, uv, jnp.array([0.5]))
+    assert float(out0[0, 0]) == 0.0
+    assert float(out1[0, 0]) == 1.0
+    np.testing.assert_allclose(float(out_mid[0, 0]), 0.5, atol=1e-6)
+
+
+def test_screen_space_lod_magnification_negative():
+    """1:1 texel:pixel mapping -> lod 0; magnified -> negative lod."""
+    h = w = 8
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    uv = jnp.asarray(np.stack([(x + 0.5) / w, (y + 0.5) / h], -1))
+    lod = screen_space_lod(uv, 8, 8)
+    np.testing.assert_allclose(np.asarray(lod[2, 2]), 0.0, atol=1e-4)
+    lod_mag = screen_space_lod(uv * 0.25, 8, 8)
+    assert float(lod_mag[2, 2]) < -1.0
+
+
+def test_mip_pyramid_average_preserved():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((8, 8, 3), dtype=np.float32))
+    mips = build_mip_pyramid(img)
+    np.testing.assert_allclose(
+        float(jnp.mean(mips[0])), float(jnp.mean(mips[-1])), atol=1e-5
+    )
+
+
+def test_cube_face_selection():
+    dirs = jnp.array(
+        [
+            [1.0, 0.0, 0.0],
+            [-1.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.0, -1.0, 0.0],
+            [0.0, 0.0, 1.0],
+            [0.0, 0.0, -1.0],
+        ]
+    )
+    face, uv = direction_to_cube_uv(dirs)
+    np.testing.assert_array_equal(np.asarray(face), [0, 1, 2, 3, 4, 5])
+    # axis-aligned directions hit face centers
+    np.testing.assert_allclose(np.asarray(uv), 0.5, atol=1e-6)
+
+
+def test_cubemap_sample_face_colors():
+    """Each face a constant color; sampling along each axis returns it."""
+    colors = np.eye(6, 3, k=0, dtype=np.float32)
+    colors = np.array(
+        [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0], [0, 1, 1], [1, 0, 1]],
+        np.float32,
+    )
+    faces = jnp.asarray(
+        np.broadcast_to(colors[:, None, None, :], (6, 4, 4, 3)).copy()
+    )
+    dirs = jnp.array(
+        [
+            [1.0, 0.0, 0.0],
+            [-1.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.0, -1.0, 0.0],
+            [0.0, 0.0, 1.0],
+            [0.0, 0.0, -1.0],
+        ]
+    )
+    out = sample_cubemap(faces, dirs)
+    np.testing.assert_allclose(np.asarray(out), colors, atol=1e-6)
