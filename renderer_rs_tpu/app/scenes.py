@@ -1,0 +1,239 @@
+"""Demo scene factories matching BASELINE.json's five staged configs:
+
+0. triangle    — Hello Triangle, clip-space flat interp (Phase-1 demo)
+1. cube        — spinning textured cube, depth buffer, bilinear sampling
+2. blinnphong  — per-pixel Blinn-Phong mesh with 4 point lights
+3. gltf-pbr    — metallic-roughness PBR, multiple draws from the scene graph
+               (loads a .gltf if given, else a procedural multi-object scene)
+4. full        — shadow-mapped sun + environment skybox + tonemap
+
+Each factory returns (scene, layout, renderer_kwargs, animate_fn) where
+animate_fn(scene, t, dt) -> scene updates the dynamic pytree per frame.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from renderer_rs_tpu.mathx import quat_from_axis_angle
+from renderer_rs_tpu.ops.shadow import directional_light_matrix
+from renderer_rs_tpu.renderer.passes import ShadingModel
+from renderer_rs_tpu.renderer.scene_build import Environment, SceneBuilder
+from renderer_rs_tpu.resources.material import Material
+from renderer_rs_tpu.resources.ubo import CameraUbo, SceneUbo
+from renderer_rs_tpu.rhi.pipeline import CullMode, GraphicsPipelineBuilder
+from renderer_rs_tpu.scene.camera import Camera, Projection
+from renderer_rs_tpu.scene.light import DirectionalLight, LightBank, PointLight
+from renderer_rs_tpu.scene.transform import Transform
+from renderer_rs_tpu.utils import meshgen
+
+
+def _camera_ubo(cam: Camera) -> CameraUbo:
+    return CameraUbo.create(cam.view_matrix(), cam.projection_matrix(), cam.position)
+
+
+def _orbit_camera(width, height, distance=3.0, height_y=1.5, fov=60.0) -> Camera:
+    cam = Camera(Projection.perspective(math.radians(fov), width / height, 0.1, 100.0))
+    cam.position = np.array([0.0, height_y, distance], np.float32)
+    cam.look_at([0.0, 0.0, 0.0])
+    return cam
+
+
+def triangle_scene(width: int, height: int):
+    """Config 0 (≙ renderer.rs:205-260): no culling, no depth, flat interp."""
+    builder = SceneBuilder()
+    builder.add_mesh(meshgen.triangle_mesh())
+    scene, layout = builder.build()
+    pipeline = (
+        GraphicsPipelineBuilder()
+        .cull_mode(CullMode.NONE)
+        .depth_test_enable(False)
+        .depth_write_enable(False)
+        .depth_attachment_format(None)
+        .build()
+    )
+    kwargs = dict(pipeline=pipeline, shading=ShadingModel.FLAT)
+    return scene, layout, kwargs, None
+
+
+def cube_scene(width: int, height: int):
+    """Config 1: spinning textured cube."""
+    builder = SceneBuilder()
+    mat = Material(base_color=(1, 1, 1, 1), roughness=0.6, base_color_texture=0)
+    builder.add_mesh(meshgen.cube_mesh(), Transform(), mat)
+    builder.set_textures([meshgen.checkerboard_image(256)])
+    cam = _orbit_camera(width, height, distance=2.2, height_y=1.4)
+    builder.set_camera(_camera_ubo(cam))
+    builder.set_lights(
+        LightBank.create(sun=DirectionalLight.create(direction=(-0.5, -1.0, -0.3)))
+    )
+    builder.set_scene_ubo(SceneUbo.create(ambient_color=(0.08, 0.08, 0.08)))
+    scene, layout = builder.build()
+    kwargs = dict(shading=ShadingModel.BLINN_PHONG)
+
+    def animate(scene, t, dt):
+        rot = quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), t)
+        tr = Transform().with_rotation(np.asarray(rot))
+        models = scene.models.at[0].set(jnp.asarray(tr.world_matrix()))
+        nmats = scene.normal_mats.at[0].set(jnp.asarray(tr.normal_matrix()))
+        ubo = scene.scene_ubo.update_time(t, dt)
+        return scene.replace(models=models, normal_mats=nmats, scene_ubo=ubo)
+
+    return scene, layout, kwargs, animate
+
+
+def blinnphong_scene(width: int, height: int, rings=32, sectors=48):
+    """Config 2: Blinn-Phong sphere ("Suzanne-class" mesh) + 4 point lights."""
+    builder = SceneBuilder()
+    builder.add_mesh(
+        meshgen.uv_sphere_mesh(0.9, rings, sectors),
+        Transform(),
+        Material(base_color=(0.8, 0.3, 0.2, 1.0), roughness=0.35),
+    )
+    builder.add_mesh(
+        meshgen.plane_mesh(8.0),
+        Transform().with_position([0.0, -1.0, 0.0]),
+        Material(base_color=(0.6, 0.6, 0.65, 1.0), roughness=0.8),
+    )
+    cam = _orbit_camera(width, height, distance=3.2, height_y=1.6)
+    builder.set_camera(_camera_ubo(cam))
+    colors = [(1, 0.9, 0.8), (0.3, 0.5, 1.0), (0.4, 1.0, 0.4), (1.0, 0.3, 0.6)]
+    pts = [
+        PointLight.create(
+            position=(2.2 * math.cos(a), 1.5, 2.2 * math.sin(a)),
+            color=c,
+            intensity=3.0,
+            radius=12.0,
+        )
+        for a, c in zip((0.0, math.pi / 2, math.pi, 3 * math.pi / 2), colors)
+    ]
+    builder.set_lights(
+        LightBank.create(
+            sun=DirectionalLight.create(direction=(-0.4, -1.0, -0.2), intensity=0.4),
+            points=pts,
+        )
+    )
+    builder.set_scene_ubo(SceneUbo.create(ambient_color=(0.03, 0.03, 0.04)))
+    scene, layout = builder.build()
+    kwargs = dict(shading=ShadingModel.BLINN_PHONG)
+
+    def animate(scene, t, dt):
+        # lights orbit the sphere
+        pp = scene.lights.point_position
+        for i, a0 in enumerate((0.0, math.pi / 2, math.pi, 3 * math.pi / 2)):
+            a = a0 + t
+            pp = pp.at[i].set(
+                jnp.array([2.2 * math.cos(a), 1.5, 2.2 * math.sin(a)], jnp.float32)
+            )
+        return scene.replace(lights=scene.lights.replace(point_position=pp))
+
+    return scene, layout, kwargs, animate
+
+
+def gltf_pbr_scene(width: int, height: int, gltf_path: str | None = None):
+    """Config 3: PBR scene — a .gltf model if provided, else a procedural
+    multi-draw scene-graph arrangement (metal/rough sphere grid + floor)."""
+    builder = SceneBuilder()
+    if gltf_path:
+        from renderer_rs_tpu.resources.model import Model
+
+        model = Model.load(gltf_path)
+        root = Transform()
+        scale = 2.0 / max(model.diagonal(), 1e-6)
+        root.with_scale([scale] * 3).with_position(
+            (-model.center() * scale).tolist()
+        )
+        builder.add_model(model, root)
+    else:
+        n = 4
+        for i in range(n):
+            for j in range(n):
+                mat = Material(
+                    base_color=(0.9, 0.2, 0.15, 1.0),
+                    metallic=i / (n - 1),
+                    roughness=max(j / (n - 1), 0.05),
+                )
+                # parented transforms exercise the scene graph (config 3:
+                # "multiple draws from crates/scene graph")
+                root = Transform().with_position([0.0, 0.0, 0.0])
+                child = (
+                    Transform()
+                    .with_position(
+                        [(i - (n - 1) / 2) * 1.2, 0.4, (j - (n - 1) / 2) * 1.2]
+                    )
+                    .with_scale([0.45, 0.45, 0.45])
+                    .with_parent(root)
+                )
+                builder.add_mesh(meshgen.uv_sphere_mesh(1.0, 16, 24), child, mat)
+        builder.add_mesh(
+            meshgen.plane_mesh(10.0),
+            Transform().with_position([0.0, 0.0, 0.0]),
+            Material(base_color=(0.5, 0.5, 0.55, 1.0), roughness=0.9),
+        )
+    cam = _orbit_camera(width, height, distance=4.2, height_y=2.8, fov=50.0)
+    builder.set_camera(_camera_ubo(cam))
+    builder.set_lights(
+        LightBank.create(
+            sun=DirectionalLight.create(direction=(-0.5, -1.0, -0.4), intensity=3.0)
+        )
+    )
+    scene, layout = builder.build()
+    kwargs = dict(shading=ShadingModel.PBR)
+    return scene, layout, kwargs, None
+
+
+def full_scene(width: int, height: int, tri_budget: int = 100_000):
+    """Config 4: shadow-mapped sun + environment skybox + ACES tonemap at a
+    given triangle budget (default 100k, the north-star workload)."""
+    from renderer_rs_tpu.ops.ibl import procedural_sky_cubemap
+
+    # sphere subdivision hitting ~tri_budget across the grid + floor
+    n = 3
+    per_sphere = max(tri_budget // (n * n), 2)
+    rings = max(int(math.sqrt(per_sphere / 2)), 4)
+    sectors = 2 * rings
+
+    builder = SceneBuilder()
+    for i in range(n):
+        for j in range(n):
+            mat = Material(
+                base_color=(0.85, 0.3, 0.2, 1.0),
+                metallic=i / max(n - 1, 1),
+                roughness=max(j / max(n - 1, 1), 0.08),
+            )
+            tr = (
+                Transform()
+                .with_position([(i - (n - 1) / 2) * 1.6, 0.6, (j - (n - 1) / 2) * 1.6])
+                .with_scale([0.6, 0.6, 0.6])
+            )
+            builder.add_mesh(meshgen.uv_sphere_mesh(1.0, rings, sectors), tr, mat)
+    builder.add_mesh(
+        meshgen.plane_mesh(12.0),
+        Transform(),
+        Material(base_color=(0.55, 0.55, 0.6, 1.0), roughness=0.85),
+    )
+    cam = _orbit_camera(width, height, distance=5.0, height_y=3.0, fov=50.0)
+    builder.set_camera(_camera_ubo(cam))
+    sun_dir = np.array([-0.45, -1.0, -0.35], np.float32)
+    builder.set_lights(
+        LightBank.create(sun=DirectionalLight.create(direction=sun_dir, intensity=3.5))
+    )
+    builder.set_shadow_matrix(
+        directional_light_matrix(jnp.asarray(sun_dir), jnp.zeros(3), 7.0)
+    )
+    builder.set_environment(Environment(skybox_mips=(procedural_sky_cubemap(64),)))
+    scene, layout = builder.build()
+    kwargs = dict(shading=ShadingModel.PBR, tonemap="aces", shadow_map_size=1024)
+    return scene, layout, kwargs, None
+
+
+SCENES = {
+    "triangle": triangle_scene,
+    "cube": cube_scene,
+    "blinnphong": blinnphong_scene,
+    "gltf-pbr": gltf_pbr_scene,
+    "full": full_scene,
+}

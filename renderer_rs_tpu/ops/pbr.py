@@ -1,0 +1,181 @@
+"""Cook-Torrance PBR (metallic-roughness) — ≙ shaders/hlsl/pbr.hlsli.
+
+Vectorized over pixels; exact reference constants:
+- PI, EPSILON = 1e-4 (pbr.hlsli:17-18)
+- GGX with Disney roughness² remap (pbr.hlsli:57-74)
+- Smith-Schlick geometry, direct k = (r+1)²/8 (pbr.hlsli:85-120),
+  IBL k = r²/2 (compute/brdf_lut.hlsl)
+- Fresnel-Schlick + roughness variant with F90 = max(1-r, F0)
+  (pbr.hlsli:131-156)
+- F0 = lerp(0.04, albedo, metallic) (pbr.hlsli:168-180)
+- CalculatePBRDirect = (kD·albedo/π + DGF/(4·NdotV·NdotL+ε))·radiance·NdotL
+  (pbr.hlsli:279-329)
+- CalculateIBL split-sum with MAX_REFLECTION_LOD derived from the
+  prefiltered-map mip count (reference fixes 7 for a 128² map,
+  pbr.hlsli:370-373)
+- hemisphere ambient fallback with the reference's sky/ground colors
+  (pbr.hlsli:480-490)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import struct
+
+from renderer_rs_tpu.mathx.vec import dot, normalize, saturate
+
+PI = 3.14159265358979323846
+EPSILON = 1e-4
+
+
+@struct.dataclass
+class PBRMaterialParams:
+    """Per-pixel material buffers (≙ PBRMaterial struct, pbr.hlsli:33-40)."""
+
+    albedo: Any  # [...,3] linear
+    metallic: Any  # [...]
+    roughness: Any  # [...]
+    ao: Any  # [...]
+    emissive: Any  # [...,3]
+
+
+def distribution_ggx(n: jnp.ndarray, h: jnp.ndarray, roughness: jnp.ndarray) -> jnp.ndarray:
+    """GGX/Trowbridge-Reitz NDF with Disney r² remap (pbr.hlsli:57-74)."""
+    a = roughness * roughness
+    a2 = a * a
+    ndoth = jnp.maximum(dot(n, h)[..., 0], 0.0)
+    denom = ndoth * ndoth * (a2 - 1.0) + 1.0
+    denom = PI * denom * denom
+    return a2 / jnp.maximum(denom, EPSILON)
+
+
+def geometry_schlick_ggx(ndotx: jnp.ndarray, roughness: jnp.ndarray) -> jnp.ndarray:
+    """Single-direction Schlick-GGX, direct-lighting k=(r+1)²/8 (pbr.hlsli:85-101)."""
+    r = roughness + 1.0
+    k = (r * r) / 8.0
+    return ndotx / jnp.maximum(ndotx * (1.0 - k) + k, EPSILON)
+
+
+def geometry_smith(
+    n: jnp.ndarray, v: jnp.ndarray, l: jnp.ndarray, roughness: jnp.ndarray
+) -> jnp.ndarray:
+    """Smith's method (pbr.hlsli:104-120)."""
+    ndotv = jnp.maximum(dot(n, v)[..., 0], 0.0)
+    ndotl = jnp.maximum(dot(n, l)[..., 0], 0.0)
+    return geometry_schlick_ggx(ndotv, roughness) * geometry_schlick_ggx(ndotl, roughness)
+
+
+def fresnel_schlick(cos_theta: jnp.ndarray, f0: jnp.ndarray) -> jnp.ndarray:
+    """Schlick approximation with saturate guard (pbr.hlsli:131-136)."""
+    ct = saturate(cos_theta)
+    return f0 + (1.0 - f0) * jnp.power(1.0 - ct, 5.0)
+
+
+def fresnel_schlick_roughness(
+    cos_theta: jnp.ndarray, f0: jnp.ndarray, roughness: jnp.ndarray
+) -> jnp.ndarray:
+    """IBL Fresnel: F90 = max(1-roughness, F0) (pbr.hlsli:138-151)."""
+    ct = saturate(cos_theta)
+    f90 = jnp.maximum(1.0 - roughness, f0)
+    return f0 + (f90 - f0) * jnp.power(1.0 - ct, 5.0)
+
+
+def calculate_f0(albedo: jnp.ndarray, metallic: jnp.ndarray) -> jnp.ndarray:
+    """F0 = lerp(0.04, albedo, metallic) (pbr.hlsli:168-180)."""
+    dielectric = jnp.full_like(albedo, 0.04)
+    return dielectric + (albedo - dielectric) * metallic
+
+
+def clamp_roughness(roughness: jnp.ndarray) -> jnp.ndarray:
+    """≙ ClampRoughness (pbr.hlsli:473-477): floor at 0.04."""
+    return jnp.maximum(roughness, 0.04)
+
+
+def pbr_direct(
+    n: jnp.ndarray,
+    v: jnp.ndarray,
+    l: jnp.ndarray,
+    radiance: jnp.ndarray,
+    mat: PBRMaterialParams,
+) -> jnp.ndarray:
+    """≙ CalculatePBRDirect (pbr.hlsli:279-329). All [...,3] / [...] buffers.
+
+    Does NOT include AO or emissive (per the reference's contract).
+    """
+    roughness = mat.roughness[..., None] if mat.roughness.ndim < n.ndim else mat.roughness
+    metallic = mat.metallic[..., None] if mat.metallic.ndim < n.ndim else mat.metallic
+    r = roughness[..., 0] if roughness.shape[-1] == 1 else roughness
+
+    h = normalize(v + l)
+    f0 = calculate_f0(mat.albedo, metallic)
+
+    ndf = distribution_ggx(n, h, r)
+    g = geometry_smith(n, v, l, r)
+    f = fresnel_schlick(dot(h, v), f0)
+
+    ks = f
+    kd = (1.0 - ks) * (1.0 - metallic)
+
+    ndotv = jnp.maximum(dot(n, v)[..., 0], 0.0)
+    ndotl = jnp.maximum(dot(n, l)[..., 0], 0.0)
+    numerator = (ndf * g)[..., None] * f
+    denominator = 4.0 * ndotv * ndotl + EPSILON
+    specular = numerator / denominator[..., None]
+
+    return (kd * mat.albedo / PI + specular) * radiance * ndotl[..., None]
+
+
+def calculate_ibl(
+    n: jnp.ndarray,
+    v: jnp.ndarray,
+    r: jnp.ndarray,
+    mat: PBRMaterialParams,
+    irradiance_mips: tuple,
+    prefiltered_mips: tuple,
+    brdf_lut: jnp.ndarray,
+) -> jnp.ndarray:
+    """≙ CalculateIBL split-sum (pbr.hlsli:399-466).
+
+    irradiance_mips/prefiltered_mips: CubeMap.mips tuples ([6,H,W,C] levels);
+    brdf_lut: [L,L,2+] with (scale, bias) in rg, indexed by (NdotV, roughness).
+    """
+    from renderer_rs_tpu.ops.sampling import (
+        Sampler,
+        sample_bilinear,
+        sample_cubemap,
+        sample_cubemap_lod,
+    )
+
+    metallic = mat.metallic[..., None]
+    roughness = mat.roughness
+    f0 = calculate_f0(mat.albedo, metallic)
+    ndotv = jnp.maximum(dot(n, v)[..., 0], 0.0)
+    f = fresnel_schlick_roughness(ndotv[..., None], f0, roughness[..., None])
+    ks = f
+    kd = (1.0 - ks) * (1.0 - metallic)
+
+    # Diffuse: irradiance map sampled along N (pbr.hlsli:434-436)
+    irradiance = sample_cubemap(irradiance_mips[0], n)[..., :3]
+    diffuse = irradiance * mat.albedo
+
+    # Specular: prefiltered map at mip = roughness * max_lod (pbr.hlsli:444-450)
+    max_lod = float(len(prefiltered_mips) - 1)
+    prefiltered = sample_cubemap_lod(prefiltered_mips, r, roughness * max_lod)[..., :3]
+    # BRDF LUT indexed by (NdotV, roughness) (pbr.hlsli:456-457)
+    uv = jnp.stack([ndotv, roughness], axis=-1)
+    brdf = sample_bilinear(brdf_lut, uv, Sampler.linear_clamp())
+    specular = prefiltered * (f0 * brdf[..., 0:1] + brdf[..., 1:2])
+
+    return (kd * diffuse + specular) * mat.ao[..., None]
+
+
+def hemisphere_ambient(n: jnp.ndarray, albedo: jnp.ndarray, ao: jnp.ndarray) -> jnp.ndarray:
+    """≙ CalculateHemisphereAmbient (pbr.hlsli:480-490): lerp between warm
+    ground (0.08,0.06,0.04) and cool sky (0.15,0.18,0.25) on N.y."""
+    sky = jnp.array([0.15, 0.18, 0.25], jnp.float32)
+    ground = jnp.array([0.08, 0.06, 0.04], jnp.float32)
+    up = n[..., 1:2] * 0.5 + 0.5
+    ambient = ground + (sky - ground) * up
+    return ambient * albedo * ao[..., None]

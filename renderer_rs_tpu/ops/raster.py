@@ -99,13 +99,19 @@ def setup_triangles(
     xy = jnp.stack([sx, sy], axis=-1)  # [T,3,2]
     z = ndc[..., 2]
 
-    # Signed 2*area in framebuffer coords: cross2(v1-v0, v2-v0)
+    # Signed 2*area in framebuffer coords: cross2(v1-v0, v2-v0).
+    # Vulkan's facing rule (spec "Basic Polygon Rasterization") computes
+    # a = -(1/2)·Σ(x_i·y_{i+1} − x_{i+1}·y_i) — note the NEGATED shoelace, so
+    # that "counter-clockwise" keeps its GL meaning under y-down framebuffer
+    # coords. Hence front-for-CCW ⇔ cross2 < 0 here. (Verified empirically:
+    # model-space CCW cube faces through the Y-flipped projection land with
+    # cross2 < 0 and must survive BACK culling.)
     d1 = xy[:, 1] - xy[:, 0]
     d2 = xy[:, 2] - xy[:, 0]
     area2 = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]  # [T]
 
     front = jnp.where(
-        pipeline.front_face == FrontFace.COUNTER_CLOCKWISE, area2 > 0.0, area2 < 0.0
+        pipeline.front_face == FrontFace.COUNTER_CLOCKWISE, area2 < 0.0, area2 > 0.0
     )
     if pipeline.cull_mode == CullMode.NONE:
         cull_ok = jnp.ones_like(front)
@@ -132,8 +138,20 @@ def _pixel_centers(height: int, width: int) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 def _edge(ax, ay, bx, by, px, py):
     """Edge function cross2(b-a, p-a); positive on the interior side after
-    sign normalization. Evaluates to area2 at the opposite vertex."""
-    return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    sign normalization. Evaluates to area2 at the opposite vertex.
+
+    Watertightness: evaluated from a *canonical* anchor (lexicographic min of
+    the endpoints) with an exact sign flip, so the two triangles sharing an
+    edge compute bit-identical magnitudes — e(a,b,p) == -e(b,a,p) exactly,
+    which makes the e==0 top-left tie-break consistent across the pair.
+    """
+    swap = (ay > by) | ((ay == by) & (ax > bx))
+    cax = jnp.where(swap, bx, ax)
+    cay = jnp.where(swap, by, ay)
+    cbx = jnp.where(swap, ax, bx)
+    cby = jnp.where(swap, ay, by)
+    e = (cbx - cax) * (py - cay) - (cby - cay) * (px - cax)
+    return jnp.where(swap, -e, e)
 
 
 def _top_left(ax, ay, bx, by):

@@ -133,6 +133,64 @@ def sample_textured(
     return sample_lod(mips, uv, lod, sampler)
 
 
+# --- texture arrays (per-pixel texture id, the bindless-style path) -----------
+
+def _gather_array(tex: jnp.ndarray, tid: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray):
+    """tex[N,H,W,C] gathered at (tid, iy, ix) -> [...,C]."""
+    return tex[tid, iy, ix]
+
+
+def sample_array_bilinear(
+    level: jnp.ndarray, tid: jnp.ndarray, uv: jnp.ndarray, sampler: Sampler = Sampler()
+) -> jnp.ndarray:
+    """Bilinear sample of a texture array level [N,H,W,C] with per-pixel ids."""
+    h, w = level.shape[1], level.shape[2]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0w = _wrap_coord(x0, w, sampler.wrap_u)
+    x1w = _wrap_coord(x0 + 1, w, sampler.wrap_u)
+    y0w = _wrap_coord(y0, h, sampler.wrap_v)
+    y1w = _wrap_coord(y0 + 1, h, sampler.wrap_v)
+    t = jnp.maximum(tid, 0)
+    t00 = _gather_array(level, t, y0w, x0w)
+    t10 = _gather_array(level, t, y0w, x1w)
+    t01 = _gather_array(level, t, y1w, x0w)
+    t11 = _gather_array(level, t, y1w, x1w)
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def sample_array_textured(
+    mips: tuple, tid: jnp.ndarray, uv: jnp.ndarray, sampler: Sampler = Sampler()
+) -> jnp.ndarray:
+    """Trilinear texture-array sampling with implicit screen-derivative LOD.
+
+    tid/uv are [H,W]/[H,W,2] framebuffer-shaped buffers (deferred pass).
+    Round-1 cost note: evaluates each mip level then selects — the mip-atlas
+    single-gather layout is the planned optimization (SURVEY.md §7 texture
+    hard-part).
+    """
+    n = len(mips)
+    if n == 1:
+        return sample_array_bilinear(mips[0], tid, uv, sampler)
+    lod = screen_space_lod(uv, mips[0].shape[1], mips[0].shape[2])
+    lod = jnp.clip(lod, 0.0, n - 1.0)
+    lo = jnp.floor(lod).astype(jnp.int32)
+    frac = (lod - lo.astype(lod.dtype))[..., None]
+    out_lo = sample_array_bilinear(mips[0], tid, uv, sampler)
+    out_hi = out_lo
+    for lvl in range(1, n):
+        s = sample_array_bilinear(mips[lvl], tid, uv, sampler)
+        out_lo = jnp.where((lo == lvl)[..., None], s, out_lo)
+        out_hi = jnp.where((lo + 1 == lvl)[..., None], s, out_hi)
+    return out_lo * (1 - frac) + out_hi * frac
+
+
 # --- cubemaps ----------------------------------------------------------------
 
 def direction_to_cube_uv(d: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -1,0 +1,142 @@
+"""Shadow mapping — ≙ shaders/hlsl/shadow.hlsli.
+
+Single shadow map with:
+- light-space projection + perspective divide (shadow.hlsli:57-61)
+- NDC->UV with the Vulkan Y-flip (shadow.hlsli:63-67)
+- out-of-bounds -> fully lit (shadow.hlsli:69-77)
+- adaptive slope bias max(bias*(1-NdotL), 0.0005) (shadow.hlsli:84-86)
+- normal-offset bias re-projection (shadow.hlsli:88-97)
+- 3x3 PCF with hardware-comparison semantics (lit = stored >= current)
+  (shadow.hlsli:100-123)
+- shadow strength lerp(1, shadow, strength) (shadow.hlsli:125-128)
+- hard (non-PCF) variant (shadow.hlsli:131-182)
+
+The depth-only shadow render itself is ops/raster.rasterize_depth_only driven
+by renderer/passes.py (≙ vertex/shadow.hlsl + empty pixel shader).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from renderer_rs_tpu.mathx.vec import dot
+
+
+@dataclasses.dataclass(frozen=True)
+class ShadowParams:
+    """≙ ShadowParams cbuffer (shadow.hlsli): static configuration."""
+
+    shadow_bias: float = 0.005
+    normal_bias: float = 0.02
+    shadow_strength: float = 1.0
+    pcf: bool = True
+
+
+def _project_to_shadow_uv(
+    light_space_matrix: jnp.ndarray, world_pos: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """World -> light clip -> NDC -> Vulkan-flipped UV + depth.
+
+    Returns (uv [...,2], depth [...]).
+    """
+    p = world_pos
+    clip = (
+        p @ light_space_matrix[:3, :3].T
+        + light_space_matrix[:3, 3]
+    )
+    w = (
+        jnp.sum(p * light_space_matrix[3, :3], axis=-1)
+        + light_space_matrix[3, 3]
+    )
+    ndc = clip / jnp.maximum(jnp.abs(w), 1e-12)[..., None] * jnp.sign(w)[..., None]
+    u = ndc[..., 0] * 0.5 + 0.5
+    v = 1.0 - (ndc[..., 1] * 0.5 + 0.5)  # Vulkan Y-flip (shadow.hlsli:67)
+    return jnp.stack([u, v], axis=-1), ndc[..., 2]
+
+
+def _compare_sample(
+    shadow_map: jnp.ndarray, uv: jnp.ndarray, current_depth: jnp.ndarray
+) -> jnp.ndarray:
+    """SampleCmpLevelZero: nearest-texel depth compare; 1.0 = lit
+    (stored >= current), 0.0 = in shadow."""
+    h, w = shadow_map.shape[0], shadow_map.shape[1]
+    ix = jnp.clip(jnp.floor(uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    iy = jnp.clip(jnp.floor(uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    stored = shadow_map[iy, ix]
+    return jnp.where(stored >= current_depth, 1.0, 0.0)
+
+
+def calculate_shadow(
+    shadow_map: jnp.ndarray,
+    light_space_matrix: jnp.ndarray,
+    world_pos: jnp.ndarray,
+    normal: jnp.ndarray,
+    light_dir: jnp.ndarray,
+    params: ShadowParams = ShadowParams(),
+) -> jnp.ndarray:
+    """≙ CalculateShadow (shadow.hlsli:49-128). Returns [...] lit factor in
+    [0,1] (1 = fully lit). light_dir points surface -> light."""
+    # bounds check uses the UN-offset projection (shadow.hlsli:57-77)
+    uv0, z0 = _project_to_shadow_uv(light_space_matrix, world_pos)
+    in_bounds = (
+        (uv0[..., 0] >= 0.0)
+        & (uv0[..., 0] <= 1.0)
+        & (uv0[..., 1] >= 0.0)
+        & (uv0[..., 1] <= 1.0)
+        & (z0 >= 0.0)
+        & (z0 <= 1.0)
+    )
+
+    # adaptive slope bias (shadow.hlsli:84-86)
+    ndotl = dot(normal, light_dir)[..., 0]
+    bias = jnp.maximum(params.shadow_bias * (1.0 - ndotl), 0.0005)
+
+    # normal-offset re-projection (shadow.hlsli:88-97)
+    offset_pos = world_pos + normal * params.normal_bias
+    uv, z = _project_to_shadow_uv(light_space_matrix, offset_pos)
+    current = z - bias
+
+    h, w = shadow_map.shape[0], shadow_map.shape[1]
+    if params.pcf:
+        # 3x3 PCF (shadow.hlsli:100-123)
+        texel = jnp.array([1.0 / w, 1.0 / h], jnp.float32)
+        acc = 0.0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                offset = jnp.array([dx, dy], jnp.float32) * texel
+                acc = acc + _compare_sample(shadow_map, uv + offset, current)
+        shadow = acc / 9.0
+    else:
+        # hard variant (shadow.hlsli:131-182)
+        shadow = _compare_sample(shadow_map, uv, current)
+
+    # strength lerp (shadow.hlsli:125-128); out-of-bounds fully lit
+    lit = 1.0 + (shadow - 1.0) * params.shadow_strength
+    return jnp.where(in_bounds, lit, 1.0)
+
+
+def directional_light_matrix(
+    direction: jnp.ndarray,
+    scene_center: jnp.ndarray,
+    scene_radius: float,
+) -> jnp.ndarray:
+    """Build the sun's light-space view-projection: orthographic box fitted
+    around the scene bounds, looking along `direction` (the standard setup the
+    shadow pass needs; reference computes it host-side for vertex/shadow.hlsl).
+    """
+    from renderer_rs_tpu.mathx import look_at_rh, orthographic_rh
+    from renderer_rs_tpu.mathx.mat4 import vulkan_y_flip
+
+    d = direction / jnp.maximum(jnp.linalg.norm(direction), 1e-12)
+    eye = scene_center - d * (2.0 * scene_radius)
+    up = jnp.where(
+        jnp.abs(d[1]) > 0.99,
+        jnp.array([0.0, 0.0, 1.0], jnp.float32),
+        jnp.array([0.0, 1.0, 0.0], jnp.float32),
+    )
+    view = look_at_rh(eye, scene_center, up)
+    r = scene_radius
+    proj = vulkan_y_flip(orthographic_rh(-r, r, -r, r, 0.1, 4.0 * r))
+    return proj @ view

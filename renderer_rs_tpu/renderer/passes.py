@@ -1,0 +1,339 @@
+"""Render passes: the reference's shader pipeline as fused array passes.
+
+Pass order follows the reference shader progression (SURVEY.md §7 step 6):
+vertex MVP+TBN (vertex/model.hlsl) -> rasterize -> fragment shading
+(pixel/triangle | model_full Blinn-Phong | model_pbr | model_pbr_ibl) with
+sun shadow (shadow.hlsli PCF) -> skybox composite -> tonemap.
+
+Everything here is traced into ONE XLA program per (layout, pipeline,
+shading, resolution) — passes "compose" by fusion, with no host round-trips
+between them (the reference needs pipeline barriers; XLA dataflow replaces
+them, SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Any
+
+import jax.numpy as jnp
+from flax import struct
+
+from renderer_rs_tpu.mathx.vec import normalize
+from renderer_rs_tpu.ops import blinn_phong as bp
+from renderer_rs_tpu.ops import pbr as pbr_ops
+from renderer_rs_tpu.ops.raster import (
+    gather_triangle_clip,
+    interpolate,
+    perspective_bary,
+    rasterize,
+    rasterize_depth_only,
+    setup_triangles,
+)
+from renderer_rs_tpu.ops.shadow import ShadowParams, calculate_shadow
+from renderer_rs_tpu.ops.skybox import skybox_pass
+from renderer_rs_tpu.ops.tonemap import apply_tonemap
+from renderer_rs_tpu.rhi.pipeline import GraphicsPipeline, GraphicsPipelineBuilder
+from renderer_rs_tpu.renderer.scene_build import GpuScene, SceneLayout
+
+
+class ShadingModel(enum.Enum):
+    """Which fragment shader family the frame uses (static jit key)."""
+
+    FLAT = "flat"  # pixel/triangle.hlsl: interpolated vertex color
+    BLINN_PHONG = "blinn_phong"  # pixel/model_full.hlsl
+    PBR = "pbr"  # pixel/model_pbr.hlsl (hemisphere ambient)
+    PBR_IBL = "pbr_ibl"  # pixel/model_pbr_ibl.hlsl (split-sum IBL ambient)
+
+
+@struct.dataclass
+class VertexStageOut:
+    """Per-vertex outputs of the vertex stage (≙ VSOutput, vertex/model.hlsl)."""
+
+    clip: Any  # [V,4]
+    world_pos: Any  # [V,3]
+    world_normal: Any  # [V,3]
+    world_tangent: Any  # [V,4] (xyz transformed, w passthrough)
+
+
+def vertex_stage(scene: GpuScene, layout: SceneLayout) -> VertexStageOut:
+    """Batched MVP + normal/tangent transform (≙ vertex/model.hlsl:36-68).
+
+    One [Nv,4]x[4,4] MXU matmul per object, unrolled over the static layout
+    (the trace-time draw loop). Tangent is transformed by the model matrix
+    and Gram-Schmidt re-orthogonalized per pixel later (model.hlsl:49-52 does
+    it per vertex; we keep per-vertex for parity).
+    """
+    vp = scene.camera.view_projection
+    clips, worlds, normals, tangents = [], [], [], []
+    for o, (v0, nv, _, _) in enumerate(layout.object_ranges):
+        pos = scene.positions[v0 : v0 + nv]
+        nrm = scene.normals[v0 : v0 + nv]
+        tan = scene.tangents[v0 : v0 + nv]
+        model = scene.models[o]
+        nmat = scene.normal_mats[o]
+        homo = jnp.concatenate([pos, jnp.ones((nv, 1), pos.dtype)], axis=-1)
+        world4 = homo @ model.T  # [Nv,4]
+        world = world4[:, :3]
+        clip = world4 @ vp.T  # viewProjection * world (model.hlsl:41-45)
+        n = normalize(nrm @ nmat[:3, :3].T)  # normalMatrix3x3 (model.hlsl:48)
+        t_xyz = tan[:, :3] @ model[:3, :3].T  # model3x3 * tangent (model.hlsl:49)
+        # Gram-Schmidt re-orthogonalize (model.hlsl:50-52)
+        t_xyz = normalize(t_xyz - n * jnp.sum(t_xyz * n, axis=-1, keepdims=True))
+        clips.append(clip)
+        worlds.append(world)
+        normals.append(n)
+        tangents.append(jnp.concatenate([t_xyz, tan[:, 3:4]], axis=-1))
+    return VertexStageOut(
+        clip=jnp.concatenate(clips),
+        world_pos=jnp.concatenate(worlds),
+        world_normal=jnp.concatenate(normals),
+        world_tangent=jnp.concatenate(tangents),
+    )
+
+
+def shadow_vertex_stage(scene: GpuScene, layout: SceneLayout) -> jnp.ndarray:
+    """Light-space positions (≙ vertex/shadow.hlsl:22-33:
+    lightSpaceMatrix * model * pos)."""
+    clips = []
+    for o, (v0, nv, _, _) in enumerate(layout.object_ranges):
+        pos = scene.positions[v0 : v0 + nv]
+        m = scene.light_space_matrix @ scene.models[o]
+        homo = jnp.concatenate([pos, jnp.ones((nv, 1), pos.dtype)], axis=-1)
+        clips.append(homo @ m.T)
+    return jnp.concatenate(clips)
+
+
+_SHADOW_PIPELINE = (
+    GraphicsPipelineBuilder().build()  # depth LESS, cull back — standard shadow raster
+)
+
+
+def shadow_map_pass(scene: GpuScene, layout: SceneLayout, size: int) -> jnp.ndarray:
+    """Depth-only sun shadow render (≙ the shadow pass, depth-only pipeline)."""
+    clip = shadow_vertex_stage(scene, layout)
+    setup = setup_triangles(
+        gather_triangle_clip(clip, scene.tris), size, size, _SHADOW_PIPELINE
+    )
+    return rasterize_depth_only(setup, size, size, _SHADOW_PIPELINE)
+
+
+def _shade_pixels(
+    scene: GpuScene,
+    layout: SceneLayout,
+    shading: ShadingModel,
+    vis,
+    vs: VertexStageOut,
+    bary3: jnp.ndarray,
+    shadow_map: jnp.ndarray | None,
+    shadow_params: ShadowParams,
+) -> jnp.ndarray:
+    """The fragment stage over the visibility buffer. Returns linear HDR
+    [H,W,4] (misses contain garbage; caller composites by coverage)."""
+    tris = scene.tris
+    if shading == ShadingModel.FLAT:
+        rgb = interpolate(vis, tris, scene.colors, bary3)
+        return jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)
+
+    # --- G-buffer interpolation (varyings of pixel/model_pbr.hlsl) ----------
+    world_pos = interpolate(vis, tris, vs.world_pos, bary3)
+    normal = normalize(interpolate(vis, tris, vs.world_normal, bary3))
+    uv = interpolate(vis, tris, scene.uvs, bary3)
+
+    # per-pixel material params via bank gather
+    tid = jnp.maximum(vis.tri_id, 0)
+    mat_id = scene.tri_material[tid]  # [H,W]
+    mats = scene.materials
+    base_color = mats.base_color[mat_id]  # [H,W,4]
+    metallic = mats.metallic[mat_id]
+    roughness = mats.roughness[mat_id]
+    ao = mats.ao[mat_id]
+    emissive = mats.emissive[mat_id][..., :3]
+    tex_ids = mats.tex_ids[mat_id]  # [H,W,5]
+
+    # --- texture fetches (model_pbr.hlsl:205-245, has-flags as selects) ------
+    if layout.has_textures and scene.textures is not None:
+        from renderer_rs_tpu.ops.sampling import sample_array_textured
+
+        mips = scene.textures.mips
+
+        def fetch(slot):
+            t = tex_ids[..., slot]
+            s = sample_array_textured(mips, t, uv)
+            return s, (t >= 0)[..., None]
+
+        # Unused slots are statically skipped (layout.texture_slots), so a
+        # scene with only a base-color map traces one sampler, not five.
+        if layout.texture_slots[0]:
+            bc_s, bc_has = fetch(0)
+            base_color = jnp.where(bc_has, base_color * bc_s, base_color)
+
+        if layout.texture_slots[1]:
+            nrm_s, nrm_has = fetch(1)
+            # TBN normal mapping (model_pbr.hlsl:168-197)
+            t4 = interpolate(vis, tris, vs.world_tangent, bary3)
+            t3 = normalize(t4[..., :3])
+            b3 = jnp.cross(normal, t3) * t4[..., 3:4]  # bitangent w/ handedness
+            n_ts = nrm_s[..., :3] * 2.0 - 1.0
+            ns = mats.normal_scale[mat_id][..., None]
+            n_ts = jnp.concatenate([n_ts[..., :2] * ns, n_ts[..., 2:3]], axis=-1)
+            mapped = normalize(
+                t3 * n_ts[..., 0:1] + b3 * n_ts[..., 1:2] + normal * n_ts[..., 2:3]
+            )
+            normal = jnp.where(nrm_has, mapped, normal)
+
+        if layout.texture_slots[2]:
+            mr_s, mr_has = fetch(2)
+            # glTF: G=roughness, B=metallic
+            metallic = jnp.where(mr_has[..., 0], metallic * mr_s[..., 2], metallic)
+            roughness = jnp.where(mr_has[..., 0], roughness * mr_s[..., 1], roughness)
+
+        if layout.texture_slots[3]:
+            ao_s, ao_has = fetch(3)
+            ao = jnp.where(ao_has[..., 0], ao * ao_s[..., 0], ao)
+
+        if layout.texture_slots[4]:
+            em_s, em_has = fetch(4)
+            emissive = jnp.where(em_has, emissive * em_s[..., :3], emissive)
+
+    albedo = base_color[..., :3]
+    view_dir = normalize(scene.camera.camera_position - world_pos)
+    lights = scene.lights
+
+    # --- sun shadow factor (shadow.hlsli) ------------------------------------
+    sun_dir = normalize(-lights.sun_direction)  # surface -> light
+    if layout.has_shadow and shadow_map is not None:
+        shadow = calculate_shadow(
+            shadow_map,
+            scene.light_space_matrix,
+            world_pos,
+            normal,
+            jnp.broadcast_to(sun_dir, world_pos.shape),
+            shadow_params,
+        )[..., None]
+    else:
+        shadow = 1.0
+
+    if shading == ShadingModel.BLINN_PHONG:
+        # pixel/model_full.hlsl: sun + point/spot loops + ambient
+        lo = shadow * bp.directional_light(
+            lights.sun_direction, lights.sun_color, lights.sun_intensity,
+            normal, view_dir, albedo, roughness,
+        )
+        for i in range(lights.point_position.shape[0]):
+            mask = (i < lights.num_point).astype(jnp.float32)
+            lo = lo + mask * bp.point_light(
+                lights.point_position[i], lights.point_radius[i],
+                lights.point_color[i], lights.point_intensity[i],
+                world_pos, normal, view_dir, albedo, roughness,
+            )
+        for i in range(lights.spot_position.shape[0]):
+            mask = (i < lights.num_spot).astype(jnp.float32)
+            lo = lo + mask * bp.spot_light(
+                lights.spot_position[i], lights.spot_direction[i],
+                lights.spot_color[i], lights.spot_intensity[i],
+                lights.spot_inner[i], lights.spot_outer[i],
+                world_pos, normal, view_dir, albedo, roughness,
+            )
+        ambient = scene.scene_ubo.ambient_color * albedo * ao[..., None]
+        rgb = ambient + lo + emissive
+    else:
+        # Cook-Torrance direct (pixel/model_pbr.hlsl:278-345)
+        mat = pbr_ops.PBRMaterialParams(
+            albedo=albedo,
+            metallic=metallic,
+            roughness=pbr_ops.clamp_roughness(roughness),
+            ao=ao,
+            emissive=emissive,
+        )
+        sun_radiance = lights.sun_color * lights.sun_intensity
+        lo = shadow * pbr_ops.pbr_direct(
+            normal, view_dir, jnp.broadcast_to(sun_dir, world_pos.shape),
+            sun_radiance, mat,
+        )
+        for i in range(lights.point_position.shape[0]):
+            mask = (i < lights.num_point).astype(jnp.float32)
+            lvec = lights.point_position[i] - world_pos
+            dist = jnp.sqrt(jnp.maximum(jnp.sum(lvec * lvec, -1, keepdims=True), 1e-12))
+            ldir = lvec / dist
+            att = bp.calculate_attenuation(dist[..., 0], lights.point_radius[i])
+            radiance = lights.point_color[i] * lights.point_intensity[i] * att[..., None]
+            lo = lo + mask * pbr_ops.pbr_direct(normal, view_dir, ldir, radiance, mat)
+        for i in range(lights.spot_position.shape[0]):
+            mask = (i < lights.num_spot).astype(jnp.float32)
+            lvec = lights.spot_position[i] - world_pos
+            dist = jnp.sqrt(jnp.maximum(jnp.sum(lvec * lvec, -1, keepdims=True), 1e-12))
+            ldir = lvec / dist
+            att = bp.calculate_attenuation(dist[..., 0], 50.0) * bp.calculate_spot_attenuation(
+                ldir, normalize(lights.spot_direction[i]),
+                lights.spot_inner[i], lights.spot_outer[i],
+            )
+            radiance = lights.spot_color[i] * lights.spot_intensity[i] * att[..., None]
+            lo = lo + mask * pbr_ops.pbr_direct(normal, view_dir, ldir, radiance, mat)
+
+        if (
+            shading == ShadingModel.PBR_IBL
+            and layout.has_environment
+            and scene.environment is not None
+            and scene.environment.irradiance_mips is not None
+        ):
+            r = jnp.asarray(
+                view_dir - 2.0 * jnp.sum(view_dir * normal, -1, keepdims=True) * normal
+            )
+            r = -r  # reflect(-V, N)
+            ambient = pbr_ops.calculate_ibl(
+                normal, view_dir, r, mat,
+                scene.environment.irradiance_mips,
+                scene.environment.prefiltered_mips,
+                scene.environment.brdf_lut,
+            )
+        else:
+            # hemisphere fallback (model_pbr.hlsl ambient, pbr.hlsli:480-490)
+            ambient = pbr_ops.hemisphere_ambient(normal, albedo, ao)
+        rgb = ambient + lo + emissive
+
+    return jnp.concatenate([rgb, base_color[..., 3:4]], axis=-1)
+
+
+def forward_frame(
+    scene: GpuScene,
+    layout: SceneLayout,
+    pipeline: GraphicsPipeline,
+    shading: ShadingModel,
+    width: int,
+    height: int,
+    clear_color: tuple[float, float, float, float] = (0.1, 0.1, 0.15, 1.0),
+    tonemap: str = "none",
+    shadow_map_size: int = 1024,
+    shadow_params: ShadowParams = ShadowParams(),
+) -> jnp.ndarray:
+    """The full frame: ≙ record_commands + queue_submit fused
+    (renderer.rs:452-557). Returns linear [H,W,4] ready for sRGB encode.
+    """
+    shadow_map = (
+        shadow_map_pass(scene, layout, shadow_map_size) if layout.has_shadow else None
+    )
+
+    vs = vertex_stage(scene, layout)
+    setup = setup_triangles(
+        gather_triangle_clip(vs.clip, scene.tris), width, height, pipeline
+    )
+    vis = rasterize(setup, height, width, pipeline)
+    bary3 = perspective_bary(vis, setup)
+
+    color = _shade_pixels(
+        scene, layout, shading, vis, vs, bary3, shadow_map, shadow_params
+    )
+
+    bg = jnp.broadcast_to(
+        jnp.asarray(clear_color, jnp.float32), (height, width, 4)
+    )
+    out = jnp.where(vis.covered[..., None], color, bg)
+
+    if layout.has_environment and scene.environment is not None:
+        inv_vp = jnp.linalg.inv(scene.camera.view_projection)
+        out = skybox_pass(out, vis.depth, inv_vp, scene.environment.skybox_mips[0])
+
+    if tonemap != "none":
+        out = apply_tonemap(out, tonemap)
+    return out

@@ -1,0 +1,194 @@
+"""Renderer: top-level orchestration (≙ crates/renderer/src/renderer.rs).
+
+Owns the Device, the compiled frame-function specializations (≙ pipelines),
+the FrameManager (frames in flight), and the present surface. The per-frame
+hot path (renderer.rs:367-449) collapses to:
+
+    render_frame(): update UBO pytree -> jitted frame fn (async) ->
+                    bounded queue -> readback -> surface.present
+
+Resize keeps the reference's *deferred* semantics (renderer.rs:265-353):
+a resize flag re-specializes the frame function at the next render_frame —
+re-jit ≙ swapchain + pipeline recreation; there are no semaphores to heal.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+
+import jax
+import numpy as np
+
+from renderer_rs_tpu.core.config import RendererConfig
+from renderer_rs_tpu.ops.shadow import ShadowParams
+from renderer_rs_tpu.platform.window import Window
+from renderer_rs_tpu.renderer.frame_manager import FrameManager
+from renderer_rs_tpu.renderer.passes import ShadingModel, forward_frame
+from renderer_rs_tpu.renderer.scene_build import GpuScene, SceneLayout
+from renderer_rs_tpu.resources.ubo import CameraUbo
+from renderer_rs_tpu.rhi.device import Device
+from renderer_rs_tpu.rhi.pipeline import GraphicsPipeline, GraphicsPipelineBuilder
+from renderer_rs_tpu.scene.camera import Camera
+from renderer_rs_tpu.utils.image_io import framebuffer_to_u8
+
+log = logging.getLogger("renderer_rs_tpu.renderer")
+
+# Clear color of the reference's Phase-1 frame (renderer.rs:479-501).
+DEFAULT_CLEAR = (0.1, 0.1, 0.15, 1.0)
+
+
+class Renderer:
+    """≙ renderer::Renderer (renderer.rs:98-683)."""
+
+    def __init__(
+        self,
+        window: Window,
+        config: RendererConfig | None = None,
+        pipeline: GraphicsPipeline | None = None,
+        shading: ShadingModel = ShadingModel.PBR,
+        clear_color: tuple = DEFAULT_CLEAR,
+        tonemap: str = "none",
+        shadow_map_size: int = 1024,
+        shadow_params: ShadowParams = ShadowParams(),
+    ) -> None:
+        self.window = window
+        self.config = (config or RendererConfig()).with_size(window.width, window.height)
+        self.device = Device(self.config.backend)
+        self.surface = window.create_surface()
+        self.pipeline = pipeline or GraphicsPipelineBuilder().build()
+        self.shading = shading
+        self.clear_color = tuple(clear_color)
+        self.tonemap = tonemap
+        self.shadow_map_size = shadow_map_size
+        self.shadow_params = shadow_params
+        self.frame_manager = FrameManager(self.config.frames_in_flight)
+        self._scene: GpuScene | None = None
+        self._layout: SceneLayout | None = None
+        self._framebuffer_resized = False
+        self._frame_fn = None  # compiled specialization (≙ the pipeline object)
+        self.last_frame: np.ndarray | None = None
+        log.info(
+            "renderer created: %dx%d on %s",
+            self.config.width,
+            self.config.height,
+            self.device.platform,
+        )
+
+    # --- scene ---------------------------------------------------------------
+    def set_scene(self, scene: GpuScene, layout: SceneLayout) -> None:
+        """Bind the scene. A new layout re-specializes the frame function
+        (≙ building pipelines for a new vertex/descriptor layout)."""
+        if layout != self._layout:
+            self._frame_fn = None
+        self._scene = scene
+        self._layout = layout
+
+    def update_camera(self, camera: Camera) -> None:
+        """Refresh the camera UBO from a scene Camera (≙ CameraUbo update)."""
+        if self._scene is None:
+            raise RuntimeError("no scene bound")
+        self._scene = self._scene.replace(
+            camera=CameraUbo.create(
+                camera.view_matrix(), camera.projection_matrix(), camera.position
+            )
+        )
+
+    def update_scene(self, scene: GpuScene) -> None:
+        """Swap dynamic scene state (same layout: no recompile)."""
+        self._scene = scene
+
+    # --- resize (≙ renderer.rs:265-353) ---------------------------------------
+    def resize(self, width: int, height: int) -> None:
+        """Deferred: takes effect at the next render_frame."""
+        self.window.resize(width, height)
+        self._framebuffer_resized = True
+
+    def _recreate_if_needed(self) -> None:
+        if not self._framebuffer_resized:
+            return
+        # ≙ wait_for_all_frames before swapchain recreate (renderer.rs:286-296)
+        self.frame_manager.wait_for_all_frames()
+        self.config = self.config.with_size(self.window.width, self.window.height)
+        self._frame_fn = None  # re-jit for the new extent
+        self._framebuffer_resized = False
+        log.debug("framebuffer recreated: %dx%d", self.config.width, self.config.height)
+
+    # --- frame function --------------------------------------------------------
+    def _build_frame_fn(self):
+        """Compile the frame specialization (≙ vkCreateGraphicsPipelines:
+        the expensive driver compile happens once, SURVEY.md §3.1)."""
+        layout = self._layout
+        pipeline = self.pipeline
+        shading = self.shading
+        width, height = self.config.width, self.config.height
+        clear = self.clear_color
+        tonemap = self.tonemap
+        sm_size = self.shadow_map_size
+        sp = self.shadow_params
+
+        @jax.jit
+        def frame(scene: GpuScene):
+            return forward_frame(
+                scene,
+                layout,
+                pipeline,
+                shading,
+                width,
+                height,
+                clear_color=clear,
+                tonemap=tonemap,
+                shadow_map_size=sm_size,
+                shadow_params=sp,
+            )
+
+        t0 = time.perf_counter()
+        lowered = frame.lower(self._scene)
+        compiled = lowered.compile()
+        log.info(
+            "frame function compiled in %.2fs (%dx%d, %s, %d objects, %d tris)",
+            time.perf_counter() - t0,
+            width,
+            height,
+            shading.value,
+            layout.num_objects,
+            layout.num_triangles,
+        )
+        return compiled
+
+    # --- hot path (≙ render_frame, renderer.rs:367-449) -------------------------
+    def render_frame(self, present: bool = True) -> np.ndarray | None:
+        """Render one frame; returns the presented uint8 image (or None while
+        the pipeline is still filling)."""
+        if self._scene is None or self._layout is None:
+            raise RuntimeError("no scene bound — call set_scene first")
+        self._recreate_if_needed()
+        if self._frame_fn is None:
+            self._frame_fn = self._build_frame_fn()
+
+        # submit (async enqueue; blocks only when 2 frames are in flight)
+        self.frame_manager.submit(self._frame_fn, self._scene)
+
+        if not present:
+            return None
+        # present the oldest finished frame: device->host readback + sRGB encode
+        fb = self.frame_manager.present_oldest()
+        if fb is None:
+            return None
+        u8 = framebuffer_to_u8(fb)
+        self.surface.present(u8)
+        self.last_frame = u8
+        return u8
+
+    def render_frame_hdr(self):
+        """Synchronous single frame, returning the linear device array
+        (bench/golden path; no sRGB encode, no surface)."""
+        if self._frame_fn is None:
+            self._frame_fn = self._build_frame_fn()
+        return self._frame_fn(self._scene)
+
+    def wait_idle(self) -> None:
+        """≙ device.wait_idle on drop (renderer.rs:635-683)."""
+        self.frame_manager.wait_for_all_frames()
+        self.device.wait_idle()

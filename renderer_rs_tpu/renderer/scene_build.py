@@ -1,0 +1,269 @@
+"""Scene building: host-side assembly of the device scene pytree.
+
+The reference binds per-object descriptor sets and issues one draw per mesh
+(the per-draw hot loop, renderer.rs:535-538). TPU-first, all meshes are
+concatenated into single SoA vertex/index buffers at build time, with
+
+- a static `SceneLayout` (hashable: per-object vertex ranges) that the
+  vertex stage unrolls into one MXU matmul per object, and
+- per-triangle material ids resolved at shading time via bank gathers.
+
+So "N draw calls" becomes "N static slices inside one jitted program" — the
+draw loop exists at trace time only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from renderer_rs_tpu.resources.material import Material, MaterialBank
+from renderer_rs_tpu.resources.model import Mesh, Model
+from renderer_rs_tpu.resources.ubo import CameraUbo, SceneUbo
+from renderer_rs_tpu.scene.light import LightBank
+from renderer_rs_tpu.scene.transform import Transform
+
+
+@struct.dataclass
+class TextureArrays:
+    """All scene textures resized to one [N,S,S,4] array per mip level, so a
+    per-pixel texture id can gather without dynamic shapes. tex id -1 = none."""
+
+    mips: Any  # tuple of [N,H,W,4] f32
+
+
+@struct.dataclass
+class Environment:
+    """Skybox + IBL maps (wired by the full-frame config)."""
+
+    skybox_mips: Any  # CubeMap.mips tuple of [6,H,W,C]
+    irradiance_mips: Any | None = None
+    prefiltered_mips: Any | None = None
+    brdf_lut: Any | None = None
+
+
+@struct.dataclass
+class GpuScene:
+    """The dynamic pytree the jitted frame function consumes.
+
+    ≙ the sum of all bound descriptor sets + vertex/index buffers + push
+    constants of a reference frame.
+    """
+
+    # concatenated geometry (SoA, ≙ rhi::Vertex streams vertex.rs:88-170)
+    positions: Any  # [V,3]
+    normals: Any  # [V,3]
+    uvs: Any  # [V,2]
+    tangents: Any  # [V,4]
+    colors: Any  # [V,3] vertex colors (TriangleVertex path)
+    tris: Any  # [T,3] int32 (object-local indices already globalized)
+    tri_material: Any  # [T] int32
+    # per-object transforms (≙ ObjectUbo bank)
+    models: Any  # [O,4,4]
+    normal_mats: Any  # [O,4,4]
+    # banks + UBOs
+    materials: MaterialBank
+    lights: LightBank
+    camera: CameraUbo
+    scene_ubo: SceneUbo
+    # optional features (None = feature off; presence is a static property)
+    textures: TextureArrays | None = None
+    environment: Environment | None = None
+    light_space_matrix: Any | None = None  # [4,4] sun shadow matrix
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneLayout:
+    """Static (hashable) companion of GpuScene: jit specialization key.
+
+    object_ranges: per-object (vertex_start, vertex_count, tri_start,
+    tri_count) — the unrolled "draw list".
+    """
+
+    object_ranges: tuple[tuple[int, int, int, int], ...]
+    num_vertices: int
+    num_triangles: int
+    has_textures: bool = False
+    has_environment: bool = False
+    has_shadow: bool = False
+    # which of the 5 texture slots (base/normal/mr/ao/emissive) any material
+    # actually uses — unused slots are never traced (the static form of the
+    # hasXTexture flags, model_pbr.hlsl:57-63)
+    texture_slots: tuple[bool, bool, bool, bool, bool] = (False,) * 5
+
+    @property
+    def num_objects(self) -> int:
+        return len(self.object_ranges)
+
+
+class SceneBuilder:
+    """Host-side scene assembly (≙ the app building its draw list)."""
+
+    def __init__(self) -> None:
+        self._meshes: list[tuple[Mesh, Transform, int]] = []
+        self._materials: list[Material] = []
+        self._lights: LightBank | None = None
+        self._camera: CameraUbo | None = None
+        self._scene_ubo: SceneUbo | None = None
+        self._textures: TextureArrays | None = None
+        self._environment: Environment | None = None
+        self._light_space_matrix = None
+
+    # --- geometry -----------------------------------------------------------
+    def add_mesh(
+        self,
+        mesh: Mesh,
+        transform: Transform | None = None,
+        material: Material | int | None = None,
+    ) -> "SceneBuilder":
+        if isinstance(material, Material) or material is None:
+            self._materials.append(material or Material())
+            mat_idx = len(self._materials) - 1
+        else:
+            mat_idx = material
+        self._meshes.append((mesh, transform or Transform(), mat_idx))
+        return self
+
+    def add_model(self, model: Model, transform: Transform | None = None) -> "SceneBuilder":
+        """Add every mesh of a glTF model, keeping its material table."""
+        base = len(self._materials)
+        self._materials.extend(model.materials or [Material()])
+        for mesh in model.meshes:
+            mi = mesh.material_index
+            mat_idx = base + (mi if mi is not None else 0)
+            self._meshes.append((mesh, transform or Transform(), mat_idx))
+        return self
+
+    # --- state ----------------------------------------------------------------
+    def set_lights(self, lights: LightBank) -> "SceneBuilder":
+        self._lights = lights
+        return self
+
+    def set_camera(self, camera_ubo: CameraUbo) -> "SceneBuilder":
+        self._camera = camera_ubo
+        return self
+
+    def set_scene_ubo(self, ubo: SceneUbo) -> "SceneBuilder":
+        self._scene_ubo = ubo
+        return self
+
+    def set_textures(self, images: Sequence[np.ndarray], size: int = 256) -> "SceneBuilder":
+        """Build the texture array: all images resized to size×size RGBA."""
+        from renderer_rs_tpu.resources.texture import build_mip_pyramid
+
+        arrs = []
+        for img in images:
+            img = np.asarray(img, np.float32)
+            if img.ndim == 2:
+                img = img[..., None]
+            if img.shape[-1] == 3:
+                img = np.concatenate([img, np.ones_like(img[..., :1])], -1)
+            elif img.shape[-1] == 1:
+                img = np.concatenate([img] * 3 + [np.ones_like(img)], -1)
+            if img.shape[0] != size or img.shape[1] != size:
+                img = _resize_bilinear(img, size, size)
+            arrs.append(img)
+        stack = jnp.asarray(np.stack(arrs))  # [N,S,S,4]
+        # per-level mips of the whole array
+        mips = [stack]
+        while mips[-1].shape[1] > 1:
+            lvl = mips[-1]
+            h, w = lvl.shape[1] & ~1, lvl.shape[2] & ~1
+            lvl = lvl[:, :h, :w]
+            mips.append(
+                (lvl[:, 0::2, 0::2] + lvl[:, 1::2, 0::2] + lvl[:, 0::2, 1::2] + lvl[:, 1::2, 1::2])
+                * 0.25
+            )
+        self._textures = TextureArrays(mips=tuple(mips))
+        return self
+
+    def set_environment(self, env: Environment) -> "SceneBuilder":
+        self._environment = env
+        return self
+
+    def set_shadow_matrix(self, light_space_matrix) -> "SceneBuilder":
+        self._light_space_matrix = jnp.asarray(light_space_matrix, jnp.float32)
+        return self
+
+    # --- build -------------------------------------------------------------------
+    def build(self) -> tuple[GpuScene, SceneLayout]:
+        if not self._meshes:
+            raise ValueError("scene has no meshes")
+        pos_l, nrm_l, uv_l, tan_l, col_l, tri_l, tmat_l = [], [], [], [], [], [], []
+        models, normal_mats, ranges = [], [], []
+        v_off = 0
+        t_off = 0
+        for mesh, transform, mat_idx in self._meshes:
+            n = mesh.vertex_count
+            t = mesh.triangle_count
+            pos_l.append(mesh.positions)
+            nrm_l.append(mesh.normals)
+            uv_l.append(mesh.tex_coords)
+            tan_l.append(mesh.tangents)
+            col = getattr(mesh, "colors", None)
+            col_l.append(
+                col if col is not None else np.ones((n, 3), np.float32)
+            )
+            tri_l.append(mesh.indices.reshape(-1, 3).astype(np.int32) + v_off)
+            tmat_l.append(np.full(t, mat_idx, np.int32))
+            models.append(np.asarray(transform.world_matrix()))
+            normal_mats.append(np.asarray(transform.normal_matrix()))
+            ranges.append((v_off, n, t_off, t))
+            v_off += n
+            t_off += t
+
+        scene = GpuScene(
+            positions=jnp.asarray(np.concatenate(pos_l)),
+            normals=jnp.asarray(np.concatenate(nrm_l)),
+            uvs=jnp.asarray(np.concatenate(uv_l)),
+            tangents=jnp.asarray(np.concatenate(tan_l)),
+            colors=jnp.asarray(np.concatenate(col_l)),
+            tris=jnp.asarray(np.concatenate(tri_l)),
+            tri_material=jnp.asarray(np.concatenate(tmat_l)),
+            models=jnp.asarray(np.stack(models)),
+            normal_mats=jnp.asarray(np.stack(normal_mats)),
+            materials=MaterialBank.create(self._materials),
+            lights=self._lights or LightBank.create(),
+            camera=self._camera
+            or CameraUbo.create(jnp.eye(4), jnp.eye(4), jnp.zeros(3)),
+            scene_ubo=self._scene_ubo or SceneUbo.create(),
+            textures=self._textures,
+            environment=self._environment,
+            light_space_matrix=self._light_space_matrix,
+        )
+        slot_used = tuple(
+            any(
+                getattr(m, attr) >= 0
+                for m in self._materials
+            )
+            for attr in (
+                "base_color_texture",
+                "normal_texture",
+                "metallic_roughness_texture",
+                "occlusion_texture",
+                "emissive_texture",
+            )
+        )
+        layout = SceneLayout(
+            object_ranges=tuple(ranges),
+            num_vertices=v_off,
+            num_triangles=t_off,
+            has_textures=self._textures is not None,
+            has_environment=self._environment is not None,
+            has_shadow=self._light_space_matrix is not None,
+            texture_slots=slot_used if self._textures is not None else (False,) * 5,
+        )
+        return scene, layout
+
+
+def _resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Host-side bilinear resize (texture array normalization)."""
+    import jax
+
+    return np.asarray(
+        jax.image.resize(jnp.asarray(img), (h, w, img.shape[-1]), "bilinear")
+    )

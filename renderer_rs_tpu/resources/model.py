@@ -45,6 +45,8 @@ class Mesh:
     tangents: np.ndarray  # [N,4] f32 (w = handedness)
     indices: np.ndarray  # [M] u32 (triangle list)
     material_index: int | None = None
+    # optional per-vertex colors (TriangleVertex path, rhi vertex.rs:20-62)
+    colors: np.ndarray | None = None
 
     @property
     def vertex_count(self) -> int:

@@ -53,6 +53,13 @@ class Device:
     """
 
     def __init__(self, backend: str | None = None) -> None:
+        if backend:
+            # Make the request authoritative: site hooks (the axon TPU
+            # tunnel) may have registered a higher-priority backend.
+            try:
+                jax.config.update("jax_platforms", backend)
+            except RuntimeError:
+                pass  # backends already initialized; jax.devices(backend) below
         try:
             self.devices = list(jax.devices(backend) if backend else jax.devices())
         except RuntimeError as e:  # backend not present

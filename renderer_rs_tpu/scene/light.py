@@ -117,12 +117,16 @@ class LightBank:
         sun: DirectionalLight | None = None,
         points: list[PointLight] | None = None,
         spots: list[SpotLight] | None = None,
-        max_point: int = 8,
-        max_spot: int = 4,
+        max_point: int | None = None,
+        max_spot: int | None = None,
     ) -> "LightBank":
+        """Bank sizes default to the actual light counts; pass larger maxes
+        to reserve headroom for dynamic add/remove without re-jit."""
         sun = sun or DirectionalLight.create()
         points = points or []
         spots = spots or []
+        max_point = len(points) if max_point is None else max_point
+        max_spot = len(spots) if max_spot is None else max_spot
         if len(points) > max_point or len(spots) > max_spot:
             raise ValueError("too many lights for the configured bank size")
 

@@ -9,11 +9,19 @@ a host-platform virtual mesh (SURVEY.md §4.2).
 import os
 
 # Must be set before jax import: 8 virtual CPU devices for sharding tests.
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set (not setdefault): the machine profile exports JAX_PLATFORMS=axon
+# (the TPU tunnel), and running unit tests over the tunnel is both slow and
+# wrong for the virtual-mesh sharding tests.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+# The machine's sitecustomize registers the axon (TPU-tunnel) backend and
+# overrides jax_platforms; force CPU explicitly AFTER import.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: the build box has a single CPU core, so XLA

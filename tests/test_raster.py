@@ -164,9 +164,10 @@ def test_depth_test_less():
 
 
 def test_backface_culling():
-    """The Hello Triangle winding is back-facing per Vulkan signed area: with
-    default cull Back + front CCW it disappears (why renderer.rs:235 sets
-    CullMode::None)."""
+    """Vulkan facing rule: a = -(1/2)·shoelace in framebuffer coords, CCW
+    front ⇔ a > 0. The Hello Triangle (top, bottom-left, bottom-right) is
+    front-facing: it survives the default cull-Back pipeline; its flipped
+    winding is culled; under a CLOCKWISE front-face it is culled too."""
     clip = _clip_passthrough(TRI_POS)
     pipe_cull = (
         GraphicsPipelineBuilder()
@@ -177,17 +178,18 @@ def test_backface_culling():
     )
     setup = setup_triangles(gather_triangle_clip(clip, TRIS), 64, 64, pipe_cull)
     vis = rasterize(setup, 64, 64, pipe_cull)
-    assert np.asarray(vis.covered).sum() == 0
+    front_cov = np.asarray(vis.covered).sum()
+    assert front_cov > 0
 
-    # flip winding -> front-facing -> renders
+    # flipped winding -> back-facing -> culled
     tris_flipped = jnp.array([[0, 2, 1]], jnp.int32)
     setup2 = setup_triangles(
         gather_triangle_clip(clip, tris_flipped), 64, 64, pipe_cull
     )
     vis2 = rasterize(setup2, 64, 64, pipe_cull)
-    assert np.asarray(vis2.covered).sum() > 0
+    assert np.asarray(vis2.covered).sum() == 0
 
-    # or declare clockwise front face
+    # CLOCKWISE front face inverts the decision
     pipe_cw = (
         GraphicsPipelineBuilder()
         .front_face(FrontFace.CLOCKWISE)
@@ -198,7 +200,13 @@ def test_backface_culling():
     )
     setup3 = setup_triangles(gather_triangle_clip(clip, TRIS), 64, 64, pipe_cw)
     vis3 = rasterize(setup3, 64, 64, pipe_cw)
-    assert np.asarray(vis3.covered).sum() == np.asarray(vis2.covered).sum()
+    assert np.asarray(vis3.covered).sum() == 0
+    # and accepts the flipped winding
+    setup4 = setup_triangles(
+        gather_triangle_clip(clip, tris_flipped), 64, 64, pipe_cw
+    )
+    vis4 = rasterize(setup4, 64, 64, pipe_cw)
+    assert np.asarray(vis4.covered).sum() == front_cov
 
 
 def test_near_plane_triangle_dropped():
