@@ -129,10 +129,17 @@ def setup_triangles(
     return TriangleSetup(xy=xy, z=z, w=w_clip, area2=area2, valid=valid)
 
 
-def _pixel_centers(height: int, width: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Framebuffer-space pixel centers px[H,W], py[H,W]."""
-    py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5
-    px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5
+def _pixel_centers(
+    height: int, width: int, y_offset=0, x_offset=0
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Framebuffer-space pixel centers px[H,W], py[H,W].
+
+    Offsets render a band/tile of a larger framebuffer (the multi-chip
+    row-sharding path, SURVEY.md §2.9: SP/CP analog over screen tiles) —
+    offsets may be traced values (e.g. derived from a mesh axis index).
+    """
+    py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5 + y_offset
+    px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5 + x_offset
     return px, py
 
 
@@ -247,6 +254,8 @@ def rasterize(
     pipeline: GraphicsPipeline,
     depth_init: jnp.ndarray | None = None,
     coverage_fn: Callable[..., jnp.ndarray] | None = None,
+    y_offset=0,
+    x_offset=0,
 ) -> VisibilityBuffer:
     """Rasterize all triangles into a visibility buffer.
 
@@ -256,8 +265,10 @@ def rasterize(
     depth_init: [H,W] starting depth (DepthAttachment clear, default 1.0).
     coverage_fn: optional per-triangle extra coverage mask (e.g. alpha cutoff
         computed from interpolated UVs) — mask applied *before* depth write.
+    y_offset/x_offset: band origin when rendering a slice of a larger
+        framebuffer (multi-chip sharding).
     """
-    px, py = _pixel_centers(height, width)
+    px, py = _pixel_centers(height, width, y_offset, x_offset)
     t_count = setup.num_triangles
     if depth_init is None:
         depth_init = jnp.ones((height, width), jnp.float32)

@@ -1,0 +1,307 @@
+"""Tile-binned rasterizer — the fast path for large triangle counts.
+
+The reference rides dedicated raster hardware; the scan rasterizer in
+raster.py is exact but O(T) *sequential*. This module restores parallelism
+the way GPU tilers do (SURVEY.md §5 "long-context" analog):
+
+1. **Bin**: per-triangle screen AABB -> tile overlap matrix -> per-tile
+   triangle lists via top_k (ascending triangle index = submission order),
+   padded to a static cap.
+2. **Rasterize per tile** (vmapped): scan the tile's list in chunks of C
+   triangles; each chunk evaluates coverage/depth for [TH,TW,C] candidates
+   and reduces with an order-aware argmin/argmax, then merges into the tile's
+   carry. All chunk work is dense VPU math on (8,128)-aligned tiles.
+3. **Stitch** tiles back into the full visibility buffer.
+
+Semantics vs raster.py (the exactness reference):
+- Identical coverage (same canonical edge functions / top-left rule, same
+  pixel centers — computed in GLOBAL screen coordinates so e-values are
+  bit-identical to the scan path).
+- Depth winners identical for LESS/GREATER (argmin/argmax break ties by
+  first-in-submission-order, which matches sequential semantics). For
+  LESS_OR_EQUAL/GREATER_OR_EQUAL, equal-depth ties resolve to the FIRST
+  submitted fragment rather than the last — the only deviation.
+- EQUAL/NOT_EQUAL/NEVER and blending pipelines fall back to the scan path
+  (renderer/passes.py chooses).
+
+Cost: O(n_tiles · cap · TH · TW) dense work, independent of total T beyond
+binning — the knob `cap` bounds per-tile depth complexity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from renderer_rs_tpu.ops.raster import (
+    TriangleSetup,
+    VisibilityBuffer,
+    _edge,
+    _top_left,
+)
+from renderer_rs_tpu.rhi.pipeline import CompareOp, GraphicsPipeline
+
+_INF = jnp.float32(jnp.inf)
+
+BINNED_COMPARE_OPS = (
+    CompareOp.LESS,
+    CompareOp.LESS_OR_EQUAL,
+    CompareOp.GREATER,
+    CompareOp.GREATER_OR_EQUAL,
+)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def bin_triangles(
+    setup: TriangleSetup,
+    height: int,
+    width: int,
+    tile_h: int,
+    tile_w: int,
+    cap: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, int, int]:
+    """Build per-tile triangle lists.
+
+    Returns (tri_idx [n_tiles, cap] int32 — padded with T, counts [n_tiles],
+    nty, ntx). Truncation: tiles overlapping more than `cap` triangles keep
+    the first `cap` in submission order (documented bound; raise cap or
+    shrink tiles for pathological scenes).
+    """
+    t = setup.num_triangles
+    nty, ntx = _cdiv(height, tile_h), _cdiv(width, tile_w)
+
+    xs = setup.xy[..., 0]  # [T,3]
+    ys = setup.xy[..., 1]
+    # AABB -> inclusive tile ranges (pixel centers at +0.5 can't extend
+    # coverage past ceil/floor of the vertex bounds)
+    tx0 = jnp.clip(jnp.floor(jnp.min(xs, -1) / tile_w).astype(jnp.int32), 0, ntx - 1)
+    tx1 = jnp.clip(jnp.floor(jnp.max(xs, -1) / tile_w).astype(jnp.int32), 0, ntx - 1)
+    ty0 = jnp.clip(jnp.floor(jnp.min(ys, -1) / tile_h).astype(jnp.int32), 0, nty - 1)
+    ty1 = jnp.clip(jnp.floor(jnp.max(ys, -1) / tile_h).astype(jnp.int32), 0, nty - 1)
+    # fully offscreen triangles
+    onscreen = (
+        (jnp.max(xs, -1) >= 0.0)
+        & (jnp.min(xs, -1) <= width)
+        & (jnp.max(ys, -1) >= 0.0)
+        & (jnp.min(ys, -1) <= height)
+    )
+    alive = setup.valid & onscreen
+
+    tile_y = jnp.arange(nty, dtype=jnp.int32)
+    tile_x = jnp.arange(ntx, dtype=jnp.int32)
+    # [nty, ntx, T] overlap
+    oy = (tile_y[:, None, None] >= ty0) & (tile_y[:, None, None] <= ty1)
+    ox = (tile_x[None, :, None] >= tx0) & (tile_x[None, :, None] <= tx1)
+    overlap = oy & ox & alive
+    overlap = overlap.reshape(nty * ntx, t)
+
+    counts = jnp.sum(overlap, axis=-1).astype(jnp.int32)
+    # smallest-`cap` triangle indices per tile, ascending (submission order)
+    keys = jnp.where(overlap, jnp.arange(t, dtype=jnp.int32), t)
+    k = min(cap, t)
+    neg_top, _ = jax.lax.top_k(-keys, k)  # k smallest keys, descending neg
+    tri_idx = -neg_top  # ascending triangle index; padded with t
+    if k < cap:
+        tri_idx = jnp.pad(tri_idx, ((0, 0), (0, cap - k)), constant_values=t)
+    return tri_idx, counts, nty, ntx
+
+
+def _chunk_coverage(xy, z, valid, s, inv_area, px, py):
+    """Coverage/depth/bary for a chunk of C triangles over a tile.
+
+    xy [C,3,2], z [C,3], valid [C], s/inv_area [C]; px/py [TH,TW,1].
+    Returns cov [TH,TW,C], depth, b0, b1. Uses the same canonical edge
+    function as the scan path (bit-identical watertightness).
+    """
+    x0, y0 = xy[:, 0, 0], xy[:, 0, 1]
+    x1, y1 = xy[:, 1, 0], xy[:, 1, 1]
+    x2, y2 = xy[:, 2, 0], xy[:, 2, 1]
+
+    e0 = s * _edge(x1, y1, x2, y2, px, py)
+    e1 = s * _edge(x2, y2, x0, y0, px, py)
+    e2 = s * _edge(x0, y0, x1, y1, px, py)
+    flip = s < 0.0
+    tl0 = jnp.where(flip, _top_left(x2, y2, x1, y1), _top_left(x1, y1, x2, y2))
+    tl1 = jnp.where(flip, _top_left(x0, y0, x2, y2), _top_left(x2, y2, x0, y0))
+    tl2 = jnp.where(flip, _top_left(x1, y1, x0, y0), _top_left(x0, y0, x1, y1))
+
+    cov = (
+        ((e0 > 0.0) | ((e0 == 0.0) & tl0))
+        & ((e1 > 0.0) | ((e1 == 0.0) & tl1))
+        & ((e2 > 0.0) | ((e2 == 0.0) & tl2))
+        & valid
+    )
+    b0 = e0 * inv_area
+    b1 = e1 * inv_area
+    b2 = 1.0 - b0 - b1
+    depth = b0 * z[:, 0] + b1 * z[:, 1] + b2 * z[:, 2]
+    cov = cov & (depth >= 0.0) & (depth <= 1.0)
+    return cov, depth, b0, b1
+
+
+def rasterize_binned(
+    setup: TriangleSetup,
+    height: int,
+    width: int,
+    pipeline: GraphicsPipeline,
+    depth_init: jnp.ndarray | None = None,
+    tile_h: int = 32,
+    tile_w: int = 128,
+    cap: int = 512,
+    chunk: int = 16,
+) -> VisibilityBuffer:
+    """Binned visibility-buffer rasterization (see module docstring)."""
+    assert pipeline.depth_compare_op in BINNED_COMPARE_OPS or not pipeline.depth_test_enable
+    t = setup.num_triangles
+    cap = min(cap, max(t, chunk))
+    cap = _cdiv(cap, chunk) * chunk
+
+    tri_idx, _, nty, ntx = bin_triangles(setup, height, width, tile_h, tile_w, cap)
+    n_tiles = nty * ntx
+
+    # gather per-tile triangle data [n_tiles, cap, ...]
+    safe_idx = jnp.minimum(tri_idx, t - 1)
+    in_range = tri_idx < t
+    xy_b = setup.xy[safe_idx]
+    z_b = setup.z[safe_idx]
+    valid_b = setup.valid[safe_idx] & in_range
+    area_b = setup.area2[safe_idx]
+    s_b = jnp.sign(area_b)
+    area_abs = jnp.abs(area_b)
+    inv_area_b = jnp.where(area_abs > 0.0, 1.0 / jnp.maximum(area_abs, 1e-30), 0.0)
+
+    # order-aware depth reduction setup
+    greater = pipeline.depth_compare_op in (
+        CompareOp.GREATER,
+        CompareOp.GREATER_OR_EQUAL,
+    )
+    use_depth_test = pipeline.depth_test_enable
+
+    hp, wp = nty * tile_h, ntx * tile_w
+    if depth_init is None:
+        depth_init = jnp.ones((height, width), jnp.float32)
+    dpad = jnp.pad(
+        depth_init,
+        ((0, hp - height), (0, wp - width)),
+        constant_values=-jnp.inf if greater else jnp.inf,
+    )
+    depth_tiles = dpad.reshape(nty, tile_h, ntx, tile_w).transpose(0, 2, 1, 3)
+    depth_tiles = depth_tiles.reshape(n_tiles, tile_h, tile_w)
+
+    ty = jnp.arange(n_tiles, dtype=jnp.int32) // ntx
+    tx = jnp.arange(n_tiles, dtype=jnp.int32) % ntx
+
+    local_py = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0) + 0.5
+    local_px = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1) + 0.5
+
+    def tile_fn(tri_ids, xy, z, valid, s, inv_area, d_init, ty_i, tx_i):
+        # GLOBAL pixel coordinates — bit-identical edge values vs scan path
+        px = (local_px + (tx_i * tile_w).astype(jnp.float32))[..., None]
+        py = (local_py + (ty_i * tile_h).astype(jnp.float32))[..., None]
+
+        def body(carry, chunk_slice):
+            c_ids, c_xy, c_z, c_valid, c_s, c_inv = chunk_slice
+            depth, tid, b0c, b1c = carry
+            cov, zc, b0, b1 = _chunk_coverage(c_xy, c_z, c_valid, c_s, c_inv, px, py)
+            # order-aware reduce within chunk: argmin/argmax picks the
+            # best depth; XLA argmin takes the FIRST on ties = submission order
+            key = jnp.where(cov, zc, _INF if not greater else -_INF)
+            best = (
+                jnp.argmax(key, axis=-1) if greater else jnp.argmin(key, axis=-1)
+            )
+            take = jnp.take_along_axis
+            bbest = best[..., None]
+            z_best = take(zc, bbest, -1)[..., 0]
+            cov_best = take(cov, bbest, -1)[..., 0]
+            b0_best = take(b0, bbest, -1)[..., 0]
+            b1_best = take(b1, bbest, -1)[..., 0]
+            id_best = take(jnp.broadcast_to(c_ids, cov.shape), bbest, -1)[..., 0]
+            if use_depth_test:
+                if pipeline.depth_compare_op == CompareOp.LESS:
+                    pass_d = z_best < depth
+                elif pipeline.depth_compare_op == CompareOp.LESS_OR_EQUAL:
+                    pass_d = z_best <= depth
+                elif pipeline.depth_compare_op == CompareOp.GREATER:
+                    pass_d = z_best > depth
+                else:
+                    pass_d = z_best >= depth
+                accept = cov_best & pass_d
+            else:
+                accept = cov_best
+            if pipeline.depth_write_enable:
+                depth = jnp.where(accept, z_best, depth)
+            tid = jnp.where(accept, id_best, tid)
+            b0c = jnp.where(accept, b0_best, b0c)
+            b1c = jnp.where(accept, b1_best, b1c)
+            return (depth, tid, b0c, b1c), None
+
+        n_chunks = cap // chunk
+        chunks = (
+            tri_ids.reshape(n_chunks, chunk),
+            xy.reshape(n_chunks, chunk, 3, 2),
+            z.reshape(n_chunks, chunk, 3),
+            valid.reshape(n_chunks, chunk),
+            s.reshape(n_chunks, chunk),
+            inv_area.reshape(n_chunks, chunk),
+        )
+        init = (
+            d_init,
+            jnp.full((tile_h, tile_w), -1, jnp.int32),
+            jnp.zeros((tile_h, tile_w), jnp.float32),
+            jnp.zeros((tile_h, tile_w), jnp.float32),
+        )
+        (depth, tid, b0, b1), _ = jax.lax.scan(body, init, chunks)
+        return depth, tid, b0, b1
+
+    depth_t, tid_t, b0_t, b1_t = jax.vmap(tile_fn)(
+        tri_idx, xy_b, z_b, valid_b, s_b, inv_area_b, depth_tiles, ty, tx
+    )
+
+    def stitch(tiles):
+        full = tiles.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3)
+        return full.reshape(hp, wp)[:height, :width]
+
+    # NOTE on depth semantics when depth_write is off: the carry only tracks
+    # written depth, matching the scan path (test-only pipelines compare
+    # against depth_init throughout — Vulkan-exact since nothing writes).
+    return VisibilityBuffer(
+        tri_id=stitch(tid_t),
+        depth=stitch(depth_t),
+        bary=jnp.stack([stitch(b0_t), stitch(b1_t)], axis=-1),
+    )
+
+
+def rasterize_depth_only_binned(
+    setup: TriangleSetup,
+    height: int,
+    width: int,
+    pipeline: GraphicsPipeline,
+    depth_init: jnp.ndarray | None = None,
+    tile_h: int = 32,
+    tile_w: int = 128,
+    cap: int = 512,
+    chunk: int = 16,
+) -> jnp.ndarray:
+    """Depth-only binned pass (shadow maps): pure min/max reduce per tile."""
+    vis = rasterize_binned(
+        setup, height, width, pipeline, depth_init, tile_h, tile_w, cap, chunk
+    )
+    return vis.depth
+
+
+def supports_binned(pipeline: GraphicsPipeline, num_triangles: int, threshold: int = 64) -> bool:
+    """Whether the fast path applies (passes.py dispatch)."""
+    if pipeline.blend.blend_enable or pipeline.alpha_cutoff is not None:
+        return False
+    if pipeline.depth_test_enable and pipeline.depth_compare_op not in BINNED_COMPARE_OPS:
+        return False
+    if not pipeline.depth_test_enable:
+        # without a depth test the last-submitted triangle must win; the
+        # chunk argmin picks the nearest instead -> scan path only
+        return False
+    return num_triangles >= threshold

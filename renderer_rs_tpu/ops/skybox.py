@@ -14,7 +14,13 @@ import jax
 import jax.numpy as jnp
 
 
-def pixel_ray_directions(inv_view_proj: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+def pixel_ray_directions(
+    inv_view_proj: jnp.ndarray,
+    height: int,
+    width: int,
+    y_offset=0,
+    full_height: int | None = None,
+) -> jnp.ndarray:
     """World-space ray direction per pixel [H,W,3].
 
     NDC at the far plane (z=1, Vulkan depth range), w=1; direction =
@@ -23,7 +29,8 @@ def pixel_ray_directions(inv_view_proj: jnp.ndarray, height: int, width: int) ->
     (invVP * float4(ndc, 1, 1)).xyz/w - cameraPos. We reconstruct via two
     unprojections so no camera position is needed.
     """
-    y = (jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5) / height
+    fh = full_height if full_height is not None else height
+    y = (jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5 + y_offset) / fh
     x = (jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5) / width
     ndc_x = x * 2.0 - 1.0
     ndc_y = y * 2.0 - 1.0
@@ -47,13 +54,15 @@ def skybox_pass(
     inv_view_proj: jnp.ndarray,
     cubemap_faces: jnp.ndarray,
     intensity: float = 1.0,
+    y_offset=0,
+    full_height: int | None = None,
 ) -> jnp.ndarray:
     """Composite the skybox into pixels still at the far plane (depth >= 1,
     ≙ the skybox's z=1 + LESS_OR_EQUAL depth test trick)."""
     from renderer_rs_tpu.ops.sampling import sample_cubemap
 
     h, w = depth.shape
-    dirs = pixel_ray_directions(inv_view_proj, h, w)
+    dirs = pixel_ray_directions(inv_view_proj, h, w, y_offset, full_height)
     sky = sample_cubemap(cubemap_faces, dirs)[..., :3] * intensity
     sky_rgba = jnp.concatenate([sky, jnp.ones_like(sky[..., :1])], axis=-1)
     far_mask = depth >= 1.0

@@ -1,0 +1,93 @@
+"""SPMD frame rendering: frame batch x framebuffer row-bands over a Mesh.
+
+Design (the renderer's version of DP x SP, SURVEY.md §2.9):
+- the scene pytree is batched over a leading 'frame' axis (stack_scenes) and
+  sharded over the mesh 'frame' axis — independent frames render on
+  independent device groups with zero communication (DP);
+- within a frame, the framebuffer's rows are sharded over the mesh 'rows'
+  axis: every device runs the full (cheap, replicated) vertex stage and
+  rasterizes+shades ONLY its horizontal band (SP over screen space). The
+  output [F, H, W, 4] is born sharded as P('frame', 'rows') — compositing
+  is pure concatenation along sharded rows, so no collectives are needed in
+  the forward path; XLA inserts gathers only if the caller requests a
+  replicated result.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from renderer_rs_tpu.ops.shadow import ShadowParams
+from renderer_rs_tpu.renderer.passes import ShadingModel, forward_frame
+from renderer_rs_tpu.renderer.scene_build import GpuScene, SceneLayout
+from renderer_rs_tpu.rhi.pipeline import GraphicsPipeline
+
+
+def stack_scenes(scenes: list[GpuScene]) -> GpuScene:
+    """Stack per-frame scene pytrees along a new leading 'frame' axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+
+
+def render_frame_sharded(
+    stacked_scene: GpuScene,
+    layout: SceneLayout,
+    pipeline: GraphicsPipeline,
+    shading: ShadingModel,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    clear_color: tuple = (0.1, 0.1, 0.15, 1.0),
+    tonemap: str = "none",
+    shadow_map_size: int = 256,
+    shadow_params: ShadowParams = ShadowParams(),
+):
+    """Render a batch of frames over the mesh. Returns [F, H, W, 4] sharded
+    as P('frame', 'rows'). F must equal the mesh 'frame' axis size (one
+    frame per frame-group; generalize by looping batches of F).
+    """
+    n_frames = mesh.shape["frame"]
+    n_rows = mesh.shape["rows"]
+    if height % n_rows != 0:
+        raise ValueError(f"height {height} not divisible by rows axis {n_rows}")
+    band_h = height // n_rows
+
+    @jax.shard_map(
+        mesh=mesh,
+        in_specs=(P("frame"),),
+        out_specs=P("frame", "rows"),
+        check_vma=False,
+    )
+    def spmd(scene_b):
+        # scene_b leaves have leading dim F/n_frames == 1 on this shard
+        scene = jax.tree.map(lambda x: x[0], scene_b)
+        row = jax.lax.axis_index("rows")
+        band = forward_frame(
+            scene,
+            layout,
+            pipeline,
+            shading,
+            width,
+            height,
+            clear_color=clear_color,
+            tonemap=tonemap,
+            shadow_map_size=shadow_map_size,
+            shadow_params=shadow_params,
+            band=(row * band_h, band_h),
+        )
+        return band[None]  # [1, band_h, W, 4] -> F and rows axes concatenate
+
+    leaves = jax.tree.leaves(stacked_scene)
+    if leaves and leaves[0].shape[0] != n_frames:
+        raise ValueError(
+            f"scene batch {leaves[0].shape[0]} != mesh frame axis {n_frames}"
+        )
+    return spmd(stacked_scene)
+
+
+def shard_scene_batch(stacked_scene: GpuScene, mesh: Mesh) -> GpuScene:
+    """Place a stacked scene with its leading axis sharded over 'frame'
+    (device_put with NamedSharding) so rendering starts from sharded inputs."""
+    sharding = NamedSharding(mesh, P("frame"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), stacked_scene)

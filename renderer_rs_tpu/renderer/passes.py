@@ -30,6 +30,10 @@ from renderer_rs_tpu.ops.raster import (
     rasterize_depth_only,
     setup_triangles,
 )
+from renderer_rs_tpu.ops.raster_binned import (
+    rasterize_binned,
+    supports_binned,
+)
 from renderer_rs_tpu.ops.shadow import ShadowParams, calculate_shadow
 from renderer_rs_tpu.ops.skybox import skybox_pass
 from renderer_rs_tpu.ops.tonemap import apply_tonemap
@@ -109,12 +113,34 @@ _SHADOW_PIPELINE = (
 )
 
 
+def _binned_cap(num_triangles: int, max_cap: int = 4096) -> int:
+    """Per-tile triangle budget: enough for every triangle to land in one
+    tile on small scenes; bounded for large ones (truncation risk documented
+    in raster_binned.py — the Pallas kernel with true per-tile counts is the
+    planned fix for pathological depth complexity)."""
+    return min(max(num_triangles, 16), max_cap)
+
+
+def _rasterize_dispatch(setup, height, width, pipeline, num_triangles):
+    """Pick the tile-binned fast path when its semantics apply, else the
+    exact sequential scan (small scenes, blending, exotic compare ops)."""
+    if supports_binned(pipeline, num_triangles):
+        return rasterize_binned(
+            setup, height, width, pipeline, cap=_binned_cap(num_triangles)
+        )
+    return rasterize(setup, height, width, pipeline)
+
+
 def shadow_map_pass(scene: GpuScene, layout: SceneLayout, size: int) -> jnp.ndarray:
     """Depth-only sun shadow render (≙ the shadow pass, depth-only pipeline)."""
     clip = shadow_vertex_stage(scene, layout)
     setup = setup_triangles(
         gather_triangle_clip(clip, scene.tris), size, size, _SHADOW_PIPELINE
     )
+    if supports_binned(_SHADOW_PIPELINE, layout.num_triangles):
+        return rasterize_binned(
+            setup, size, size, _SHADOW_PIPELINE, cap=_binned_cap(layout.num_triangles)
+        ).depth
     return rasterize_depth_only(setup, size, size, _SHADOW_PIPELINE)
 
 
@@ -306,19 +332,32 @@ def forward_frame(
     tonemap: str = "none",
     shadow_map_size: int = 1024,
     shadow_params: ShadowParams = ShadowParams(),
+    band: tuple | None = None,
 ) -> jnp.ndarray:
     """The full frame: ≙ record_commands + queue_submit fused
     (renderer.rs:452-557). Returns linear [H,W,4] ready for sRGB encode.
+
+    band=(y_offset, band_height): render only a horizontal slice of the
+    full `height`-row framebuffer — the unit of multi-chip row sharding
+    (parallel/tile_shard.py). y_offset may be a traced value.
     """
     shadow_map = (
         shadow_map_pass(scene, layout, shadow_map_size) if layout.has_shadow else None
     )
 
     vs = vertex_stage(scene, layout)
+    # viewport transform always uses the FULL framebuffer extent
     setup = setup_triangles(
         gather_triangle_clip(vs.clip, scene.tris), width, height, pipeline
     )
-    vis = rasterize(setup, height, width, pipeline)
+    if band is None:
+        vis = _rasterize_dispatch(setup, height, width, pipeline, layout.num_triangles)
+        out_h = height
+        y_offset = 0
+    else:
+        y_offset, out_h = band
+        # band path: exact scan rasterizer with pixel-row offset
+        vis = rasterize(setup, out_h, width, pipeline, y_offset=y_offset)
     bary3 = perspective_bary(vis, setup)
 
     color = _shade_pixels(
@@ -326,13 +365,20 @@ def forward_frame(
     )
 
     bg = jnp.broadcast_to(
-        jnp.asarray(clear_color, jnp.float32), (height, width, 4)
+        jnp.asarray(clear_color, jnp.float32), (out_h, width, 4)
     )
     out = jnp.where(vis.covered[..., None], color, bg)
 
     if layout.has_environment and scene.environment is not None:
         inv_vp = jnp.linalg.inv(scene.camera.view_projection)
-        out = skybox_pass(out, vis.depth, inv_vp, scene.environment.skybox_mips[0])
+        out = skybox_pass(
+            out,
+            vis.depth,
+            inv_vp,
+            scene.environment.skybox_mips[0],
+            y_offset=y_offset,
+            full_height=height,
+        )
 
     if tonemap != "none":
         out = apply_tonemap(out, tonemap)

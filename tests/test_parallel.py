@@ -1,0 +1,102 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Validates that the frame x rows SPMD decomposition produces bit-identical
+images to single-device rendering (the reference has no analog — this is
+the rebuild's scale-out path, SURVEY.md §2.9)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from renderer_rs_tpu.app.scenes import blinnphong_scene
+from renderer_rs_tpu.parallel import (
+    make_device_mesh,
+    render_frame_sharded,
+    stack_scenes,
+)
+from renderer_rs_tpu.renderer.passes import ShadingModel, forward_frame
+from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+W, H = 64, 48
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    # tiny sphere scene (few hundred tris) for fast CPU SPMD checks
+    scene, layout, kwargs, _ = blinnphong_scene(W, H, rings=6, sectors=8)
+    return scene, layout
+
+
+def test_mesh_shapes():
+    mesh = make_device_mesh(8)
+    assert mesh.shape == {"frame": 2, "rows": 4}
+    mesh1 = make_device_mesh(4, frame_axis=1)
+    assert mesh1.shape == {"frame": 1, "rows": 4}
+    with pytest.raises(ValueError):
+        make_device_mesh(6, frame_axis=4)
+
+
+def test_sharded_matches_single_device(small_scene):
+    scene, layout = small_scene
+    pipe = GraphicsPipelineBuilder().build()
+
+    ref = np.asarray(
+        forward_frame(scene, layout, pipe, ShadingModel.BLINN_PHONG, W, H)
+    )
+
+    mesh = make_device_mesh(8)  # frame=2, rows=4
+    stacked = stack_scenes([scene, scene])
+    out = render_frame_sharded(
+        stacked, layout, pipe, ShadingModel.BLINN_PHONG, W, H, mesh
+    )
+    out = np.asarray(out)
+    assert out.shape == (2, H, W, 4)
+    np.testing.assert_array_equal(out[0], ref)
+    np.testing.assert_array_equal(out[1], ref)
+
+
+def test_sharded_output_sharding(small_scene):
+    """The result is born sharded over (frame, rows) — no full-image gather."""
+    scene, layout = small_scene
+    pipe = GraphicsPipelineBuilder().build()
+    mesh = make_device_mesh(8)
+    stacked = stack_scenes([scene, scene])
+    out = render_frame_sharded(
+        stacked, layout, pipe, ShadingModel.BLINN_PHONG, W, H, mesh
+    )
+    shard_shapes = {s.data.shape for s in out.addressable_shards}
+    assert shard_shapes == {(1, H // 4, W, 4)}
+
+
+def test_rows_only_mesh(small_scene):
+    scene, layout = small_scene
+    pipe = GraphicsPipelineBuilder().build()
+    mesh = make_device_mesh(8, frame_axis=1)
+    stacked = stack_scenes([scene])
+    out = render_frame_sharded(
+        stacked, layout, pipe, ShadingModel.BLINN_PHONG, W, H, mesh
+    )
+    ref = np.asarray(
+        forward_frame(scene, layout, pipe, ShadingModel.BLINN_PHONG, W, H)
+    )
+    np.testing.assert_array_equal(np.asarray(out)[0], ref)
+
+
+def test_band_rendering_matches_full():
+    """forward_frame band slices stitch to the full frame (single device)."""
+    scene, layout, _, _ = blinnphong_scene(W, H, rings=5, sectors=6)
+    pipe = GraphicsPipelineBuilder().build()
+    full = np.asarray(
+        forward_frame(scene, layout, pipe, ShadingModel.BLINN_PHONG, W, H)
+    )
+    bands = [
+        np.asarray(
+            forward_frame(
+                scene, layout, pipe, ShadingModel.BLINN_PHONG, W, H,
+                band=(jnp.int32(y0), H // 4),
+            )
+        )
+        for y0 in range(0, H, H // 4)
+    ]
+    np.testing.assert_array_equal(np.concatenate(bands, axis=0), full)

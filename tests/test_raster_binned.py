@@ -1,0 +1,144 @@
+"""Binned-rasterizer equivalence tests: the fast path must match the exact
+sequential scan bit-for-bit on coverage and winners (LESS semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from renderer_rs_tpu.ops.raster import (
+    gather_triangle_clip,
+    rasterize,
+    setup_triangles,
+)
+from renderer_rs_tpu.ops.raster_binned import (
+    bin_triangles,
+    rasterize_binned,
+    supports_binned,
+)
+from renderer_rs_tpu.rhi.pipeline import (
+    ColorBlendAttachment,
+    CompareOp,
+    CullMode,
+    GraphicsPipelineBuilder,
+)
+
+
+def _random_scene(t=200, seed=0):
+    """Random triangles in NDC with random depth."""
+    rng = np.random.default_rng(seed)
+    center = rng.uniform(-1.1, 1.1, (t, 1, 3)).astype(np.float32)
+    offset = rng.uniform(-0.25, 0.25, (t, 3, 3)).astype(np.float32)
+    pos = center + offset
+    pos[..., 2] = rng.uniform(0.05, 0.95, (t, 3)).astype(np.float32)
+    clip = np.concatenate([pos, np.ones((t, 3, 1), np.float32)], -1)
+    return jnp.asarray(clip.reshape(t * 3, 4)), jnp.arange(t * 3, dtype=jnp.int32).reshape(t, 3)
+
+
+def _compare(pipe, h=96, w=160, t=200, seed=0, **binned_kw):
+    clip, tris = _random_scene(t, seed)
+    setup = setup_triangles(gather_triangle_clip(clip, tris), w, h, pipe)
+    vis_scan = rasterize(setup, h, w, pipe)
+    vis_bin = rasterize_binned(setup, h, w, pipe, **binned_kw)
+    np.testing.assert_array_equal(
+        np.asarray(vis_scan.tri_id), np.asarray(vis_bin.tri_id)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vis_scan.depth), np.asarray(vis_bin.depth)
+    )
+    cov = np.asarray(vis_scan.covered)
+    np.testing.assert_allclose(
+        np.asarray(vis_scan.bary)[cov], np.asarray(vis_bin.bary)[cov], atol=0
+    )
+
+
+def test_binned_matches_scan_less():
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    _compare(pipe)
+
+
+def test_binned_matches_scan_greater():
+    pipe = (
+        GraphicsPipelineBuilder()
+        .cull_mode(CullMode.NONE)
+        .depth_compare_op(CompareOp.GREATER)
+        .build()
+    )
+    clip, tris = _random_scene(150, seed=3)
+    h, w = 96, 160
+    setup = setup_triangles(gather_triangle_clip(clip, tris), w, h, pipe)
+    depth0 = jnp.zeros((h, w), jnp.float32)
+    vis_scan = rasterize(setup, h, w, pipe, depth_init=depth0)
+    vis_bin = rasterize_binned(setup, h, w, pipe, depth_init=depth0)
+    np.testing.assert_array_equal(
+        np.asarray(vis_scan.tri_id), np.asarray(vis_bin.tri_id)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vis_scan.depth), np.asarray(vis_bin.depth)
+    )
+
+
+def test_binned_matches_with_culling():
+    pipe = GraphicsPipelineBuilder().build()  # cull back
+    _compare(pipe, seed=7)
+
+
+def test_binned_small_tiles_and_chunks():
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    _compare(pipe, t=64, seed=1, tile_h=16, tile_w=128, cap=64, chunk=8)
+
+
+def test_binned_nondivisible_resolution():
+    """Resolutions not divisible by the tile size stitch correctly."""
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    _compare(pipe, h=75, w=133, t=80, seed=5)
+
+
+def test_bin_triangles_counts():
+    """A triangle covering one tile appears in exactly that tile's list."""
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    # small tri centered in tile (0,0): pixels ~(16,16) of a 64x256 image
+    clip = jnp.asarray(
+        [[[-0.9, -0.6, 0.5, 1.0], [-0.85, -0.6, 0.5, 1.0], [-0.875, -0.5, 0.5, 1.0]]],
+        jnp.float32,
+    )
+    setup = setup_triangles(clip, 256, 64, pipe)
+    tri_idx, counts, nty, ntx = bin_triangles(setup, 64, 256, 32, 128, 16)
+    counts = np.asarray(counts).reshape(nty, ntx)
+    assert counts.sum() == 1
+    assert counts[0, 0] == 1
+
+
+def test_supports_binned_rules():
+    opaque = GraphicsPipelineBuilder().build()
+    assert supports_binned(opaque, 1000)
+    assert not supports_binned(opaque, 10)  # small scenes: scan is fine
+    blend = (
+        GraphicsPipelineBuilder()
+        .blend_attachment(ColorBlendAttachment.alpha_blend())
+        .build()
+    )
+    assert not supports_binned(blend, 1000)
+    no_depth = (
+        GraphicsPipelineBuilder()
+        .depth_test_enable(False)
+        .depth_write_enable(False)
+        .depth_attachment_format(None)
+        .build()
+    )
+    assert not supports_binned(no_depth, 1000)
+    eq = GraphicsPipelineBuilder().depth_compare_op(CompareOp.EQUAL).build()
+    assert not supports_binned(eq, 1000)
+
+
+def test_binned_jits():
+    """The binned path compiles under jit (static shapes only)."""
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    clip, tris = _random_scene(100, seed=2)
+
+    @jax.jit
+    def run(clip):
+        setup = setup_triangles(gather_triangle_clip(clip, tris), 128, 96, pipe)
+        return rasterize_binned(setup, 96, 128, pipe)
+
+    vis = run(clip)
+    assert vis.tri_id.shape == (96, 128)
