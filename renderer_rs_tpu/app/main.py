@@ -27,10 +27,12 @@ log = logging.getLogger("renderer_rs_tpu.app")
 
 
 def build(args):
-    from renderer_rs_tpu.app.scenes import SCENES, gltf_pbr_scene
+    from renderer_rs_tpu.app.scenes import SCENES, full_scene, gltf_pbr_scene
 
     if args.scene == "gltf-pbr" and args.gltf:
         return gltf_pbr_scene(args.width, args.height, args.gltf)
+    if args.scene == "full":
+        return full_scene(args.width, args.height, tri_budget=args.tris)
     return SCENES[args.scene](args.width, args.height)
 
 
@@ -43,6 +45,8 @@ def main(argv=None) -> int:
     parser.add_argument("--frames", type=int, default=1)
     parser.add_argument("--out", type=str, default=None, help="PNG output directory")
     parser.add_argument("--gltf", type=str, default=None, help="glTF path for gltf-pbr")
+    parser.add_argument("--tris", type=int, default=100_000,
+                        help="triangle budget for the full scene")
     parser.add_argument("--backend", type=str, default=None, help="jax platform override")
     parser.add_argument("--log", type=str, default=None, help="log filter (RUST_LOG style)")
     args = parser.parse_args(argv)

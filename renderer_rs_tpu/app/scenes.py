@@ -190,10 +190,11 @@ def full_scene(width: int, height: int, tri_budget: int = 100_000):
     given triangle budget (default 100k, the north-star workload)."""
     from renderer_rs_tpu.ops.ibl import procedural_sky_cubemap
 
-    # sphere subdivision hitting ~tri_budget across the grid + floor
+    # sphere subdivision hitting ~tri_budget across the grid + floor:
+    # tris/sphere = 2*rings*sectors = 4*rings^2 (sectors = 2*rings)
     n = 3
-    per_sphere = max(tri_budget // (n * n), 2)
-    rings = max(int(math.sqrt(per_sphere / 2)), 4)
+    per_sphere = max(tri_budget // (n * n), 32)
+    rings = max(int(math.sqrt(per_sphere / 4)), 4)
     sectors = 2 * rings
 
     builder = SceneBuilder()
@@ -226,7 +227,15 @@ def full_scene(width: int, height: int, tri_budget: int = 100_000):
     )
     builder.set_environment(Environment(skybox_mips=(procedural_sky_cubemap(64),)))
     scene, layout = builder.build()
-    kwargs = dict(shading=ShadingModel.PBR, tonemap="aces", shadow_map_size=1024)
+    from renderer_rs_tpu.ops.shadow import ShadowParams
+
+    # bias scaled to the shadow texel world size (ortho box 14 units / 1024)
+    kwargs = dict(
+        shading=ShadingModel.PBR,
+        tonemap="aces",
+        shadow_map_size=1024,
+        shadow_params=ShadowParams(shadow_bias=0.012, normal_bias=0.06),
+    )
     return scene, layout, kwargs, None
 
 

@@ -1,0 +1,246 @@
+"""Cascaded shadow maps — ≙ shaders/hlsl/shadow_csm.hlsli (4 cascades).
+
+Vectorized port with the exact reference semantics:
+- CASCADE_COUNT = 4 (shadow_csm.hlsli:19)
+- cascade select: compare clip-space depth against split depths, nearest
+  cascade whose split exceeds the depth (SelectCascade, shadow_csm.hlsli:56-72)
+- per-cascade PCF 3x3 over a [N,S,S] shadow-map array with normal-offset +
+  adaptive slope bias (SampleCascadePCF, shadow_csm.hlsli:94-145)
+- blended variant lerping with the next cascade inside a split-relative
+  blend region (CalculateShadowCSMBlended, shadow_csm.hlsli:216-288)
+- debug cascade colors R/G/B/Y (GetCascadeDebugColor, shadow_csm.hlsli:291-303)
+
+Plus the host-side cascade *fitting* the reference leaves to its (absent)
+C++ side: view-frustum splits via the standard practical split scheme and
+per-cascade orthographic light boxes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from renderer_rs_tpu.mathx.vec import dot
+
+CASCADE_COUNT = 4  # ≙ shadow_csm.hlsli:19
+
+
+@dataclasses.dataclass(frozen=True)
+class CSMParams:
+    """Static CSM configuration (≙ the CSMParams cbuffer scalars)."""
+
+    shadow_bias: float = 0.005
+    normal_bias: float = 0.02
+    blend_threshold: float = 0.1
+    pcf: bool = True
+
+
+def select_cascade(split_depths: jnp.ndarray, clip_depth: jnp.ndarray) -> jnp.ndarray:
+    """≙ SelectCascade (shadow_csm.hlsli:56-72): split_depths [C], returns
+    [...] int32 cascade index (depth > split_i promotes to i+1)."""
+    idx = jnp.zeros(clip_depth.shape, jnp.int32)
+    for i in range(CASCADE_COUNT - 1):
+        idx = jnp.where(clip_depth > split_depths[i], i + 1, idx)
+    return idx
+
+
+def _project(m: jnp.ndarray, p: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Light-space projection -> (uv, depth) with Vulkan Y-flip UV."""
+    clip = p @ m[:3, :3].T + m[:3, 3]
+    w = jnp.sum(p * m[3, :3], axis=-1) + m[3, 3]
+    ndc = clip / jnp.where(w == 0.0, 1.0, w)[..., None]
+    u = ndc[..., 0] * 0.5 + 0.5
+    # no Y-flip: sampler v == framebuffer row in this renderer (see shadow.py)
+    v = ndc[..., 1] * 0.5 + 0.5
+    return jnp.stack([u, v], axis=-1), ndc[..., 2]
+
+
+def sample_cascade_pcf(
+    shadow_maps: jnp.ndarray,
+    light_matrix: jnp.ndarray,
+    cascade_index: jnp.ndarray,
+    world_pos: jnp.ndarray,
+    normal: jnp.ndarray,
+    light_dir: jnp.ndarray,
+    params: CSMParams,
+) -> jnp.ndarray:
+    """≙ SampleCascadePCF (shadow_csm.hlsli:94-145).
+
+    shadow_maps: [C,S,S]; light_matrix: [...,4,4] (already gathered per
+    pixel); cascade_index: [...] int32. Returns lit factor [...] in [0,1].
+    """
+    s = shadow_maps.shape[1]
+    offset_pos = world_pos + normal * params.normal_bias
+    # per-pixel matrix application (matrices gathered per pixel)
+    p = offset_pos
+    clip = jnp.einsum("...ij,...j->...i", light_matrix[..., :3, :3], p) + light_matrix[..., :3, 3]
+    w = jnp.einsum("...j,...j->...", light_matrix[..., 3, :3], p) + light_matrix[..., 3, 3]
+    ndc = clip / jnp.where(w == 0.0, 1.0, w)[..., None]
+    u = ndc[..., 0] * 0.5 + 0.5
+    # no Y-flip: sampler v == framebuffer row in this renderer (see shadow.py)
+    v = ndc[..., 1] * 0.5 + 0.5
+    z = ndc[..., 2]
+
+    in_bounds = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0) & (z >= 0.0) & (z <= 1.0)
+
+    ndotl = dot(normal, light_dir)[..., 0]
+    bias = jnp.maximum(params.shadow_bias * (1.0 - ndotl), 0.0005)
+    current = z - bias
+
+    texel = 1.0 / s
+    taps = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+    acc = 0.0
+    count = 9 if params.pcf else 1
+    for dx, dy in taps if params.pcf else ((0, 0),):
+        uu = u + dx * texel
+        vv = v + dy * texel
+        ix = jnp.clip(jnp.floor(uu * s).astype(jnp.int32), 0, s - 1)
+        iy = jnp.clip(jnp.floor(vv * s).astype(jnp.int32), 0, s - 1)
+        stored = shadow_maps[cascade_index, iy, ix]
+        acc = acc + jnp.where(stored >= current, 1.0, 0.0)
+    shadow = acc / count
+    return jnp.where(in_bounds, shadow, 1.0)
+
+
+def calculate_shadow_csm(
+    shadow_maps: jnp.ndarray,
+    cascade_matrices: jnp.ndarray,
+    split_depths: jnp.ndarray,
+    world_pos: jnp.ndarray,
+    normal: jnp.ndarray,
+    light_dir: jnp.ndarray,
+    clip_depth: jnp.ndarray,
+    params: CSMParams = CSMParams(),
+) -> jnp.ndarray:
+    """≙ CalculateShadowCSM (shadow_csm.hlsli:163-194).
+
+    shadow_maps [C,S,S], cascade_matrices [C,4,4], split_depths [C],
+    clip_depth [...] = the fragment's own NDC z (SV_Position.z analog).
+    """
+    idx = select_cascade(split_depths, clip_depth)
+    mats = cascade_matrices[idx]  # [...,4,4]
+    return sample_cascade_pcf(
+        shadow_maps, mats, idx, world_pos, normal, light_dir, params
+    )
+
+
+def calculate_shadow_csm_blended(
+    shadow_maps: jnp.ndarray,
+    cascade_matrices: jnp.ndarray,
+    split_depths: jnp.ndarray,
+    world_pos: jnp.ndarray,
+    normal: jnp.ndarray,
+    light_dir: jnp.ndarray,
+    clip_depth: jnp.ndarray,
+    params: CSMParams = CSMParams(),
+) -> jnp.ndarray:
+    """≙ CalculateShadowCSMBlended (shadow_csm.hlsli:216-288): lerp with the
+    next cascade inside blend_threshold of the split boundary."""
+    idx = select_cascade(split_depths, clip_depth)
+    shadow = sample_cascade_pcf(
+        shadow_maps, cascade_matrices[idx], idx, world_pos, normal, light_dir, params
+    )
+    next_idx = jnp.minimum(idx + 1, CASCADE_COUNT - 1)
+    next_shadow = sample_cascade_pcf(
+        shadow_maps, cascade_matrices[next_idx], next_idx, world_pos, normal,
+        light_dir, params,
+    )
+    split = split_depths[idx]
+    prev_split = jnp.where(idx > 0, split_depths[jnp.maximum(idx - 1, 0)], 0.0)
+    blend_region = (split - prev_split) * params.blend_threshold
+    dist = split - clip_depth
+    blend = jnp.clip(dist / jnp.maximum(blend_region, 1e-8), 0.0, 1.0)
+    do_blend = (idx < CASCADE_COUNT - 1) & (dist < blend_region) & (dist > 0.0)
+    blended = next_shadow + (shadow - next_shadow) * blend  # lerp(next, cur, f)
+    return jnp.where(do_blend, blended, shadow)
+
+
+_DEBUG_COLORS = jnp.array(
+    [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [1.0, 1.0, 0.0]],
+    jnp.float32,
+)
+
+
+def cascade_debug_color(split_depths: jnp.ndarray, clip_depth: jnp.ndarray) -> jnp.ndarray:
+    """≙ GetCascadeDebugColor (shadow_csm.hlsli:291-303)."""
+    return _DEBUG_COLORS[select_cascade(split_depths, clip_depth)]
+
+
+# --- host-side cascade fitting (the C++ side the reference hasn't built) ------
+
+def practical_split_depths(
+    near: float, far: float, count: int = CASCADE_COUNT, lam: float = 0.75
+) -> np.ndarray:
+    """Practical split scheme (Zhang et al., the paper shadow_csm.hlsli cites):
+    lerp of logarithmic and uniform splits; returned as view-space distances."""
+    splits = []
+    for i in range(1, count + 1):
+        f = i / count
+        log_d = near * (far / near) ** f
+        uni_d = near + (far - near) * f
+        splits.append(lam * log_d + (1 - lam) * uni_d)
+    return np.asarray(splits, np.float32)
+
+
+def fit_cascades(
+    camera,
+    sun_direction,
+    count: int = CASCADE_COUNT,
+    lam: float = 0.75,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fit per-cascade ortho light boxes around camera-frustum slices.
+
+    Returns (cascade_matrices [C,4,4], split_depths_ndc [C]) where split
+    depths are converted to the camera's NDC z (what SV_Position.z holds,
+    which SelectCascade compares against).
+    """
+    from renderer_rs_tpu.mathx import look_at_rh, orthographic_rh, transform_points
+    from renderer_rs_tpu.mathx.mat4 import vulkan_y_flip
+
+    proj = camera.projection
+    near, far = proj.near, proj.far
+    splits_view = practical_split_depths(near, far, count, lam)
+
+    inv_vp = np.linalg.inv(np.asarray(camera.view_projection_matrix()))
+    sun = np.asarray(sun_direction, np.float32)
+    sun = sun / max(np.linalg.norm(sun), 1e-12)
+
+    vp = np.asarray(camera.view_projection_matrix())
+    mats, splits_ndc = [], []
+    prev = near
+    for i in range(count):
+        d0, d1 = prev, float(splits_view[i])
+        prev = d1
+        # frustum-slice corners in NDC -> world
+        corners = []
+        for z_view in (d0, d1):
+            # NDC depth of this view distance under the camera projection
+            p = np.asarray(camera.projection_matrix()) @ np.array(
+                [0, 0, -z_view, 1], np.float32
+            )
+            z_ndc = p[2] / p[3]
+            for x in (-1, 1):
+                for y in (-1, 1):
+                    h = inv_vp @ np.array([x, y, z_ndc, 1.0], np.float32)
+                    corners.append(h[:3] / h[3])
+        corners = np.asarray(corners)
+        center = corners.mean(axis=0)
+        radius = float(np.max(np.linalg.norm(corners - center, axis=-1)))
+
+        up = np.array([0, 0, 1], np.float32) if abs(sun[1]) > 0.99 else np.array(
+            [0, 1, 0], np.float32
+        )
+        view = np.asarray(look_at_rh(center - sun * 2.0 * radius, center, up))
+        ortho = np.asarray(
+            vulkan_y_flip(
+                orthographic_rh(-radius, radius, -radius, radius, 0.1, 4.0 * radius)
+            )
+        )
+        mats.append(ortho @ view)
+        # split depth in camera NDC z for SelectCascade
+        p = np.asarray(camera.projection_matrix()) @ np.array([0, 0, -d1, 1], np.float32)
+        splits_ndc.append(float(p[2] / p[3]))
+
+    return np.stack(mats).astype(np.float32), np.asarray(splits_ndc, np.float32)

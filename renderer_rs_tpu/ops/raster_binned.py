@@ -114,18 +114,30 @@ def bin_triangles(
 def _chunk_coverage(xy, z, valid, s, inv_area, px, py):
     """Coverage/depth/bary for a chunk of C triangles over a tile.
 
-    xy [C,3,2], z [C,3], valid [C], s/inv_area [C]; px/py [TH,TW,1].
-    Returns cov [TH,TW,C], depth, b0, b1. Uses the same canonical edge
+    TPU layout note: all per-candidate tensors are [C,TH,TW] — the chunk axis
+    is the MAJOR axis so the minor two dims stay (sublane=TH, lane=TW=128)
+    aligned; reductions over candidates are axis-0 reduces (fast), never
+    lane-dim reduces or gathers.
+
+    xy [C,3,2], z [C,3], valid [C], s/inv_area [C]; px/py [TH,TW].
+    Returns cov/depth/b0/b1, each [C,TH,TW]. Uses the same canonical edge
     function as the scan path (bit-identical watertightness).
     """
-    x0, y0 = xy[:, 0, 0], xy[:, 0, 1]
-    x1, y1 = xy[:, 1, 0], xy[:, 1, 1]
-    x2, y2 = xy[:, 2, 0], xy[:, 2, 1]
+    c = xy.shape[0]
+    pxb = px[None]  # [1,TH,TW]
+    pyb = py[None]
 
-    e0 = s * _edge(x1, y1, x2, y2, px, py)
-    e1 = s * _edge(x2, y2, x0, y0, px, py)
-    e2 = s * _edge(x0, y0, x1, y1, px, py)
-    flip = s < 0.0
+    def tric(k, j):  # [C] -> [C,1,1]
+        return xy[:, k, j].reshape(c, 1, 1)
+
+    x0, y0, x1, y1, x2, y2 = (
+        tric(0, 0), tric(0, 1), tric(1, 0), tric(1, 1), tric(2, 0), tric(2, 1)
+    )
+    sb = s.reshape(c, 1, 1)
+    e0 = sb * _edge(x1, y1, x2, y2, pxb, pyb)
+    e1 = sb * _edge(x2, y2, x0, y0, pxb, pyb)
+    e2 = sb * _edge(x0, y0, x1, y1, pxb, pyb)
+    flip = sb < 0.0
     tl0 = jnp.where(flip, _top_left(x2, y2, x1, y1), _top_left(x1, y1, x2, y2))
     tl1 = jnp.where(flip, _top_left(x0, y0, x2, y2), _top_left(x2, y2, x0, y0))
     tl2 = jnp.where(flip, _top_left(x1, y1, x0, y0), _top_left(x0, y0, x1, y1))
@@ -134,12 +146,15 @@ def _chunk_coverage(xy, z, valid, s, inv_area, px, py):
         ((e0 > 0.0) | ((e0 == 0.0) & tl0))
         & ((e1 > 0.0) | ((e1 == 0.0) & tl1))
         & ((e2 > 0.0) | ((e2 == 0.0) & tl2))
-        & valid
+        & valid.reshape(c, 1, 1)
     )
-    b0 = e0 * inv_area
-    b1 = e1 * inv_area
+    inv = inv_area.reshape(c, 1, 1)
+    b0 = e0 * inv
+    b1 = e1 * inv
     b2 = 1.0 - b0 - b1
-    depth = b0 * z[:, 0] + b1 * z[:, 1] + b2 * z[:, 2]
+    depth = b0 * z[:, 0].reshape(c, 1, 1) + b1 * z[:, 1].reshape(c, 1, 1) + b2 * z[
+        :, 2
+    ].reshape(c, 1, 1)
     cov = cov & (depth >= 0.0) & (depth <= 1.0)
     return cov, depth, b0, b1
 
@@ -153,7 +168,7 @@ def rasterize_binned(
     tile_h: int = 32,
     tile_w: int = 128,
     cap: int = 512,
-    chunk: int = 16,
+    chunk: int = 32,
 ) -> VisibilityBuffer:
     """Binned visibility-buffer rasterization (see module docstring)."""
     assert pipeline.depth_compare_op in BINNED_COMPARE_OPS or not pipeline.depth_test_enable
@@ -201,26 +216,31 @@ def rasterize_binned(
 
     def tile_fn(tri_ids, xy, z, valid, s, inv_area, d_init, ty_i, tx_i):
         # GLOBAL pixel coordinates — bit-identical edge values vs scan path
-        px = (local_px + (tx_i * tile_w).astype(jnp.float32))[..., None]
-        py = (local_py + (ty_i * tile_h).astype(jnp.float32))[..., None]
+        px = local_px + (tx_i * tile_w).astype(jnp.float32)
+        py = local_py + (ty_i * tile_h).astype(jnp.float32)
 
         def body(carry, chunk_slice):
             c_ids, c_xy, c_z, c_valid, c_s, c_inv = chunk_slice
             depth, tid, b0c, b1c = carry
             cov, zc, b0, b1 = _chunk_coverage(c_xy, c_z, c_valid, c_s, c_inv, px, py)
-            # order-aware reduce within chunk: argmin/argmax picks the
-            # best depth; XLA argmin takes the FIRST on ties = submission order
-            key = jnp.where(cov, zc, _INF if not greater else -_INF)
-            best = (
-                jnp.argmax(key, axis=-1) if greater else jnp.argmin(key, axis=-1)
+            # order-aware reduce within chunk, gather-free: pick the best
+            # depth by axis-0 min/max, break ties to the LOWEST candidate
+            # slot (submission order), then select that winner's values via
+            # masked sums — pure VPU reduces on [C,TH,TW].
+            big = _INF if not greater else -_INF
+            key = jnp.where(cov, zc, big)
+            z_best = jnp.max(key, axis=0) if greater else jnp.min(key, axis=0)
+            cov_best = jnp.any(cov & (zc == z_best[None]), axis=0)
+            slot = jax.lax.broadcasted_iota(jnp.int32, cov.shape, 0)
+            winners = cov & (zc == z_best[None])
+            slot_best = jnp.min(jnp.where(winners, slot, chunk), axis=0)
+            unique = winners & (slot == slot_best[None])
+            uf = unique.astype(zc.dtype)
+            b0_best = jnp.sum(b0 * uf, axis=0)
+            b1_best = jnp.sum(b1 * uf, axis=0)
+            id_best = jnp.sum(
+                jnp.where(unique, c_ids.reshape(-1, 1, 1), 0), axis=0
             )
-            take = jnp.take_along_axis
-            bbest = best[..., None]
-            z_best = take(zc, bbest, -1)[..., 0]
-            cov_best = take(cov, bbest, -1)[..., 0]
-            b0_best = take(b0, bbest, -1)[..., 0]
-            b1_best = take(b1, bbest, -1)[..., 0]
-            id_best = take(jnp.broadcast_to(c_ids, cov.shape), bbest, -1)[..., 0]
             if use_depth_test:
                 if pipeline.depth_compare_op == CompareOp.LESS:
                     pass_d = z_best < depth
@@ -284,14 +304,78 @@ def rasterize_depth_only_binned(
     depth_init: jnp.ndarray | None = None,
     tile_h: int = 32,
     tile_w: int = 128,
-    cap: int = 512,
-    chunk: int = 16,
+    cap: int = 2048,
+    chunk: int = 32,
 ) -> jnp.ndarray:
-    """Depth-only binned pass (shadow maps): pure min/max reduce per tile."""
-    vis = rasterize_binned(
-        setup, height, width, pipeline, depth_init, tile_h, tile_w, cap, chunk
+    """Depth-only binned pass (shadow maps): pure min (or max) reduce per
+    tile — order-free and several times cheaper than the full visibility
+    kernel (no winner selection at all). ≙ the depth-only shadow pipeline
+    (vertex/shadow.hlsl + empty PS)."""
+    greater = pipeline.depth_compare_op in (
+        CompareOp.GREATER,
+        CompareOp.GREATER_OR_EQUAL,
     )
-    return vis.depth
+    t = setup.num_triangles
+    cap = min(cap, max(t, chunk))
+    cap = _cdiv(cap, chunk) * chunk
+
+    tri_idx, _, nty, ntx = bin_triangles(setup, height, width, tile_h, tile_w, cap)
+    n_tiles = nty * ntx
+    safe_idx = jnp.minimum(tri_idx, t - 1)
+    in_range = tri_idx < t
+    xy_b = setup.xy[safe_idx]
+    z_b = setup.z[safe_idx]
+    valid_b = setup.valid[safe_idx] & in_range
+    area_b = setup.area2[safe_idx]
+    s_b = jnp.sign(area_b)
+    area_abs = jnp.abs(area_b)
+    inv_area_b = jnp.where(area_abs > 0.0, 1.0 / jnp.maximum(area_abs, 1e-30), 0.0)
+
+    hp, wp = nty * tile_h, ntx * tile_w
+    if depth_init is None:
+        depth_init = jnp.ones((height, width), jnp.float32)
+    dpad = jnp.pad(
+        depth_init,
+        ((0, hp - height), (0, wp - width)),
+        constant_values=-jnp.inf if greater else jnp.inf,
+    )
+    depth_tiles = dpad.reshape(nty, tile_h, ntx, tile_w).transpose(0, 2, 1, 3)
+    depth_tiles = depth_tiles.reshape(n_tiles, tile_h, tile_w)
+
+    ty = jnp.arange(n_tiles, dtype=jnp.int32) // ntx
+    tx = jnp.arange(n_tiles, dtype=jnp.int32) % ntx
+    local_py = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0) + 0.5
+    local_px = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1) + 0.5
+
+    def tile_fn(xy, z, valid, s, inv_area, d_init, ty_i, tx_i):
+        px = local_px + (tx_i * tile_w).astype(jnp.float32)
+        py = local_py + (ty_i * tile_h).astype(jnp.float32)
+
+        def body(depth, chunk_slice):
+            c_xy, c_z, c_valid, c_s, c_inv = chunk_slice
+            cov, zc, _, _ = _chunk_coverage(c_xy, c_z, c_valid, c_s, c_inv, px, py)
+            big = -_INF if greater else _INF
+            key = jnp.where(cov, zc, big)
+            zbest = jnp.max(key, axis=0) if greater else jnp.min(key, axis=0)
+            depth = jnp.maximum(depth, zbest) if greater else jnp.minimum(depth, zbest)
+            return depth, None
+
+        n_chunks = cap // chunk
+        chunks = (
+            xy.reshape(n_chunks, chunk, 3, 2),
+            z.reshape(n_chunks, chunk, 3),
+            valid.reshape(n_chunks, chunk),
+            s.reshape(n_chunks, chunk),
+            inv_area.reshape(n_chunks, chunk),
+        )
+        depth, _ = jax.lax.scan(body, d_init, chunks)
+        return depth
+
+    depth_t = jax.vmap(tile_fn)(
+        xy_b, z_b, valid_b, s_b, inv_area_b, depth_tiles, ty, tx
+    )
+    full = depth_t.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3)
+    return full.reshape(hp, wp)[:height, :width]
 
 
 def supports_binned(pipeline: GraphicsPipeline, num_triangles: int, threshold: int = 64) -> bool:

@@ -52,7 +52,13 @@ def _project_to_shadow_uv(
     )
     ndc = clip / jnp.maximum(jnp.abs(w), 1e-12)[..., None] * jnp.sign(w)[..., None]
     u = ndc[..., 0] * 0.5 + 0.5
-    v = 1.0 - (ndc[..., 1] * 0.5 + 0.5)  # Vulkan Y-flip (shadow.hlsli:67)
+    # NOTE: the reference flips v here (shadow.hlsli:67) because HLSL sampler
+    # V runs opposite to the Vulkan framebuffer Y it rendered with. Our
+    # software rasterizer writes shadow-map row = (ndc.y*0.5+0.5)*S, and our
+    # sampler's v axis IS the row axis — so no flip: the two conventions
+    # already agree. (A mirrored lookup here shadows the wrong half of the
+    # scene; caught by the floor self-shadow drive.)
+    v = ndc[..., 1] * 0.5 + 0.5
     return jnp.stack([u, v], axis=-1), ndc[..., 2]
 
 

@@ -32,6 +32,7 @@ from renderer_rs_tpu.ops.raster import (
 )
 from renderer_rs_tpu.ops.raster_binned import (
     rasterize_binned,
+    rasterize_depth_only_binned,
     supports_binned,
 )
 from renderer_rs_tpu.ops.shadow import ShadowParams, calculate_shadow
@@ -96,13 +97,16 @@ def vertex_stage(scene: GpuScene, layout: SceneLayout) -> VertexStageOut:
     )
 
 
-def shadow_vertex_stage(scene: GpuScene, layout: SceneLayout) -> jnp.ndarray:
+def shadow_vertex_stage(
+    scene: GpuScene, layout: SceneLayout, light_matrix=None
+) -> jnp.ndarray:
     """Light-space positions (≙ vertex/shadow.hlsl:22-33:
     lightSpaceMatrix * model * pos)."""
+    lsm = light_matrix if light_matrix is not None else scene.light_space_matrix
     clips = []
     for o, (v0, nv, _, _) in enumerate(layout.object_ranges):
         pos = scene.positions[v0 : v0 + nv]
-        m = scene.light_space_matrix @ scene.models[o]
+        m = lsm @ scene.models[o]
         homo = jnp.concatenate([pos, jnp.ones((nv, 1), pos.dtype)], axis=-1)
         clips.append(homo @ m.T)
     return jnp.concatenate(clips)
@@ -131,17 +135,32 @@ def _rasterize_dispatch(setup, height, width, pipeline, num_triangles):
     return rasterize(setup, height, width, pipeline)
 
 
-def shadow_map_pass(scene: GpuScene, layout: SceneLayout, size: int) -> jnp.ndarray:
+def shadow_map_pass(
+    scene: GpuScene, layout: SceneLayout, size: int, light_matrix=None
+) -> jnp.ndarray:
     """Depth-only sun shadow render (≙ the shadow pass, depth-only pipeline)."""
-    clip = shadow_vertex_stage(scene, layout)
+    clip = shadow_vertex_stage(scene, layout, light_matrix)
     setup = setup_triangles(
         gather_triangle_clip(clip, scene.tris), size, size, _SHADOW_PIPELINE
     )
     if supports_binned(_SHADOW_PIPELINE, layout.num_triangles):
-        return rasterize_binned(
+        return rasterize_depth_only_binned(
             setup, size, size, _SHADOW_PIPELINE, cap=_binned_cap(layout.num_triangles)
-        ).depth
+        )
     return rasterize_depth_only(setup, size, size, _SHADOW_PIPELINE)
+
+
+def csm_shadow_pass(scene: GpuScene, layout: SceneLayout, size: int) -> jnp.ndarray:
+    """Render the 4-cascade shadow array [C,S,S] (≙ the Texture2DArray the
+    CSM shader samples, shadow_csm.hlsli:94-166)."""
+    from renderer_rs_tpu.ops.csm import CASCADE_COUNT
+
+    return jnp.stack(
+        [
+            shadow_map_pass(scene, layout, size, scene.csm_matrices[c])
+            for c in range(CASCADE_COUNT)
+        ]
+    )
 
 
 def _shade_pixels(
@@ -226,9 +245,28 @@ def _shade_pixels(
     view_dir = normalize(scene.camera.camera_position - world_pos)
     lights = scene.lights
 
-    # --- sun shadow factor (shadow.hlsli) ------------------------------------
+    # --- sun shadow factor (shadow.hlsli / shadow_csm.hlsli) -----------------
     sun_dir = normalize(-lights.sun_direction)  # surface -> light
-    if layout.has_shadow and shadow_map is not None:
+    if layout.has_csm and shadow_map is not None:
+        # shadow_map is the [C,S,S] cascade array; fragment NDC depth selects
+        # the cascade (≙ CalculateShadowCSMBlended with SV_Position.z)
+        from renderer_rs_tpu.ops.csm import CSMParams, calculate_shadow_csm_blended
+
+        shadow = calculate_shadow_csm_blended(
+            shadow_map,
+            scene.csm_matrices,
+            scene.csm_splits,
+            world_pos,
+            normal,
+            jnp.broadcast_to(sun_dir, world_pos.shape),
+            vis.depth,
+            CSMParams(
+                shadow_bias=shadow_params.shadow_bias,
+                normal_bias=shadow_params.normal_bias,
+                pcf=shadow_params.pcf,
+            ),
+        )[..., None]
+    elif layout.has_shadow and shadow_map is not None:
         shadow = calculate_shadow(
             shadow_map,
             scene.light_space_matrix,
@@ -341,9 +379,12 @@ def forward_frame(
     full `height`-row framebuffer — the unit of multi-chip row sharding
     (parallel/tile_shard.py). y_offset may be a traced value.
     """
-    shadow_map = (
-        shadow_map_pass(scene, layout, shadow_map_size) if layout.has_shadow else None
-    )
+    if layout.has_csm:
+        shadow_map = csm_shadow_pass(scene, layout, shadow_map_size)
+    elif layout.has_shadow:
+        shadow_map = shadow_map_pass(scene, layout, shadow_map_size)
+    else:
+        shadow_map = None
 
     vs = vertex_stage(scene, layout)
     # viewport transform always uses the FULL framebuffer extent

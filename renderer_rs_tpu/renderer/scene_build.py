@@ -74,6 +74,9 @@ class GpuScene:
     textures: TextureArrays | None = None
     environment: Environment | None = None
     light_space_matrix: Any | None = None  # [4,4] sun shadow matrix
+    # cascaded shadow maps (≙ CSMParams cbuffer data, shadow_csm.hlsli:31-40)
+    csm_matrices: Any | None = None  # [C,4,4]
+    csm_splits: Any | None = None  # [C] NDC split depths
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,6 +93,7 @@ class SceneLayout:
     has_textures: bool = False
     has_environment: bool = False
     has_shadow: bool = False
+    has_csm: bool = False
     # which of the 5 texture slots (base/normal/mr/ao/emissive) any material
     # actually uses — unused slots are never traced (the static form of the
     # hasXTexture flags, model_pbr.hlsl:57-63)
@@ -112,6 +116,8 @@ class SceneBuilder:
         self._textures: TextureArrays | None = None
         self._environment: Environment | None = None
         self._light_space_matrix = None
+        self._csm_matrices = None
+        self._csm_splits = None
 
     # --- geometry -----------------------------------------------------------
     def add_mesh(
@@ -189,6 +195,12 @@ class SceneBuilder:
         self._light_space_matrix = jnp.asarray(light_space_matrix, jnp.float32)
         return self
 
+    def set_csm(self, cascade_matrices, split_depths) -> "SceneBuilder":
+        """Enable cascaded shadow maps (use ops.csm.fit_cascades to build)."""
+        self._csm_matrices = jnp.asarray(cascade_matrices, jnp.float32)
+        self._csm_splits = jnp.asarray(split_depths, jnp.float32)
+        return self
+
     # --- build -------------------------------------------------------------------
     def build(self) -> tuple[GpuScene, SceneLayout]:
         if not self._meshes:
@@ -234,6 +246,8 @@ class SceneBuilder:
             textures=self._textures,
             environment=self._environment,
             light_space_matrix=self._light_space_matrix,
+            csm_matrices=self._csm_matrices,
+            csm_splits=self._csm_splits,
         )
         slot_used = tuple(
             any(
@@ -255,6 +269,7 @@ class SceneBuilder:
             has_textures=self._textures is not None,
             has_environment=self._environment is not None,
             has_shadow=self._light_space_matrix is not None,
+            has_csm=self._csm_matrices is not None,
             texture_slots=slot_used if self._textures is not None else (False,) * 5,
         )
         return scene, layout

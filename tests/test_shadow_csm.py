@@ -1,0 +1,176 @@
+"""Shadow mapping + CSM tests (shadow.hlsli / shadow_csm.hlsli semantics)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from renderer_rs_tpu.ops.csm import (
+    CASCADE_COUNT,
+    CSMParams,
+    calculate_shadow_csm,
+    calculate_shadow_csm_blended,
+    cascade_debug_color,
+    fit_cascades,
+    practical_split_depths,
+    select_cascade,
+)
+from renderer_rs_tpu.ops.shadow import (
+    ShadowParams,
+    calculate_shadow,
+    directional_light_matrix,
+)
+from renderer_rs_tpu.scene.camera import Camera, Projection
+
+
+def test_shadow_out_of_bounds_is_lit():
+    """Fragments outside the shadow frustum return fully lit
+    (shadow.hlsli:69-77)."""
+    sm = jnp.zeros((16, 16), jnp.float32)  # everything occluded
+    lsm = jnp.eye(4)
+    far_pos = jnp.array([[10.0, 0.0, 0.0]])  # ndc x=10 -> out of bounds
+    lit = calculate_shadow(sm, lsm, far_pos, jnp.array([[0.0, 1.0, 0.0]]),
+                           jnp.array([[0.0, 1.0, 0.0]]))
+    np.testing.assert_allclose(np.asarray(lit), 1.0)
+
+
+def test_shadow_occluded_vs_lit():
+    """Point behind the stored depth is shadowed; in front is lit."""
+    lsm = jnp.asarray(
+        directional_light_matrix(
+            jnp.array([0.0, -1.0, 0.0]), jnp.zeros(3), 5.0
+        )
+    )
+    sm_occluded = jnp.zeros((64, 64), jnp.float32)  # blocker at depth 0
+    sm_open = jnp.ones((64, 64), jnp.float32)
+    pos = jnp.array([[0.0, 0.0, 0.0]])
+    n = jnp.array([[0.0, 1.0, 0.0]])
+    l = jnp.array([[0.0, 1.0, 0.0]])
+    params = ShadowParams(pcf=False)
+    lit_occ = float(calculate_shadow(sm_occluded, lsm, pos, n, l, params)[0])
+    lit_open = float(calculate_shadow(sm_open, lsm, pos, n, l, params)[0])
+    assert lit_occ == 0.0
+    assert lit_open == 1.0
+
+
+def test_shadow_strength_lerp():
+    """strength=0.5 -> halfway between lit and shadowed (shadow.hlsli:125-128)."""
+    lsm = jnp.asarray(
+        directional_light_matrix(jnp.array([0.0, -1.0, 0.0]), jnp.zeros(3), 5.0)
+    )
+    sm = jnp.zeros((64, 64), jnp.float32)
+    pos = jnp.array([[0.0, 0.0, 0.0]])
+    n = l = jnp.array([[0.0, 1.0, 0.0]])
+    half = float(
+        calculate_shadow(sm, lsm, pos, n, l, ShadowParams(shadow_strength=0.5, pcf=False))[0]
+    )
+    assert abs(half - 0.5) < 1e-6
+
+
+def test_pcf_soft_edge():
+    """PCF at a blocker edge gives a fractional factor."""
+    lsm = jnp.asarray(
+        directional_light_matrix(jnp.array([0.0, -1.0, 0.0]), jnp.zeros(3), 5.0)
+    )
+    sm = jnp.ones((64, 64), jnp.float32)
+    sm = sm.at[:, :32].set(0.0)  # left half blocked
+    n = l = jnp.array([[0.0, 1.0, 0.0]])
+    # position near the blocker boundary in light space
+    pos = jnp.array([[0.0, 0.0, 0.0]])
+    lit = float(calculate_shadow(sm, lsm, pos, n, l, ShadowParams())[0])
+    assert 0.0 < lit < 1.0
+
+
+def test_select_cascade():
+    splits = jnp.array([0.25, 0.5, 0.75, 1.0])
+    depth = jnp.array([0.1, 0.3, 0.6, 0.9])
+    idx = np.asarray(select_cascade(splits, depth))
+    np.testing.assert_array_equal(idx, [0, 1, 2, 3])
+
+
+def test_cascade_debug_colors():
+    splits = jnp.array([0.25, 0.5, 0.75, 1.0])
+    c = np.asarray(cascade_debug_color(splits, jnp.array([0.1, 0.9])))
+    np.testing.assert_allclose(c[0], [1, 0, 0])
+    np.testing.assert_allclose(c[1], [1, 1, 0])
+
+
+def test_practical_splits_monotonic():
+    s = practical_split_depths(0.1, 100.0)
+    assert len(s) == CASCADE_COUNT
+    assert np.all(np.diff(s) > 0)
+    assert abs(s[-1] - 100.0) < 1e-4
+
+
+def test_fit_cascades_shapes_and_containment():
+    cam = Camera(Projection.perspective(math.radians(60), 16 / 9, 0.1, 50.0))
+    cam.position = np.array([0.0, 2.0, 5.0], np.float32)
+    cam.look_at([0.0, 0.0, 0.0])
+    mats, splits = fit_cascades(cam, [-0.5, -1.0, -0.3])
+    assert mats.shape == (CASCADE_COUNT, 4, 4)
+    assert splits.shape == (CASCADE_COUNT,)
+    assert np.all(np.diff(splits) > 0)  # NDC splits increase
+    # a world point in the near frustum slice projects inside cascade 0's box
+    p = np.array([0.0, 0.0, 0.0, 1.0], np.float32)
+    h = mats[0] @ p
+    ndc = h[:3] / h[3]
+    assert np.all(np.abs(ndc[:2]) <= 1.0) and 0.0 <= ndc[2] <= 1.0
+
+
+def test_csm_occlusion_per_cascade():
+    """Cascade selection routes to the right map: cascade 0 blocked,
+    cascade 1 open."""
+    s = 32
+    maps = jnp.stack(
+        [
+            jnp.zeros((s, s), jnp.float32),  # cascade 0: blocked
+            jnp.ones((s, s), jnp.float32),  # cascade 1: open
+            jnp.ones((s, s), jnp.float32),
+            jnp.ones((s, s), jnp.float32),
+        ]
+    )
+    ident = jnp.broadcast_to(jnp.eye(4), (CASCADE_COUNT, 4, 4))
+    splits = jnp.array([0.5, 0.8, 0.9, 1.0])
+    pos = jnp.array([[0.0, 0.0, 0.5]])  # projects to uv center, depth 0.5
+    n = l = jnp.array([[0.0, 0.0, -1.0]])
+    params = CSMParams(pcf=False, normal_bias=0.0)
+    near = float(
+        calculate_shadow_csm(maps, ident, splits, pos, n, l, jnp.array([0.1]), params)[0]
+    )
+    far = float(
+        calculate_shadow_csm(maps, ident, splits, pos, n, l, jnp.array([0.7]), params)[0]
+    )
+    assert near == 0.0  # cascade 0, blocked
+    assert far == 1.0  # cascade 1, open
+
+
+def test_csm_blended_transitions():
+    """Inside the blend region the factor interpolates between cascades."""
+    s = 16
+    maps = jnp.stack(
+        [
+            jnp.zeros((s, s), jnp.float32),
+            jnp.ones((s, s), jnp.float32),
+            jnp.ones((s, s), jnp.float32),
+            jnp.ones((s, s), jnp.float32),
+        ]
+    )
+    ident = jnp.broadcast_to(jnp.eye(4), (CASCADE_COUNT, 4, 4))
+    splits = jnp.array([0.5, 0.8, 0.9, 1.0])
+    pos = jnp.array([[0.0, 0.0, 0.5]])
+    n = l = jnp.array([[0.0, 0.0, -1.0]])
+    params = CSMParams(pcf=False, normal_bias=0.0, blend_threshold=0.2)
+    # depth just inside the blend region before split 0 (0.5): region=0.1
+    mid = float(
+        calculate_shadow_csm_blended(
+            maps, ident, splits, pos, n, l, jnp.array([0.45]), params
+        )[0]
+    )
+    assert 0.0 < mid < 1.0
+    # far from the boundary: pure cascade 0
+    pure = float(
+        calculate_shadow_csm_blended(
+            maps, ident, splits, pos, n, l, jnp.array([0.2]), params
+        )[0]
+    )
+    assert pure == 0.0
