@@ -57,33 +57,14 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def bin_triangles(
-    setup: TriangleSetup,
-    height: int,
-    width: int,
-    tile_h: int,
-    tile_w: int,
-    cap: int,
-) -> tuple[jnp.ndarray, jnp.ndarray, int, int]:
-    """Build per-tile triangle lists.
-
-    Returns (tri_idx [n_tiles, cap] int32 — padded with T, counts [n_tiles],
-    nty, ntx). Truncation: tiles overlapping more than `cap` triangles keep
-    the first `cap` in submission order (documented bound; raise cap or
-    shrink tiles for pathological scenes).
-    """
-    t = setup.num_triangles
-    nty, ntx = _cdiv(height, tile_h), _cdiv(width, tile_w)
-
+def _tile_ranges(setup, height, width, tile_h, tile_w, nty, ntx):
+    """Per-triangle inclusive tile AABB ranges + liveness."""
     xs = setup.xy[..., 0]  # [T,3]
     ys = setup.xy[..., 1]
-    # AABB -> inclusive tile ranges (pixel centers at +0.5 can't extend
-    # coverage past ceil/floor of the vertex bounds)
     tx0 = jnp.clip(jnp.floor(jnp.min(xs, -1) / tile_w).astype(jnp.int32), 0, ntx - 1)
     tx1 = jnp.clip(jnp.floor(jnp.max(xs, -1) / tile_w).astype(jnp.int32), 0, ntx - 1)
     ty0 = jnp.clip(jnp.floor(jnp.min(ys, -1) / tile_h).astype(jnp.int32), 0, nty - 1)
     ty1 = jnp.clip(jnp.floor(jnp.max(ys, -1) / tile_h).astype(jnp.int32), 0, nty - 1)
-    # fully offscreen triangles
     onscreen = (
         (jnp.max(xs, -1) >= 0.0)
         & (jnp.min(xs, -1) <= width)
@@ -91,6 +72,28 @@ def bin_triangles(
         & (jnp.min(ys, -1) <= height)
     )
     alive = setup.valid & onscreen
+    return tx0, tx1, ty0, ty1, alive
+
+
+def bin_triangles_dense(
+    setup: TriangleSetup,
+    height: int,
+    width: int,
+    tile_h: int,
+    tile_w: int,
+    cap: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, int, int]:
+    """Dense-overlap binning (reference implementation, O(n_tiles*T)).
+
+    Returns (tri_idx [n_tiles, cap] int32 — padded with T, counts [n_tiles],
+    nty, ntx). Truncation: tiles overlapping more than `cap` triangles keep
+    the first `cap` in submission order.
+    """
+    t = setup.num_triangles
+    nty, ntx = _cdiv(height, tile_h), _cdiv(width, tile_w)
+    tx0, tx1, ty0, ty1, alive = _tile_ranges(
+        setup, height, width, tile_h, tile_w, nty, ntx
+    )
 
     tile_y = jnp.arange(nty, dtype=jnp.int32)
     tile_x = jnp.arange(ntx, dtype=jnp.int32)
@@ -108,6 +111,90 @@ def bin_triangles(
     tri_idx = -neg_top  # ascending triangle index; padded with t
     if k < cap:
         tri_idx = jnp.pad(tri_idx, ((0, 0), (0, cap - k)), constant_values=t)
+    return tri_idx, counts, nty, ntx
+
+
+def bin_triangles(
+    setup: TriangleSetup,
+    height: int,
+    width: int,
+    tile_h: int,
+    tile_w: int,
+    cap: int,
+    max_span_y: int = 2,
+    max_span_x: int = 4,
+    cap_big: int = 64,
+) -> tuple[jnp.ndarray, jnp.ndarray, int, int]:
+    """Sort-based binning — O(T·slots·logT) instead of O(n_tiles·T).
+
+    Small triangles (tile span ≤ max_span_y × max_span_x) expand into
+    (tile, tri) pairs and are lexsorted into per-tile segments; larger
+    triangles (there are few: floors, skyquads) go through a dense side list
+    of up to cap_big entries that is merged per tile. Lists stay sorted by
+    triangle id, so results are identical to bin_triangles_dense (same
+    membership, same order) — asserted by tests.
+    """
+    t = setup.num_triangles
+    nty, ntx = _cdiv(height, tile_h), _cdiv(width, tile_w)
+    n_tiles = nty * ntx
+    tx0, tx1, ty0, ty1, alive = _tile_ranges(
+        setup, height, width, tile_h, tile_w, nty, ntx
+    )
+
+    span_ok = ((tx1 - tx0) < max_span_x) & ((ty1 - ty0) < max_span_y)
+    small = alive & span_ok
+    big = alive & ~span_ok
+
+    # --- small path: expand -> lexsort -> segment extract ------------------
+    sy = jnp.arange(max_span_y, dtype=jnp.int32)
+    sx = jnp.arange(max_span_x, dtype=jnp.int32)
+    tys = ty0[:, None, None] + sy[None, :, None]  # [T, sy, 1]
+    txs = tx0[:, None, None] + sx[None, None, :]  # [T, 1, sx]
+    slot_ok = (
+        small[:, None, None] & (tys <= ty1[:, None, None]) & (txs <= tx1[:, None, None])
+    )  # [T, sy, sx]
+    tile_ids = tys * ntx + txs  # broadcasts to [T, sy, sx]
+    tile_ids = jnp.broadcast_to(tile_ids, slot_ok.shape)
+    tri_ids = jnp.broadcast_to(
+        jnp.arange(t, dtype=jnp.int32)[:, None, None], slot_ok.shape
+    )
+    flat_tiles = jnp.where(slot_ok, tile_ids, n_tiles).reshape(-1)
+    flat_tris = jnp.where(slot_ok, tri_ids, t).reshape(-1)
+    # lexicographic (tile, tri) sort keeps submission order within a tile
+    sorted_tiles, sorted_tris = jax.lax.sort(
+        (flat_tiles, flat_tris), num_keys=2
+    )
+    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
+    seg_start = jnp.searchsorted(sorted_tiles, tile_range, side="left")
+    seg_end = jnp.searchsorted(sorted_tiles, tile_range, side="right")
+    counts_small = (seg_end - seg_start).astype(jnp.int32)
+    take = seg_start[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+    in_seg = take < seg_end[:, None]
+    idx_small = jnp.where(
+        in_seg, sorted_tris[jnp.minimum(take, sorted_tris.shape[0] - 1)], t
+    )  # [n_tiles, cap], padded with t
+
+    # --- big path: dense over a tiny list ------------------------------------
+    big_keys = jnp.where(big, jnp.arange(t, dtype=jnp.int32), t)
+    kb = min(cap_big, t)
+    big_ids = -jax.lax.top_k(-big_keys, kb)[0]  # ascending, padded with t
+    bsafe = jnp.minimum(big_ids, t - 1)
+    b_alive = big_ids < t
+    oy = (tile_range[:, None] // ntx >= ty0[bsafe][None, :]) & (
+        tile_range[:, None] // ntx <= ty1[bsafe][None, :]
+    )
+    ox = (tile_range[:, None] % ntx >= tx0[bsafe][None, :]) & (
+        tile_range[:, None] % ntx <= tx1[bsafe][None, :]
+    )
+    big_overlap = oy & ox & b_alive[None, :]  # [n_tiles, kb]
+    idx_big = jnp.where(big_overlap, big_ids[None, :], t)
+
+    # --- merge (both ascending by id; sort of cap+kb keeps global order) ----
+    merged = jnp.sort(jnp.concatenate([idx_small, idx_big], axis=-1), axis=-1)
+    tri_idx = merged[:, :cap]
+    counts = jnp.minimum(
+        counts_small + jnp.sum(big_overlap, axis=-1).astype(jnp.int32), cap
+    )
     return tri_idx, counts, nty, ntx
 
 

@@ -1,0 +1,356 @@
+"""Pallas TPU rasterization kernel — per-tile dynamic triangle counts.
+
+The XLA binned rasterizer (raster_binned.py) must process a static `cap` of
+candidates per tile, so sparse tiles burn the same work as dense ones. This
+Pallas kernel keeps the same binning and the same chunk math, but each tile's
+grid step loops only ceil(count/chunk) times (dynamic fori over the
+scalar-prefetched per-tile counts) — work becomes proportional to the actual
+binned triangles, not the cap.
+
+Layout (pallas_guide.md rules):
+- grid = (n_tiles,); per-step BlockSpecs slice one tile's binned data into
+  VMEM: xyz coeffs [cap, 8], ids [cap], plus the tile's depth-init block.
+- all candidate math is [chunk, TH, TW] with TW = 128 lanes / TH sublanes;
+  reductions are axis-0 (major), never lane-dim; no gathers in the kernel.
+- identical edge functions as the scan/XLA paths -> bit-identical coverage.
+
+Used automatically on TPU by renderer/passes dispatch; the XLA path remains
+the portable fallback (and the exactness oracle in tests).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from renderer_rs_tpu.ops.raster import TriangleSetup, VisibilityBuffer
+from renderer_rs_tpu.ops.raster_binned import (
+    _cdiv,
+    bin_triangles,
+)
+from renderer_rs_tpu.rhi.pipeline import CompareOp, GraphicsPipeline
+
+_INF = jnp.float32(jnp.inf)
+
+
+def _canonical_edges(xy, s):
+    """Precompute (outside the kernel) per-edge canonical endpoints, the
+    composed sign, and top-left flags, vectorized over [..., 3, 2] triangles.
+
+    Returns a list of 3 dicts of [...]-shaped arrays: ax, ay, bx, by,
+    sgn (= orientation sign x canonical-swap sign; multiplying the raw edge
+    value by sgn is an EXACT operation, so the kernel stays bit-identical to
+    the scan path's _edge), tl (top-left flag as 0/1 float).
+    """
+    edges = []
+    # edge i is opposite vertex i: (1,2), (2,0), (0,1)
+    for a, b in ((1, 2), (2, 0), (0, 1)):
+        ax, ay = xy[..., a, 0], xy[..., a, 1]
+        bx, by = xy[..., b, 0], xy[..., b, 1]
+        swap = (ay > by) | ((ay == by) & (ax > bx))
+        cax = jnp.where(swap, bx, ax)
+        cay = jnp.where(swap, by, ay)
+        cbx = jnp.where(swap, ax, bx)
+        cby = jnp.where(swap, ay, by)
+        sgn = jnp.where(swap, -s, s)
+        # top-left on the s-normalized LOGICAL direction d = s*(b-a)
+        dx = s * (bx - ax)
+        dy = s * (by - ay)
+        tl = ((dy < 0.0) | ((dy == 0.0) & (dx > 0.0))).astype(jnp.float32)
+        edges.append(dict(ax=cax, ay=cay, bx=cbx, by=cby, sgn=sgn, tl=tl))
+    return edges
+
+
+def _kernel_edge(ax, ay, bx, by, sgn, px, py):
+    """Raw canonical edge value x composed sign — identical arithmetic to
+    raster.py's _edge (the sign multiply is exact)."""
+    return sgn * ((bx - ax) * (py - ay) - (by - ay) * (px - ax))
+
+
+def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_only):
+    greater = pipeline.depth_compare_op in (
+        CompareOp.GREATER,
+        CompareOp.GREATER_OR_EQUAL,
+    )
+    op = pipeline.depth_compare_op
+    use_depth_test = pipeline.depth_test_enable
+    write_depth = pipeline.depth_write_enable
+    big = float("-inf") if greater else float("inf")  # python scalar: no capture
+
+    def kernel(counts_ref, tilepos_ref, coef_hbm, dinit_ref, *outs_and_scratch):
+        *outs, coef_ref, dma_sem = outs_and_scratch
+        if depth_only:
+            (depth_out,) = outs
+        else:
+            depth_out, tid_out, b0_out, b1_out = outs
+        i = pl.program_id(0)
+        count = counts_ref[i]
+        ty = tilepos_ref[2 * i]
+        tx = tilepos_ref[2 * i + 1]
+
+        # Coefficients live in HBM as a flat [n_tiles*cap, 128] matrix
+        # (width padded to one lane tile — narrower HBM slices trip Mosaic).
+        # Each loop iteration DMAs just its [chunk, 128] slab, so HBM traffic
+        # is proportional to the tile's actual triangle count.
+
+        # Mosaic iota must be integer-typed; cast to f32 after
+        py = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+            + 0.5
+            + (ty * tile_h).astype(jnp.float32)
+        )
+        px = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+            + 0.5
+            + (tx * tile_w).astype(jnp.float32)
+        )
+
+        depth_out[:] = dinit_ref[:]
+        if not depth_only:
+            tid_out[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+            b0_out[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+            b1_out[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+
+        n_chunks = (count + chunk - 1) // chunk
+
+        def get_dma(slot, j):
+            row0 = i * cap + j * chunk
+            return pltpu.make_async_copy(
+                coef_hbm.at[pl.ds(row0, chunk), :],
+                coef_ref.at[slot],
+                dma_sem.at[slot],
+            )
+
+        # warm-up: start the first slab
+        @pl.when(n_chunks > 0)
+        def _():
+            get_dma(0, 0).start()
+
+        def body(j, _):
+            slot = jax.lax.rem(j, 2)
+            # prefetch the next slab while this one computes (double buffer)
+            @pl.when(j + 1 < n_chunks)
+            def _():
+                get_dma(1 - slot, j + 1).start()
+
+            get_dma(slot, j).wait()
+            base = j * chunk
+            coefs = coef_ref[slot]  # [chunk, 128], first 24 cols used
+
+            def col(k):
+                return coefs[:, k : k + 1].reshape(chunk, 1, 1)
+
+            shape = (chunk, tile_h, tile_w)
+
+            def edge_cov(k0):
+                # columns: ax, ay, bx, by, sgn, tl
+                e = _kernel_edge(
+                    col(k0), col(k0 + 1), col(k0 + 2), col(k0 + 3), col(k0 + 4),
+                    px[None], py[None],
+                )
+                tl = jnp.broadcast_to(col(k0 + 5), shape)
+                cov_e = (e > 0.0) | ((e == 0.0) & (tl > 0.5))
+                return e, cov_e
+
+            e0, c0 = edge_cov(0)
+            e1, c1 = edge_cov(6)
+            e2, c2 = edge_cov(12)
+            validf = jnp.broadcast_to(col(22), shape)
+            cov = c0 & c1 & c2 & (validf > 0.5)
+            inv = col(21)
+            b0 = e0 * inv
+            b1 = e1 * inv
+            b2 = 1.0 - b0 - b1
+            zc = b0 * col(18) + b1 * col(19) + b2 * col(20)
+            cov = cov & (zc >= 0.0) & (zc <= 1.0)
+            # mask candidates beyond the tile's actual count
+            slot = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            cov = cov & ((base + slot[:, :1, :1]) < count)
+
+            key = jnp.where(cov, zc, big)
+            z_best = jnp.max(key, axis=0) if greater else jnp.min(key, axis=0)
+            depth = depth_out[:]
+            if depth_only:
+                depth_out[:] = (
+                    jnp.maximum(depth, z_best) if greater else jnp.minimum(depth, z_best)
+                )
+                return 0
+            winners = cov & (zc == z_best[None])
+            cov_best = jnp.any(winners, axis=0)
+            slot_best = jnp.min(jnp.where(winners, slot, chunk), axis=0)
+            unique = winners & (slot == slot_best[None])
+            uf = unique.astype(jnp.float32)
+            b0_best = jnp.sum(b0 * uf, axis=0)
+            b1_best = jnp.sum(b1 * uf, axis=0)
+            # ids ride in the coef matrix as floats (exact for < 2^24 tris)
+            ids = col(23)
+            id_best = jnp.sum(ids * uf, axis=0).astype(jnp.int32)
+
+            if use_depth_test:
+                if op == CompareOp.LESS:
+                    pass_d = z_best < depth
+                elif op == CompareOp.LESS_OR_EQUAL:
+                    pass_d = z_best <= depth
+                elif op == CompareOp.GREATER:
+                    pass_d = z_best > depth
+                else:
+                    pass_d = z_best >= depth
+                accept = cov_best & pass_d
+            else:
+                accept = cov_best
+            if write_depth:
+                depth_out[:] = jnp.where(accept, z_best, depth)
+            tid_out[:] = jnp.where(accept, id_best, tid_out[:])
+            b0_out[:] = jnp.where(accept, b0_best, b0_out[:])
+            b1_out[:] = jnp.where(accept, b1_best, b1_out[:])
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    return kernel
+
+
+def rasterize_binned_pallas(
+    setup: TriangleSetup,
+    height: int,
+    width: int,
+    pipeline: GraphicsPipeline,
+    depth_init: jnp.ndarray | None = None,
+    tile_h: int = 32,
+    tile_w: int = 128,
+    cap: int = 2048,
+    chunk: int = 64,
+    depth_only: bool = False,
+):
+    """Binned rasterization with per-tile dynamic trip counts (see module
+    docstring). Returns VisibilityBuffer, or just the depth array when
+    depth_only."""
+    t = setup.num_triangles
+    cap = min(cap, max(t, chunk))
+    cap = _cdiv(cap, chunk) * chunk
+
+    tri_idx, counts, nty, ntx = bin_triangles(
+        setup, height, width, tile_h, tile_w, cap
+    )
+    n_tiles = nty * ntx
+    counts = jnp.minimum(counts, cap)
+
+    safe_idx = jnp.minimum(tri_idx, t - 1)
+    in_range = tri_idx < t
+    xy = setup.xy[safe_idx]  # [n_tiles, cap, 3, 2]
+    z = setup.z[safe_idx]  # [n_tiles, cap, 3]
+    valid = (setup.valid[safe_idx] & in_range).astype(jnp.float32)
+    area = setup.area2[safe_idx]
+    s = jnp.sign(area)
+    area_abs = jnp.abs(area)
+    inv_area = jnp.where(area_abs > 0.0, 1.0 / jnp.maximum(area_abs, 1e-30), 0.0)
+
+    # coefficient matrix [n_tiles, cap, 24] in canonical edge form so the
+    # kernel needs no swap/bool logic on tiny vectors (Mosaic-friendly):
+    #   [0..5]   edge0: ax, ay, bx, by, sgn, tl
+    #   [6..11]  edge1
+    #   [12..17] edge2
+    #   [18..20] z0, z1, z2
+    #   [21]     inv_area (positive)
+    #   [22]     valid (0/1)
+    #   [23]     tri_id as f32 (exact below 2^24)
+    edges = _canonical_edges(xy, s)
+    cols = []
+    for e in edges:
+        cols += [e["ax"], e["ay"], e["bx"], e["by"], e["sgn"], e["tl"]]
+    cols += [z[..., 0], z[..., 1], z[..., 2]]
+    cols += [inv_area, valid, tri_idx.astype(jnp.float32)]
+    coef = jnp.stack(cols, axis=-1)  # [n_tiles, cap, 24]
+    # Lane-padded flat layout [n_tiles*cap, 128]: Mosaic only supports
+    # 128-wide HBM DMA slabs, and the in-kernel column extraction needs
+    # candidates in SUBLANES (lane->sublane reshapes don't lower). The 5.3x
+    # pad is pure HBM-write overhead in the XLA prep — bounded by keeping
+    # `cap` tight (see _binned_cap).
+    coef = jnp.pad(coef, ((0, 0), (0, 0), (0, 128 - coef.shape[-1])))
+    coef = coef.reshape(n_tiles * cap, 128)
+
+    greater = pipeline.depth_compare_op in (
+        CompareOp.GREATER,
+        CompareOp.GREATER_OR_EQUAL,
+    )
+    hp, wp = nty * tile_h, ntx * tile_w
+    if depth_init is None:
+        depth_init = jnp.ones((height, width), jnp.float32)
+    dpad = jnp.pad(
+        depth_init,
+        ((0, hp - height), (0, wp - width)),
+        constant_values=-jnp.inf if greater else jnp.inf,
+    )
+    depth_tiles = (
+        dpad.reshape(nty, tile_h, ntx, tile_w).transpose(0, 2, 1, 3).reshape(
+            n_tiles, tile_h, tile_w
+        )
+    )
+
+    tilepos = jnp.stack(
+        [jnp.arange(n_tiles, dtype=jnp.int32) // ntx,
+         jnp.arange(n_tiles, dtype=jnp.int32) % ntx],
+        axis=-1,
+    ).reshape(-1)  # interleaved [ty0, tx0, ty1, tx1, ...]
+
+    kernel = _make_kernel(pipeline, tile_h, tile_w, cap, chunk, depth_only)
+
+    out_shapes = [jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32)]
+    if not depth_only:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
+        ]
+
+    tile_block = pl.BlockSpec(
+        (1, tile_h, tile_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # counts, tilepos
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # coef stays in HBM
+            pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+            for _ in out_shapes
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    def wrapped_kernel(counts_ref, tilepos_ref, coef_hbm, dinit_ref, *rest):
+        # blocks carry a leading singleton tile dim; squeeze via views
+        kernel(
+            counts_ref,
+            tilepos_ref,
+            coef_hbm,
+            dinit_ref.at[0],
+            *(r.at[0] for r in rest[: len(rest) - 2]),
+            *rest[len(rest) - 2 :],
+        )
+
+    outs = pl.pallas_call(
+        wrapped_kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+    )(counts, tilepos, coef, depth_tiles)
+
+    def stitch(tiles):
+        full = tiles.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3)
+        return full.reshape(hp, wp)[:height, :width]
+
+    if depth_only:
+        return stitch(outs[0])
+    depth_t, tid_t, b0_t, b1_t = outs
+    return VisibilityBuffer(
+        tri_id=stitch(tid_t),
+        depth=stitch(depth_t),
+        bary=jnp.stack([stitch(b0_t), stitch(b1_t)], axis=-1),
+    )

@@ -231,24 +231,52 @@ def sample_cubemap(
 ) -> jnp.ndarray:
     """Sample a [6,H,W,C] cubemap level along directions [...,3].
 
-    Per-face bilinear (no seam blending across faces — matches basic HW
-    behavior well enough for skybox/IBL at the sizes used).
+    Per-face bilinear with clamp-to-edge (no seam blending across faces).
+    TPU note: the face axis is folded into the row index so each bilinear tap
+    is ONE gather from a [6*H, W, C] view — not six sampled faces + selects
+    (which cost 24 gathers/pixel and dominated the skybox pass).
     """
     face, uv = direction_to_cube_uv(d)
-    sampler = Sampler.linear_clamp()
-    out = (
-        sample_bilinear(faces[0], uv, sampler)
-        if bilinear
-        else sample_nearest(faces[0], uv, Sampler.nearest())
-    )
-    for f in range(1, 6):
-        s = (
-            sample_bilinear(faces[f], uv, sampler)
-            if bilinear
-            else sample_nearest(faces[f], uv, Sampler.nearest())
-        )
-        out = jnp.where((face == f)[..., None], s, out)
-    return out
+    h, w = faces.shape[1], faces.shape[2]
+    c = faces.shape[3]
+    row0 = face * h  # per-pixel face row offset
+
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    if not bilinear:
+        flat = faces.reshape(6 * h, w, c)
+        ix = jnp.clip(jnp.round(x).astype(jnp.int32), 0, w - 1)
+        iy = jnp.clip(jnp.round(y).astype(jnp.int32), 0, h - 1)
+        return flat[row0 + iy, ix]
+    # Pack each texel's 2x2 neighborhood (clamp-to-edge) into channels so the
+    # whole bilinear footprint is ONE row gather per pixel (the 4-gather
+    # version dominated the skybox pass at 1080p).
+    right = jnp.concatenate([faces[:, :, 1:], faces[:, :, -1:]], axis=2)
+    down = jnp.concatenate([faces[:, 1:], faces[:, -1:]], axis=1)
+    downright = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+    window = jnp.concatenate([faces, right, down, downright], axis=-1)
+    window = window.reshape(6 * h, w, 4 * c)
+
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0c = jnp.clip(x0, 0, w - 1)
+    y0c = jnp.clip(y0, 0, h - 1)
+    # Below-edge samples (x0 == -1) clamp BOTH taps to column 0 in the
+    # 4-gather form; the packed window's right-plane is column 1 there, so
+    # zero the fraction to reproduce the clamp. (Above-edge needs nothing:
+    # the window's edge planes already repeat the last column/row.)
+    fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
+    fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
+    taps = window[row0 + y0c, x0c]  # [...,4C]
+    t00 = taps[..., 0:c]
+    t10 = taps[..., c : 2 * c]
+    t01 = taps[..., 2 * c : 3 * c]
+    t11 = taps[..., 3 * c : 4 * c]
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
 
 
 def sample_cubemap_lod(mips: tuple, d: jnp.ndarray, lod: jnp.ndarray) -> jnp.ndarray:

@@ -106,14 +106,27 @@ def calculate_shadow(
 
     h, w = shadow_map.shape[0], shadow_map.shape[1]
     if params.pcf:
-        # 3x3 PCF (shadow.hlsli:100-123)
-        texel = jnp.array([1.0 / w, 1.0 / h], jnp.float32)
-        acc = 0.0
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                offset = jnp.array([dx, dy], jnp.float32) * texel
-                acc = acc + _compare_sample(shadow_map, uv + offset, current)
-        shadow = acc / 9.0
+        # 3x3 PCF (shadow.hlsli:100-123). The taps at uv + (dx,dy)*texel land
+        # on EXACTLY the 3x3 integer texel neighborhood (floor(u*S + d) ==
+        # floor(u*S) + d for integer d), so instead of 9 separate gathers we
+        # pre-shift the map into a 9-plane window (edge-clamped, matching the
+        # per-tap clamp) and fetch all taps with ONE gather — bit-identical,
+        # and ~9x less gather traffic on TPU.
+        padded = jnp.pad(shadow_map, 1, mode="edge")
+        window = jnp.stack(
+            [
+                padded[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ],
+            axis=-1,
+        )  # [H,W,9]
+        ix = jnp.clip(jnp.floor(uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+        iy = jnp.clip(jnp.floor(uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+        taps = window[iy, ix]  # [...,9]
+        shadow = jnp.mean(
+            jnp.where(taps >= current[..., None], 1.0, 0.0), axis=-1
+        )
     else:
         # hard variant (shadow.hlsli:131-182)
         shadow = _compare_sample(shadow_map, uv, current)

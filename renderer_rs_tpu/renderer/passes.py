@@ -120,18 +120,33 @@ _SHADOW_PIPELINE = (
 def _binned_cap(num_triangles: int, max_cap: int = 4096) -> int:
     """Per-tile triangle budget: enough for every triangle to land in one
     tile on small scenes; bounded for large ones (truncation risk documented
-    in raster_binned.py — the Pallas kernel with true per-tile counts is the
-    planned fix for pathological depth complexity)."""
+    in raster_binned.py). The Pallas kernel only pays for *actual* per-tile
+    counts, so a generous cap costs HBM allocation, not compute."""
     return min(max(num_triangles, 16), max_cap)
 
 
+def _use_pallas() -> bool:
+    """Pallas raster path only on real TPUs (interpret mode elsewhere is
+    slower than the XLA fallback, which is also the exactness oracle)."""
+    import jax
+
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
 def _rasterize_dispatch(setup, height, width, pipeline, num_triangles):
-    """Pick the tile-binned fast path when its semantics apply, else the
-    exact sequential scan (small scenes, blending, exotic compare ops)."""
+    """Pick the raster backend: the Pallas per-tile-count kernel on TPU, the
+    XLA binned path elsewhere, the exact sequential scan for small scenes /
+    blending / exotic compare ops."""
     if supports_binned(pipeline, num_triangles):
-        return rasterize_binned(
-            setup, height, width, pipeline, cap=_binned_cap(num_triangles)
-        )
+        cap = _binned_cap(num_triangles)
+        if _use_pallas():
+            from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
+
+            return rasterize_binned_pallas(setup, height, width, pipeline, cap=cap)
+        return rasterize_binned(setup, height, width, pipeline, cap=cap)
     return rasterize(setup, height, width, pipeline)
 
 
@@ -144,9 +159,14 @@ def shadow_map_pass(
         gather_triangle_clip(clip, scene.tris), size, size, _SHADOW_PIPELINE
     )
     if supports_binned(_SHADOW_PIPELINE, layout.num_triangles):
-        return rasterize_depth_only_binned(
-            setup, size, size, _SHADOW_PIPELINE, cap=_binned_cap(layout.num_triangles)
-        )
+        cap = _binned_cap(layout.num_triangles)
+        if _use_pallas():
+            from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
+
+            return rasterize_binned_pallas(
+                setup, size, size, _SHADOW_PIPELINE, cap=cap, depth_only=True
+            )
+        return rasterize_depth_only_binned(setup, size, size, _SHADOW_PIPELINE, cap=cap)
     return rasterize_depth_only(setup, size, size, _SHADOW_PIPELINE)
 
 
@@ -181,20 +201,43 @@ def _shade_pixels(
         return jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)
 
     # --- G-buffer interpolation (varyings of pixel/model_pbr.hlsl) ----------
-    world_pos = interpolate(vis, tris, vs.world_pos, bary3)
-    normal = normalize(interpolate(vis, tris, vs.world_normal, bary3))
-    uv = interpolate(vis, tris, scene.uvs, bary3)
+    # all varyings packed into ONE [V,K] matrix so the per-pixel vertex
+    # gather happens once (gathers, not math, dominate the shading pass)
+    packed = [vs.world_pos, vs.world_normal, scene.uvs]
+    if layout.texture_slots[1]:
+        packed.append(vs.world_tangent)
+    varying = interpolate(vis, tris, jnp.concatenate(packed, axis=-1), bary3)
+    world_pos = varying[..., 0:3]
+    normal = normalize(varying[..., 3:6])
+    uv = varying[..., 6:8]
 
-    # per-pixel material params via bank gather
+    # per-pixel material params via ONE packed bank gather
     tid = jnp.maximum(vis.tri_id, 0)
     mat_id = scene.tri_material[tid]  # [H,W]
     mats = scene.materials
-    base_color = mats.base_color[mat_id]  # [H,W,4]
-    metallic = mats.metallic[mat_id]
-    roughness = mats.roughness[mat_id]
-    ao = mats.ao[mat_id]
-    emissive = mats.emissive[mat_id][..., :3]
-    tex_ids = mats.tex_ids[mat_id]  # [H,W,5]
+    bank = jnp.concatenate(
+        [
+            mats.base_color,  # 0:4
+            mats.metallic[:, None],  # 4
+            mats.roughness[:, None],  # 5
+            mats.ao[:, None],  # 6
+            mats.emissive[:, :3],  # 7:10
+            mats.normal_scale[:, None],  # 10
+        ],
+        axis=-1,
+    )
+    # tri-major pre-gather (small) -> one per-pixel row gather (see
+    # ops/raster.interpolate for the rationale)
+    tri_bank = bank[scene.tri_material]  # [T,11]
+    mat_px = tri_bank[tid]  # [H,W,11]
+    base_color = mat_px[..., 0:4]
+    metallic = mat_px[..., 4]
+    roughness = mat_px[..., 5]
+    ao = mat_px[..., 6]
+    emissive = mat_px[..., 7:10]
+    tex_ids = (
+        mats.tex_ids[scene.tri_material][tid] if layout.has_textures else None
+    )  # [H,W,5]
 
     # --- texture fetches (model_pbr.hlsl:205-245, has-flags as selects) ------
     if layout.has_textures and scene.textures is not None:
@@ -216,11 +259,11 @@ def _shade_pixels(
         if layout.texture_slots[1]:
             nrm_s, nrm_has = fetch(1)
             # TBN normal mapping (model_pbr.hlsl:168-197)
-            t4 = interpolate(vis, tris, vs.world_tangent, bary3)
+            t4 = varying[..., 8:12]
             t3 = normalize(t4[..., :3])
             b3 = jnp.cross(normal, t3) * t4[..., 3:4]  # bitangent w/ handedness
             n_ts = nrm_s[..., :3] * 2.0 - 1.0
-            ns = mats.normal_scale[mat_id][..., None]
+            ns = mat_px[..., 10:11]
             n_ts = jnp.concatenate([n_ts[..., :2] * ns, n_ts[..., 2:3]], axis=-1)
             mapped = normalize(
                 t3 * n_ts[..., 0:1] + b3 * n_ts[..., 1:2] + normal * n_ts[..., 2:3]

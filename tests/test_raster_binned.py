@@ -142,3 +142,27 @@ def test_binned_jits():
 
     vis = run(clip)
     assert vis.tri_id.shape == (96, 128)
+
+
+def test_sorted_binning_matches_dense():
+    """Sort-based binning produces identical lists/counts to dense binning,
+    including oversized triangles routed through the big-list path."""
+    from renderer_rs_tpu.ops.raster_binned import bin_triangles_dense
+
+    clip, tris = _random_scene(300, seed=11)
+    # add a huge floor-like triangle spanning many tiles (big path)
+    big = jnp.array(
+        [[-1.0, -1.0, 0.9, 1.0], [1.0, -1.0, 0.9, 1.0], [0.0, 1.0, 0.9, 1.0]],
+        jnp.float32,
+    )
+    clip = jnp.concatenate([clip, big])
+    tris = jnp.concatenate(
+        [tris, jnp.array([[900, 901, 902]], jnp.int32)]
+    )
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    h, w = 160, 384
+    setup = setup_triangles(gather_triangle_clip(clip, tris), w, h, pipe)
+    idx_s, cnt_s, nty, ntx = bin_triangles(setup, h, w, 32, 128, 256)
+    idx_d, cnt_d, _, _ = bin_triangles_dense(setup, h, w, 32, 128, 256)
+    np.testing.assert_array_equal(np.asarray(cnt_s), np.asarray(cnt_d))
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_d))
