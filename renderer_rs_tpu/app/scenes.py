@@ -185,10 +185,18 @@ def gltf_pbr_scene(width: int, height: int, gltf_path: str | None = None):
     return scene, layout, kwargs, None
 
 
-def full_scene(width: int, height: int, tri_budget: int = 100_000):
-    """Config 4: shadow-mapped sun + environment skybox + ACES tonemap at a
-    given triangle budget (default 100k, the north-star workload)."""
-    from renderer_rs_tpu.ops.ibl import procedural_sky_cubemap
+def full_scene(width: int, height: int, tri_budget: int = 100_000, ibl: bool = True):
+    """Config 4: shadow-mapped sun + HDR environment IBL + skybox + ACES
+    tonemap at a given triangle budget (default 100k, the north-star
+    workload). ibl=True runs the one-time IBL precompute chain (irradiance
+    convolution, GGX prefilter, BRDF LUT) over the procedural HDR sky."""
+    from renderer_rs_tpu.ops.ibl import (
+        brdf_lut,
+        irradiance_map,
+        prefilter_map,
+        procedural_sky_cubemap,
+    )
+    from renderer_rs_tpu.resources.texture import CubeMap
 
     # sphere subdivision hitting ~tri_budget across the grid + floor:
     # tris/sphere = 2*rings*sectors = 4*rings^2 (sectors = 2*rings)
@@ -225,13 +233,26 @@ def full_scene(width: int, height: int, tri_budget: int = 100_000):
     builder.set_shadow_matrix(
         directional_light_matrix(jnp.asarray(sun_dir), jnp.zeros(3), 7.0)
     )
-    builder.set_environment(Environment(skybox_mips=(procedural_sky_cubemap(64),)))
+    sky = procedural_sky_cubemap(64, sun_direction=tuple(sun_dir))
+    if ibl:
+        # one-time jitted precompute programs (≙ the reference's compute
+        # shader dispatches, SURVEY.md §2.8)
+        sky_mips = CubeMap.from_faces(sky, generate_mips=True).mips
+        env = Environment(
+            skybox_mips=(sky,),
+            irradiance_mips=(irradiance_map(sky, size=16),),
+            prefiltered_mips=prefilter_map(sky_mips, base_size=32, levels=5, samples=32),
+            brdf_lut=brdf_lut(64, samples=256, chunk=64),
+        )
+    else:
+        env = Environment(skybox_mips=(sky,))
+    builder.set_environment(env)
     scene, layout = builder.build()
     from renderer_rs_tpu.ops.shadow import ShadowParams
 
     # bias scaled to the shadow texel world size (ortho box 14 units / 1024)
     kwargs = dict(
-        shading=ShadingModel.PBR,
+        shading=ShadingModel.PBR_IBL if ibl else ShadingModel.PBR,
         tonemap="aces",
         shadow_map_size=1024,
         shadow_params=ShadowParams(shadow_bias=0.012, normal_bias=0.06),

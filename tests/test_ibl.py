@@ -1,0 +1,123 @@
+"""IBL precompute tests (≙ compute/{equirect_to_cubemap,irradiance_map,
+prefilter_map,brdf_lut}.hlsl semantics, with analytic ground truths)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from renderer_rs_tpu.ops.ibl import (
+    brdf_lut,
+    cubemap_directions,
+    cubemap_solid_angles,
+    equirect_to_cubemap,
+    hammersley,
+    irradiance_map,
+    prefilter_map,
+    procedural_sky_cubemap,
+)
+from renderer_rs_tpu.ops.sampling import sample_cubemap
+
+
+def test_cubemap_directions_unit_and_centers():
+    d = cubemap_directions(8)
+    assert d.shape == (6, 8, 8, 3)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=-1), 1.0, atol=1e-6)
+    # face centers point along the axes; at even sizes centers are
+    # between texels at even sizes; use odd-center via size 9? sample corners sign
+    centers = np.asarray(d[:, 4, 4])
+    signs = np.array(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        np.float32,
+    )
+    for i in range(6):
+        axis = np.argmax(np.abs(signs[i]))
+        assert np.sign(centers[i, axis]) == signs[i, axis]
+        assert np.abs(centers[i, axis]) > 0.9
+
+
+def test_solid_angles_sum_to_sphere():
+    """Σω over all 6 faces = 4π (exact texel solid angles)."""
+    sa = cubemap_solid_angles(16)
+    total = 6.0 * float(jnp.sum(sa))
+    assert abs(total - 4.0 * np.pi) / (4.0 * np.pi) < 2e-3  # discretization
+
+
+def test_equirect_to_cubemap_poles_and_equator():
+    """A vertical gradient equirect (v = latitude) maps +Y face to the top
+    band and -Y to the bottom."""
+    h, w = 32, 64
+    v = np.linspace(0, 1, h, dtype=np.float32)[:, None]
+    eq = np.broadcast_to(v[..., None], (h, w, 1)).copy()
+    cube = equirect_to_cubemap(jnp.asarray(eq), 8)
+    # +Y face (index 2): directions near +Y -> asin(y)~pi/2 -> v~1
+    assert float(cube[2].mean()) > 0.8
+    assert float(cube[3].mean()) < 0.2
+    # +X face centers near equator -> ~0.5
+    assert abs(float(cube[0, 4, 4, 0]) - 0.5) < 0.1
+
+
+def test_irradiance_constant_env():
+    """Constant radiance L -> irradiance == L for every normal (the PI
+    normalization check, irradiance_map.hlsl:135-139)."""
+    env = jnp.full((6, 16, 16, 3), 2.0)
+    irr = irradiance_map(env, size=8)
+    np.testing.assert_allclose(np.asarray(irr), 2.0, rtol=2e-2)
+
+
+def test_irradiance_directional_env():
+    """Light only from +Y: irradiance at N=+Y is max, at N=-Y ~0."""
+    d = cubemap_directions(16)
+    bright = (d[..., 1] > 0.9).astype(jnp.float32)[..., None] * jnp.ones(3)
+    irr = np.asarray(irradiance_map(bright, size=8))
+    top = irr[2, 4, 4]  # +Y face center
+    bottom = irr[3, 4, 4]  # -Y face center
+    assert top[0] > 10 * max(bottom[0], 1e-6)
+
+
+def test_prefilter_mip0_is_mirror():
+    """roughness<0.01 shortcut: level 0 equals a direct env sample."""
+    env = procedural_sky_cubemap(16)
+    mips = prefilter_map((env,), base_size=16, levels=3, samples=8)
+    d = cubemap_directions(16)
+    direct = sample_cubemap(env, d)[..., :3]
+    np.testing.assert_allclose(np.asarray(mips[0]), np.asarray(direct), atol=1e-5)
+
+
+def test_prefilter_roughness_blurs():
+    """Higher-roughness levels have lower contrast than level 0."""
+    env = procedural_sky_cubemap(16, sun_intensity=50.0)
+    mips = prefilter_map((env,), base_size=16, levels=3, samples=32)
+    c0 = float(jnp.std(mips[0]))
+    c2 = float(jnp.std(mips[-1]))
+    assert c2 < c0
+
+
+def test_brdf_lut_properties():
+    """Split-sum LUT sanity: values in [0,~1.5], scale decreases with
+    roughness at fixed NdotV, A+B <= ~1 (energy)."""
+    lut = np.asarray(brdf_lut(32, samples=128, chunk=32))
+    assert lut.shape == (32, 32, 2)
+    assert np.isfinite(lut).all()
+    assert (lut >= 0).all()
+    # smooth surface, head-on view: scale close to known reference (~0.99
+    # at NdotV~1, r~0 for the k=r^2/2 remap)
+    assert lut[0, -1, 0] > 0.9
+    # energy: A + B bounded
+    assert (lut[..., 0] + lut[..., 1] <= 1.5).all()
+
+
+def test_hammersley_low_discrepancy():
+    pts = np.asarray([hammersley(i, 16) for i in range(16)])
+    assert pts.shape == (16, 2)
+    assert (pts >= 0).all() and (pts < 1).all()
+    # radical inverse of 1 = 0.5, of 2 = 0.25
+    assert pts[1, 1] == 0.5
+    assert pts[2, 1] == 0.25
+
+
+def test_procedural_sky_has_sun():
+    sky = procedural_sky_cubemap(32, sun_direction=(0.0, -1.0, 0.0))
+    # sun at +Y: the +Y face peak (2048-power disk falls off fast between
+    # texel centers) is still much brighter than anything on -Y
+    assert float(sky[2].max()) > 3.0
+    assert float(sky[3].max()) < 2.0
+    assert float(sky[2].max()) > 3.0 * float(sky[3].max())
