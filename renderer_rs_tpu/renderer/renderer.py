@@ -22,6 +22,7 @@ import jax
 import numpy as np
 
 from renderer_rs_tpu.core.config import RendererConfig
+from renderer_rs_tpu.core.profiling import FrameStats
 from renderer_rs_tpu.ops.shadow import ShadowParams
 from renderer_rs_tpu.platform.window import Window
 from renderer_rs_tpu.renderer.frame_manager import FrameManager
@@ -69,6 +70,7 @@ class Renderer:
         self._framebuffer_resized = False
         self._frame_fn = None  # compiled specialization (≙ the pipeline object)
         self.last_frame: np.ndarray | None = None
+        self.stats = FrameStats()  # rolling FPS (the reference's missing counter)
         log.info(
             "renderer created: %dx%d on %s",
             self.config.width,
@@ -169,6 +171,7 @@ class Renderer:
 
         # submit (async enqueue; blocks only when 2 frames are in flight)
         self.frame_manager.submit(self._frame_fn, self._scene)
+        self.stats.tick()
 
         if not present:
             return None
