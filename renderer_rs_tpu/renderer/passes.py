@@ -421,7 +421,25 @@ def forward_frame(
     band=(y_offset, band_height): render only a horizontal slice of the
     full `height`-row framebuffer — the unit of multi-chip row sharding
     (parallel/tile_shard.py). y_offset may be a traced value.
+
+    MSAA (pipeline.msaa_samples ∈ {2,4,8}, ≙ rasterization samples
+    pipeline.rs:796-799) is realized as ordered-grid supersampling: the whole
+    frame renders at 2x1 / 2x2 / 4x2 resolution and box-resolves — on a
+    software rasterizer SSAA *is* the multisample pattern, and it also
+    supersamples shading (better than hardware MSAA).
     """
+    if pipeline.msaa_samples > 1 and band is None:
+        sx, sy = {2: (2, 1), 4: (2, 2), 8: (4, 2)}[pipeline.msaa_samples]
+        import dataclasses as _dc
+
+        sub = _dc.replace(pipeline, msaa_samples=1)
+        hi = forward_frame(
+            scene, layout, sub, shading, width * sx, height * sy,
+            clear_color=clear_color, tonemap=tonemap,
+            shadow_map_size=shadow_map_size, shadow_params=shadow_params,
+        )
+        # box resolve (≙ vkCmdResolveImage)
+        return hi.reshape(height, sy, width, sx, 4).mean(axis=(1, 3))
     if layout.has_csm:
         shadow_map = csm_shadow_pass(scene, layout, shadow_map_size)
     elif layout.has_shadow:

@@ -34,3 +34,12 @@ from renderer_rs_tpu.rhi.rendering import (  # noqa: F401
     RenderingConfig,
 )
 from renderer_rs_tpu.rhi.device import Device  # noqa: F401
+from renderer_rs_tpu.rhi.command import CommandBuffer, CommandPool  # noqa: F401
+from renderer_rs_tpu.rhi.descriptor import (  # noqa: F401
+    Binding,
+    BindingKind,
+    DescriptorSetLayout,
+)
+from renderer_rs_tpu.rhi.shader import Shader, ShaderStage, builtin_library  # noqa: F401
+from renderer_rs_tpu.rhi.swapchain import Swapchain, SurfaceCapabilities  # noqa: F401
+from renderer_rs_tpu.rhi.sync import Fence, FrameSync, Semaphore  # noqa: F401
