@@ -1,0 +1,124 @@
+"""Near-plane clipping (Sutherland–Hodgman against w = eps).
+
+The raster setup drops triangles with any vertex at w <= eps whole
+(raster.py validity test) — fine for fully-behind geometry, wrong for
+triangles CROSSING the near plane (a floor extending under the camera
+vanishes). This pass runs before setup and replaces such triangles with
+their clipped forms.
+
+Static shapes: clipping one triangle against one plane yields 3 or 4
+vertices (1 or 2 triangles), so the output buffer is a fixed [2T] triangle
+array:
+- slot t     : the (possibly clipped) primary triangle
+- slot T + t : the second fan triangle when the clip produced a quad,
+               else marked invalid
+
+All arithmetic is vectorized over T with `where` case-selection (no dynamic
+shapes, XLA-friendly). Winding of the clipped polygon follows the input
+order, so facing/culling still work.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+NEAR_EPS = 1e-5  # > raster _W_EPS so clipped vertices survive the setup w-test
+
+
+def _lerp_vertex(a: jnp.ndarray, b: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Clip-space interpolation a + t*(b-a); t [T,1] broadcast over xyzw."""
+    return a + t * (b - a)
+
+
+def _intersect_t(wa: jnp.ndarray, wb: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Parameter where the edge a->b crosses w = eps."""
+    denom = wb - wa
+    return (eps - wa) / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+
+
+def clip_triangles_near(
+    tri_clip: jnp.ndarray, eps: float = NEAR_EPS
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Clip [T,3,4] clip-space triangles against w >= eps.
+
+    Returns (clipped [2T,3,4], valid [2T] bool, src_index [2T] int32,
+    bary_src [2T,3,3]).
+
+    Instead of emitting new attribute sets for clipped vertices, each output
+    vertex carries its barycentric coordinates w.r.t. the SOURCE triangle
+    (identity for unclipped ones). Downstream, perspective-correct screen
+    interpolation over the clipped triangle composed with these source
+    barycentrics reproduces exact original-attribute interpolation (clip-space
+    lerp of a vertex is the same lerp of its attributes).
+    """
+    t = tri_clip.shape[0]
+    w = tri_clip[..., 3]  # [T,3]
+    behind = w < eps  # [T,3]
+    n_behind = jnp.sum(behind.astype(jnp.int32), axis=-1)  # [T]
+
+    # source-barycentric identity frame for each original vertex
+    e0 = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+    e1 = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    e2 = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+
+    def rotate_case(sel_a, sel_b, sel_c):
+        """Gather rotated (A,B,C) vertex tuples so case logic can always
+        treat A as the 'distinguished' vertex. sel_* are [T] ints in 0..2."""
+        idx = jnp.stack([sel_a, sel_b, sel_c], axis=-1)  # [T,3]
+        verts = jnp.take_along_axis(tri_clip, idx[..., None], axis=1)  # [T,3,4]
+        basis = jnp.stack([e0, e1, e2])  # [3,3]
+        bary = basis[idx]  # [T,3,3]
+        return verts, bary
+
+    # which vertex is "alone" on its side:
+    # case 1-behind: the single behind vertex is A
+    # case 2-behind: the single in-front vertex is A
+    a_one = jnp.argmax(behind.astype(jnp.int32), axis=-1)  # first behind
+    a_two = jnp.argmax((~behind).astype(jnp.int32), axis=-1)  # first in-front
+    sel_a = jnp.where(n_behind == 1, a_one, a_two).astype(jnp.int32)
+    sel_b = (sel_a + 1) % 3
+    sel_c = (sel_a + 2) % 3
+    verts_r, bary_r = rotate_case(sel_a, sel_b, sel_c)
+    va, vb, vc = verts_r[:, 0], verts_r[:, 1], verts_r[:, 2]
+    ba, bb, bc = bary_r[:, 0], bary_r[:, 1], bary_r[:, 2]
+    wa, wb_, wc = va[:, 3], vb[:, 3], vc[:, 3]
+
+    # intersections on edges A-B and A-C (A is the lone vertex)
+    t_ab = _intersect_t(wa, wb_, eps)[:, None]
+    t_ac = _intersect_t(wa, wc, eps)[:, None]
+    i_ab = _lerp_vertex(va, vb, t_ab)
+    i_ac = _lerp_vertex(va, vc, t_ac)
+    bi_ab = _lerp_vertex(ba, bb, t_ab)
+    bi_ac = _lerp_vertex(ba, bc, t_ac)
+
+    # --- case n_behind == 1 (A behind): quad (i_ab, B, C, i_ac) ----------------
+    # primary triangle (i_ab, B, C); secondary (i_ab, C, i_ac)
+    quad_tri1 = jnp.stack([i_ab, vb, vc], axis=1)
+    quad_tri1_b = jnp.stack([bi_ab, bb, bc], axis=1)
+    quad_tri2 = jnp.stack([i_ab, vc, i_ac], axis=1)
+    quad_tri2_b = jnp.stack([bi_ab, bc, bi_ac], axis=1)
+
+    # --- case n_behind == 2 (A in front): triangle (A, i_ab, i_ac) --------------
+    # NOTE: with B,C behind, edges A-B and A-C cross the plane.
+    tri_small = jnp.stack([va, i_ab, i_ac], axis=1)
+    tri_small_b = jnp.stack([ba, bi_ab, bi_ac], axis=1)
+
+    ident_b = jnp.broadcast_to(jnp.stack([e0, e1, e2]), (t, 3, 3))
+
+    one = (n_behind == 1)[:, None, None]
+    two = (n_behind == 2)[:, None, None]
+    primary = jnp.where(one, quad_tri1, jnp.where(two, tri_small, tri_clip))
+    primary_b = jnp.where(one, quad_tri1_b, jnp.where(two, tri_small_b, ident_b))
+    primary_valid = n_behind < 3
+
+    secondary = quad_tri2
+    secondary_b = quad_tri2_b
+    secondary_valid = n_behind == 1
+
+    clipped = jnp.concatenate([primary, secondary], axis=0)  # [2T,3,4]
+    bary_src = jnp.concatenate([primary_b, secondary_b], axis=0)  # [2T,3,3]
+    valid = jnp.concatenate([primary_valid, secondary_valid], axis=0)
+    src = jnp.concatenate(
+        [jnp.arange(t, dtype=jnp.int32), jnp.arange(t, dtype=jnp.int32)]
+    )
+    return clipped, valid, src, bary_src

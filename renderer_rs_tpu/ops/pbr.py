@@ -163,9 +163,29 @@ def calculate_ibl(
     # Specular: prefiltered map at mip = roughness * max_lod (pbr.hlsli:444-450)
     max_lod = float(len(prefiltered_mips) - 1)
     prefiltered = sample_cubemap_lod(prefiltered_mips, r, roughness * max_lod)[..., :3]
-    # BRDF LUT indexed by (NdotV, roughness) (pbr.hlsli:456-457)
-    uv = jnp.stack([ndotv, roughness], axis=-1)
-    brdf = sample_bilinear(brdf_lut, uv, Sampler.linear_clamp())
+    # BRDF LUT indexed by (NdotV, roughness) (pbr.hlsli:456-457) — 2x2 window
+    # packed into channels so the bilinear fetch is one gather per pixel
+    lut = brdf_lut
+    right = jnp.concatenate([lut[:, 1:], lut[:, -1:]], axis=1)
+    down = jnp.concatenate([lut[1:], lut[-1:]], axis=0)
+    downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    window = jnp.concatenate([lut, right, down, downright], axis=-1)  # [L,L,8]
+    lsz = lut.shape[0]
+    x = ndotv * lut.shape[1] - 0.5
+    y = roughness * lsz - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
+    fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
+    taps = window[
+        jnp.clip(y0, 0, lsz - 1), jnp.clip(x0, 0, lut.shape[1] - 1)
+    ]  # [...,8]
+    cch = lut.shape[-1]
+    top = taps[..., 0:cch] * (1 - fx) + taps[..., cch : 2 * cch] * fx
+    bot = taps[..., 2 * cch : 3 * cch] * (1 - fx) + taps[..., 3 * cch : 4 * cch] * fx
+    brdf = top * (1 - fy) + bot * fy
     specular = prefiltered * (f0 * brdf[..., 0:1] + brdf[..., 1:2])
 
     return (kd * diffuse + specular) * mat.ao[..., None]

@@ -279,16 +279,65 @@ def sample_cubemap(
     return top * (1 - fy) + bot * fy
 
 
+def _cube_window_flat(faces: jnp.ndarray) -> jnp.ndarray:
+    """Pack a [6,S,S,C] level into a flat [6*S*S, 4C] 2x2-window table."""
+    right = jnp.concatenate([faces[:, :, 1:], faces[:, :, -1:]], axis=2)
+    down = jnp.concatenate([faces[:, 1:], faces[:, -1:]], axis=1)
+    downright = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+    window = jnp.concatenate([faces, right, down, downright], axis=-1)
+    s = faces.shape[1]
+    return window.reshape(6 * s * s, 4 * faces.shape[3])
+
+
+def _cube_atlas_fetch(atlas, offsets, sizes, level, face, uv, c):
+    """Bilinear fetch of one mip level from the flattened window atlas —
+    ONE gather per pixel. level/face/uv are per-pixel arrays."""
+    s = sizes[level].astype(jnp.float32)  # [...]
+    si = sizes[level]
+    x = uv[..., 0] * s - 0.5
+    y = uv[..., 1] * s - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    fx = jnp.where((x0 < 0)[..., None], 0.0, fx)  # edge-clamp semantics
+    fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
+    x0c = jnp.clip(x0, 0, si - 1)
+    y0c = jnp.clip(y0, 0, si - 1)
+    idx = offsets[level] + (face * si + y0c) * si + x0c
+    taps = atlas[idx]  # [...,4C]
+    t00 = taps[..., 0:c]
+    t10 = taps[..., c : 2 * c]
+    t01 = taps[..., 2 * c : 3 * c]
+    t11 = taps[..., 3 * c : 4 * c]
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
 def sample_cubemap_lod(mips: tuple, d: jnp.ndarray, lod: jnp.ndarray) -> jnp.ndarray:
-    """Trilinear cubemap sampling at explicit LOD (prefiltered IBL lookup)."""
+    """Trilinear cubemap sampling at explicit LOD (prefiltered IBL lookup).
+
+    All levels are packed into one flat window atlas so a per-pixel dynamic
+    LOD costs exactly TWO gathers (lo/hi level) instead of evaluating every
+    level and selecting.
+    """
     n = len(mips)
+    c = mips[0].shape[3]
+    atlas = jnp.concatenate([_cube_window_flat(m) for m in mips], axis=0)
+    sizes_l, offsets_l, off = [], [], 0
+    for m in mips:
+        sizes_l.append(m.shape[1])
+        offsets_l.append(off)
+        off += 6 * m.shape[1] * m.shape[1]
+    sizes = jnp.asarray(sizes_l, jnp.int32)
+    offsets = jnp.asarray(offsets_l, jnp.int32)
+
+    face, uv = direction_to_cube_uv(d)
     lod = jnp.clip(lod, 0.0, n - 1.0)
     lo = jnp.floor(lod).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n - 1)
     frac = (lod - lo.astype(lod.dtype))[..., None]
-    out_lo = sample_cubemap(mips[0], d)
-    out_hi = out_lo
-    for lvl in range(1, n):
-        s = sample_cubemap(mips[lvl], d)
-        out_lo = jnp.where((lo == lvl)[..., None], s, out_lo)
-        out_hi = jnp.where((lo + 1 == lvl)[..., None], s, out_hi)
+    out_lo = _cube_atlas_fetch(atlas, offsets, sizes, lo, face, uv, c)
+    out_hi = _cube_atlas_fetch(atlas, offsets, sizes, hi, face, uv, c)
     return out_lo * (1 - frac) + out_hi * frac

@@ -448,12 +448,20 @@ def forward_frame(
         shadow_map = None
 
     vs = vertex_stage(scene, layout)
+    tri_clip = gather_triangle_clip(vs.clip, scene.tris)
+
+    # Near-plane clipping: triangles crossing w=eps are split (T -> 2T slots)
+    # instead of dropped; shading maps winners back to source triangles and
+    # composes barycentrics (ops/clip.py). ≙ the hardware clipper stage.
+    from renderer_rs_tpu.ops.clip import clip_triangles_near
+
+    tri_clip, clip_valid, clip_src, clip_bary = clip_triangles_near(tri_clip)
+
     # viewport transform always uses the FULL framebuffer extent
-    setup = setup_triangles(
-        gather_triangle_clip(vs.clip, scene.tris), width, height, pipeline
-    )
+    setup = setup_triangles(tri_clip, width, height, pipeline, tri_valid=clip_valid)
+    n_raster_tris = 2 * layout.num_triangles
     if band is None:
-        vis = _rasterize_dispatch(setup, height, width, pipeline, layout.num_triangles)
+        vis = _rasterize_dispatch(setup, height, width, pipeline, n_raster_tris)
         out_h = height
         y_offset = 0
     else:
@@ -461,6 +469,13 @@ def forward_frame(
         # band path: exact scan rasterizer with pixel-row offset
         vis = rasterize(setup, out_h, width, pipeline, y_offset=y_offset)
     bary3 = perspective_bary(vis, setup)
+
+    # map clipped-slot winners back to source triangles + source barycentrics
+    slot = jnp.maximum(vis.tri_id, 0)
+    bary3 = jnp.einsum("hwv,hwvk->hwk", bary3, clip_bary[slot])
+    vis = vis.replace(
+        tri_id=jnp.where(vis.tri_id >= 0, clip_src[slot], vis.tri_id)
+    )
 
     color = _shade_pixels(
         scene, layout, shading, vis, vs, bary3, shadow_map, shadow_params
