@@ -117,11 +117,13 @@ _SHADOW_PIPELINE = (
 )
 
 
-def _binned_cap(num_triangles: int, max_cap: int = 4096) -> int:
+def _binned_cap(num_triangles: int, max_cap: int = 2048) -> int:
     """Per-tile triangle budget: enough for every triangle to land in one
-    tile on small scenes; bounded for large ones (truncation risk documented
-    in raster_binned.py). The Pallas kernel only pays for *actual* per-tile
-    counts, so a generous cap costs HBM allocation, not compute."""
+    tile on small scenes; bounded for large ones. Tiles denser than the cap
+    keep the first `cap` triangles in submission order (raster_binned.py) —
+    the 100k-class flagship scene peaks ~1.3k/tile at 1080p, so 2048 gives
+    headroom while keeping the coefficient-gather traffic (cap-proportional)
+    in check. Pass a larger max_cap for pathological depth complexity."""
     return min(max(num_triangles, 16), max_cap)
 
 
