@@ -117,14 +117,22 @@ _SHADOW_PIPELINE = (
 )
 
 
-def _binned_cap(num_triangles: int, max_cap: int = 2048) -> int:
-    """Per-tile triangle budget: enough for every triangle to land in one
-    tile on small scenes; bounded for large ones. Tiles denser than the cap
-    keep the first `cap` triangles in submission order (raster_binned.py) —
-    the 100k-class flagship scene peaks ~1.3k/tile at 1080p, so 2048 gives
-    headroom while keeping the coefficient-gather traffic (cap-proportional)
-    in check. Pass a larger max_cap for pathological depth complexity."""
-    return min(max(num_triangles, 16), max_cap)
+def _binned_cap(
+    num_triangles: int, height: int, width: int, tile_h: int = 32, tile_w: int = 128
+) -> int:
+    """Density-aware per-tile triangle budget.
+
+    cap ≈ 6x the average triangles-per-tile (floor 2048, ceiling 16384,
+    512-aligned) — covers the skewed tiles of the 100k-class flagship scene
+    (peak ~1.3k vs avg ~380 at 1080p) and keeps low-res/dense cases (few
+    tiles, thousands of triangles each) un-truncated. Memory/gather traffic
+    is n_tiles*cap ≈ 6T regardless of resolution. Tiles denser than the cap
+    keep the first `cap` triangles in submission order (raster_binned.py)."""
+    n_tiles = max(1, -(-height // tile_h) * -(-width // tile_w))
+    avg = num_triangles / n_tiles
+    cap = max(2048, int(6 * avg))
+    cap = -(-cap // 512) * 512  # 512-align
+    return min(max(num_triangles, 16), cap, 16384)
 
 
 def _use_pallas() -> bool:
@@ -143,7 +151,7 @@ def _rasterize_dispatch(setup, height, width, pipeline, num_triangles):
     XLA binned path elsewhere, the exact sequential scan for small scenes /
     blending / exotic compare ops."""
     if supports_binned(pipeline, num_triangles):
-        cap = _binned_cap(num_triangles)
+        cap = _binned_cap(num_triangles, height, width)
         if _use_pallas():
             from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
 
@@ -161,7 +169,7 @@ def shadow_map_pass(
         gather_triangle_clip(clip, scene.tris), size, size, _SHADOW_PIPELINE
     )
     if supports_binned(_SHADOW_PIPELINE, layout.num_triangles):
-        cap = _binned_cap(layout.num_triangles)
+        cap = _binned_cap(layout.num_triangles, size, size)
         if _use_pallas():
             from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
 
