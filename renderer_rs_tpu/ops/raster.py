@@ -301,6 +301,96 @@ def rasterize(
     return VisibilityBuffer(tri_id=tri_id, depth=depth, bary=bary)
 
 
+def _stencil_apply(op, buf: jnp.ndarray, ref: int) -> jnp.ndarray:
+    """One VkStencilOp on the int32 stencil plane (values live in 0..255)."""
+    from renderer_rs_tpu.rhi.rendering import StencilOp
+
+    if op == StencilOp.KEEP:
+        return buf
+    if op == StencilOp.ZERO:
+        return jnp.zeros_like(buf)
+    if op == StencilOp.REPLACE:
+        return jnp.full_like(buf, ref)
+    if op == StencilOp.INCREMENT_AND_CLAMP:
+        return jnp.minimum(buf + 1, 255)
+    if op == StencilOp.DECREMENT_AND_CLAMP:
+        return jnp.maximum(buf - 1, 0)
+    return (~buf) & 0xFF  # INVERT
+
+
+def rasterize_stencil(
+    setup: TriangleSetup,
+    height: int,
+    width: int,
+    pipeline: GraphicsPipeline,
+    stencil,
+    depth_init: jnp.ndarray | None = None,
+    stencil_init: jnp.ndarray | None = None,
+) -> tuple[VisibilityBuffer, jnp.ndarray]:
+    """Scan rasterization with the full stencil test/update state machine
+    (≙ the StencilAttachment path, rhi/src/rendering.rs:537-648).
+
+    stencil: rhi.rendering.StencilAttachment. Order: stencil test -> depth
+    test; updates: fail_op on stencil fail, depth_fail_op on stencil pass +
+    depth fail, pass_op on both passing — masked by write_mask (Vulkan
+    stencil semantics). Returns (VisibilityBuffer, stencil_buffer [H,W] i32).
+    """
+    px, py = _pixel_centers(height, width)
+    if depth_init is None:
+        depth_init = jnp.ones((height, width), jnp.float32)
+    if stencil_init is None:
+        stencil_init = jnp.full((height, width), stencil.clear_stencil, jnp.int32)
+
+    ref = stencil.reference
+    rm = stencil.read_mask
+    wm = stencil.write_mask
+    s_op = CompareOp(stencil.compare)
+
+    init = (
+        jnp.full((height, width), -1, jnp.int32),
+        depth_init,
+        jnp.zeros((height, width, 2), jnp.float32),
+        stencil_init,
+    )
+
+    def body(state, t):
+        tri_id, depth, bary, sbuf = state
+        inside, z, b0, b1 = _coverage_one(setup, t, px, py)
+        s_pass = depth_compare(
+            s_op,
+            jnp.full_like(sbuf, ref & rm).astype(jnp.float32),
+            (sbuf & rm).astype(jnp.float32),
+        )
+        covered_fail = inside & ~s_pass
+        after_stencil = inside & s_pass
+        if pipeline.depth_test_enable:
+            d_pass = depth_compare(pipeline.depth_compare_op, z, depth)
+        else:
+            d_pass = jnp.ones_like(inside)
+        depth_fail = after_stencil & ~d_pass
+        accept = after_stencil & d_pass
+
+        def masked_write(cond, op, buf):
+            newv = _stencil_apply(op, buf, ref)
+            merged = (buf & ~wm) | (newv & wm)
+            return jnp.where(cond, merged, buf)
+
+        sbuf = masked_write(covered_fail, stencil.fail_op, sbuf)
+        sbuf = masked_write(depth_fail, stencil.depth_fail_op, sbuf)
+        sbuf = masked_write(accept, stencil.pass_op, sbuf)
+
+        if pipeline.depth_write_enable:
+            depth = jnp.where(accept, z, depth)
+        tri_id = jnp.where(accept, t, tri_id)
+        bary = jnp.where(accept[..., None], jnp.stack([b0, b1], -1), bary)
+        return (tri_id, depth, bary, sbuf), None
+
+    (tri_id, depth, bary, sbuf), _ = jax.lax.scan(
+        body, init, jnp.arange(setup.num_triangles, dtype=jnp.int32)
+    )
+    return VisibilityBuffer(tri_id=tri_id, depth=depth, bary=bary), sbuf
+
+
 def rasterize_depth_only(
     setup: TriangleSetup,
     height: int,

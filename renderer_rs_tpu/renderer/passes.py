@@ -470,14 +470,47 @@ def forward_frame(
     # viewport transform always uses the FULL framebuffer extent
     setup = setup_triangles(tri_clip, width, height, pipeline, tri_valid=clip_valid)
     n_raster_tris = 2 * layout.num_triangles
-    if band is None:
+
+    # Alpha-cutoff (MASK) materials: the coverage test samples base-color
+    # alpha per candidate fragment BEFORE the depth write (model_pbr.hlsl:
+    # 218-221 `discard`; SURVEY.md §7 hard part). Only the exact scan path
+    # supports per-fragment coverage callbacks.
+    coverage_fn = None
+    if pipeline.alpha_cutoff is not None and layout.has_textures:
+        from renderer_rs_tpu.ops.sampling import sample_array_bilinear
+
+        tri_uv = scene.uvs[scene.tris]  # [T,3,2]
+        tri_alpha_tex = scene.materials.tex_ids[scene.tri_material][:, 0]  # [T]
+        tri_alpha_factor = scene.materials.base_color[scene.tri_material][:, 3]
+        base_mip = scene.textures.mips[0]
+        cutoff = pipeline.alpha_cutoff
+
+        def coverage_fn(t, b0, b1):
+            src = clip_src[t]
+            bsrc = clip_bary[t]  # [3,3] clipped->source frame
+            b2 = 1.0 - b0 - b1
+            bs = (
+                b0[..., None] * bsrc[0] + b1[..., None] * bsrc[1] + b2[..., None] * bsrc[2]
+            )  # [H,W,3] source barycentrics (screen-space approx for coverage)
+            uvs = tri_uv[src]  # [3,2]
+            uv = bs @ uvs  # [H,W,2]
+            tex = tri_alpha_tex[src]
+            a = sample_array_bilinear(
+                base_mip, jnp.broadcast_to(tex, uv.shape[:-1]), uv
+            )[..., 3]
+            a = a * tri_alpha_factor[src]
+            return jnp.where(tex >= 0, a >= cutoff, True)
+
+    if band is None and coverage_fn is None:
         vis = _rasterize_dispatch(setup, height, width, pipeline, n_raster_tris)
         out_h = height
         y_offset = 0
     else:
-        y_offset, out_h = band
-        # band path: exact scan rasterizer with pixel-row offset
-        vis = rasterize(setup, out_h, width, pipeline, y_offset=y_offset)
+        y_offset, out_h = band if band is not None else (0, height)
+        # exact scan rasterizer: pixel-row offsets and coverage callbacks
+        vis = rasterize(
+            setup, out_h, width, pipeline, y_offset=y_offset, coverage_fn=coverage_fn
+        )
     bary3 = perspective_bary(vis, setup)
 
     # map clipped-slot winners back to source triangles + source barycentrics

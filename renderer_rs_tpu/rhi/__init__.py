@@ -32,6 +32,8 @@ from renderer_rs_tpu.rhi.rendering import (  # noqa: F401
     ColorAttachment,
     DepthAttachment,
     RenderingConfig,
+    StencilAttachment,
+    StencilOp,
 )
 from renderer_rs_tpu.rhi.device import Device  # noqa: F401
 from renderer_rs_tpu.rhi.command import CommandBuffer, CommandPool  # noqa: F401

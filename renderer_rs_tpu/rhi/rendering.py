@@ -53,6 +53,41 @@ class DepthAttachment:
         return jnp.full((h, w), self.clear_depth, jnp.float32)
 
 
+class StencilOp(enum.Enum):
+    """VkStencilOp subset (≙ the ops StencilAttachment configures)."""
+
+    KEEP = "keep"
+    ZERO = "zero"
+    REPLACE = "replace"
+    INCREMENT_AND_CLAMP = "incr"
+    DECREMENT_AND_CLAMP = "decr"
+    INVERT = "invert"
+
+
+@dataclasses.dataclass(frozen=True)
+class StencilAttachment:
+    """≙ rendering.rs:537-648: stencil buffer config + per-face state
+    (single-face here; two-sided stencil is a later-round item).
+
+    The stencil test runs in the scan rasterizer (ops/raster.rasterize with
+    stencil=...): pass ⇔ (ref & read_mask) OP (stored & read_mask).
+    """
+
+    load_op: AttachmentLoadOp = AttachmentLoadOp.CLEAR
+    store_op: AttachmentStoreOp = AttachmentStoreOp.DONT_CARE
+    clear_stencil: int = 0
+    reference: int = 1
+    read_mask: int = 0xFF
+    write_mask: int = 0xFF
+    compare: str = "always"  # CompareOp value names
+    fail_op: StencilOp = StencilOp.KEEP
+    depth_fail_op: StencilOp = StencilOp.KEEP
+    pass_op: StencilOp = StencilOp.REPLACE
+
+    def initial_array(self, h: int, w: int) -> jnp.ndarray:
+        return jnp.full((h, w), self.clear_stencil, jnp.int32)
+
+
 @dataclasses.dataclass(frozen=True)
 class RenderingConfig:
     """≙ rendering.rs:679-911 (render area subset meaningful in software)."""
@@ -61,4 +96,5 @@ class RenderingConfig:
     height: int
     color: ColorAttachment = dataclasses.field(default_factory=ColorAttachment)
     depth: DepthAttachment | None = dataclasses.field(default_factory=DepthAttachment)
+    stencil: StencilAttachment | None = None
     layers: int = 1

@@ -16,7 +16,7 @@ from renderer_rs_tpu.rhi.descriptor import (
     BindingKind,
     layouts_for,
 )
-from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+from renderer_rs_tpu.rhi.pipeline import CompareOp, GraphicsPipelineBuilder
 from renderer_rs_tpu.rhi.shader import (
     Shader,
     ShaderStage,
@@ -214,3 +214,123 @@ def test_msaa_resolve_smooths_edges():
     col1 = np.unique(np.round(f1[:, 20, 0], 3))
     col4 = np.unique(np.round(f4[:, 20, 0], 3))
     assert col4.size >= col1.size
+
+
+# --- alpha cutoff (MASK materials) ----------------------------------------------------
+
+def test_alpha_cutoff_discards_fragments():
+    """A checker-alpha texture with MASK mode cuts holes in the quad BEFORE
+    the depth write (discard semantics, model_pbr.hlsl:218-221)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from renderer_rs_tpu.app.scenes import _camera_ubo
+    from renderer_rs_tpu.renderer.passes import ShadingModel, forward_frame
+    from renderer_rs_tpu.renderer.scene_build import SceneBuilder
+    from renderer_rs_tpu.resources.material import Material
+    from renderer_rs_tpu.scene.camera import Camera, Projection
+    from renderer_rs_tpu.utils import meshgen
+    import math
+
+    w, h = 64, 64
+    # texture: left half alpha 0, right half alpha 1
+    img = np.ones((8, 8, 4), np.float32)
+    img[:, :4, 3] = 0.0
+    cam = Camera(Projection.perspective(math.radians(60), 1.0, 0.1, 50.0))
+    cam.position = np.array([0.0, 2.5, 0.001], np.float32)
+    cam.look_at([0.0, 0.0, 0.0])
+    builder = SceneBuilder()
+    builder.add_mesh(
+        meshgen.plane_mesh(2.0, uv_scale=1.0),
+        material=Material(base_color=(1, 1, 1, 1), base_color_texture=0),
+    )
+    builder.set_textures([img], size=8)
+    builder.set_camera(_camera_ubo(cam))
+    scene, layout = builder.build()
+
+    opaque = GraphicsPipelineBuilder().build()
+    masked = dataclasses.replace(opaque, alpha_cutoff=0.5)
+    f_opaque = np.asarray(
+        forward_frame(scene, layout, opaque, ShadingModel.BLINN_PHONG, w, h)
+    )
+    f_masked = np.asarray(
+        forward_frame(scene, layout, masked, ShadingModel.BLINN_PHONG, w, h)
+    )
+    bg = f_opaque[0, 0]  # clear color
+    # opaque: whole quad covers the center row; masked: half discarded
+    center = h // 2
+    opaque_cov = (np.abs(f_opaque[center] - bg).sum(-1) > 0.05).mean()
+    masked_cov = (np.abs(f_masked[center] - bg).sum(-1) > 0.05).mean()
+    # plane spans ~69% of the row at this camera distance
+    assert opaque_cov > 0.6
+    assert 0.15 < masked_cov < 0.55  # roughly half the visible quad discarded
+    assert masked_cov < 0.75 * opaque_cov
+
+
+# --- stencil (StencilAttachment path) -------------------------------------------------
+
+def test_stencil_mask_then_test():
+    """Two-pass stencil: pass 1 writes ref=1 where a small triangle covers;
+    pass 2 with EQUAL test only draws inside that mask (the classic portal/
+    mask technique, exercising REPLACE + EQUAL + KEEP ops)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from renderer_rs_tpu.ops.raster import (
+        gather_triangle_clip, rasterize_stencil, setup_triangles,
+    )
+    from renderer_rs_tpu.rhi.rendering import StencilAttachment, StencilOp
+    from renderer_rs_tpu.rhi.pipeline import CullMode
+
+    h = w = 64
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+
+    def quad(scale, z):
+        pos = np.array(
+            [[-scale, -scale, z], [scale, -scale, z], [scale, scale, z],
+             [-scale, scale, z]], np.float32)
+        clip = jnp.asarray(np.concatenate([pos, np.ones((4, 1), np.float32)], -1))
+        tris = jnp.array([[0, 1, 2], [0, 2, 3]], jnp.int32)
+        return setup_triangles(gather_triangle_clip(clip, tris), w, h, pipe)
+
+    # pass 1: small quad stamps stencil=1 (ALWAYS pass, REPLACE)
+    st1 = StencilAttachment(reference=1, compare="always",
+                           pass_op=StencilOp.REPLACE)
+    vis1, sbuf = rasterize_stencil(quad(0.4, 0.5), h, w, pipe, st1)
+    assert int(sbuf[32, 32]) == 1
+    assert int(sbuf[2, 2]) == 0
+
+    # pass 2: big quad drawn only where stencil == 1 (EQUAL, KEEP)
+    st2 = StencilAttachment(reference=1, compare="equal",
+                           pass_op=StencilOp.KEEP, fail_op=StencilOp.KEEP)
+    vis2, _ = rasterize_stencil(quad(0.9, 0.3), h, w, pipe, st2,
+                                stencil_init=sbuf)
+    cov = np.asarray(vis2.covered)
+    assert cov[32, 32]          # inside the mask
+    assert not cov[4, 4]        # outside the mask, inside the big quad
+    # the covered area equals the stencil mask area
+    np.testing.assert_array_equal(cov, np.asarray(sbuf) == 1)
+
+
+def test_stencil_increment_counts_overdraw():
+    """INCR pass op counts overdraw: two overlapping triangles -> stencil 2
+    in the overlap (depth test off)."""
+    import jax.numpy as jnp
+    from renderer_rs_tpu.ops.raster import (
+        gather_triangle_clip, rasterize_stencil, setup_triangles,
+    )
+    from renderer_rs_tpu.rhi.rendering import StencilAttachment, StencilOp
+    from renderer_rs_tpu.rhi.pipeline import CullMode
+
+    h = w = 32
+    pipe = (GraphicsPipelineBuilder().cull_mode(CullMode.NONE)
+            .depth_compare_op(CompareOp.ALWAYS).build())
+    pos = np.array(
+        [[-0.8, -0.8, 0.5], [0.8, -0.8, 0.5], [0.0, 0.8, 0.5],
+         [-0.8, 0.8, 0.5], [0.8, 0.8, 0.5], [0.0, -0.8, 0.5]], np.float32)
+    clip = jnp.asarray(np.concatenate([pos, np.ones((6, 1), np.float32)], -1))
+    tris = jnp.array([[0, 1, 2], [3, 5, 4]], jnp.int32)
+    setup = setup_triangles(gather_triangle_clip(clip, tris), w, h, pipe)
+    st = StencilAttachment(compare="always", pass_op=StencilOp.INCREMENT_AND_CLAMP)
+    _, sbuf = rasterize_stencil(setup, h, w, pipe, st)
+    s = np.asarray(sbuf)
+    assert s.max() == 2      # overlap region
+    assert (s == 1).sum() > 0
