@@ -26,8 +26,9 @@ scene/src/camera.rs:117-137):
   Hello Triangle winding renderer.rs:242-246, which is back-facing and only
   renders because that pipeline sets CullMode::None).
 
-Limitations (tracked for later rounds): triangles crossing the near plane are
-dropped whole rather than clipped; MSAA resolves are single-sample.
+Near-plane handling: setup drops whole-behind triangles; crossing triangles
+are split beforehand by ops/clip.py (the renderer wires it in). Wireframe
+(PolygonMode.LINE) and stencil run on this scan path only.
 """
 
 from __future__ import annotations
@@ -43,6 +44,7 @@ from renderer_rs_tpu.rhi.pipeline import (
     CullMode,
     FrontFace,
     GraphicsPipeline,
+    PolygonMode,
 )
 
 _W_EPS = 1e-6
@@ -208,7 +210,7 @@ class VisibilityBuffer:
         return self.tri_id >= 0
 
 
-def _coverage_one(setup: TriangleSetup, t, px, py):
+def _coverage_one(setup: TriangleSetup, t, px, py, pipeline: GraphicsPipeline | None = None):
     """Coverage + depth + barycentrics of triangle t over all pixels.
 
     Returns (inside [H,W] bool, z [H,W], b0, b1).
@@ -236,6 +238,20 @@ def _coverage_one(setup: TriangleSetup, t, px, py):
     cov1 = (e1 > 0.0) | ((e1 == 0.0) & tl1)
     cov2 = (e2 > 0.0) | ((e2 == 0.0) & tl2)
     inside = cov0 & cov1 & cov2 & setup.valid[t]
+
+    if pipeline is not None and pipeline.polygon_mode == PolygonMode.LINE:
+        # wireframe (≙ VK_POLYGON_MODE_LINE + wideLines, pipeline.rs:313-327):
+        # keep fragments within line_width/2 of an edge; e/|edge| is the
+        # pixel distance from the edge line.
+        hw = 0.5 * pipeline.line_width
+        d0 = e0 / jnp.maximum(
+            jnp.hypot(x2 - x1, y2 - y1), 1e-12
+        )
+        d1 = e1 / jnp.maximum(jnp.hypot(x0 - x2, y0 - y2), 1e-12)
+        d2 = e2 / jnp.maximum(jnp.hypot(x1 - x0, y1 - y0), 1e-12)
+        inside = inside & (
+            (d0 <= hw) | (d1 <= hw) | (d2 <= hw)
+        )
 
     b0 = e0 * inv_area
     b1 = e1 * inv_area
@@ -281,7 +297,7 @@ def rasterize(
 
     def body(state, t):
         tri_id, depth, bary = state
-        inside, z, b0, b1 = _coverage_one(setup, t, px, py)
+        inside, z, b0, b1 = _coverage_one(setup, t, px, py, pipeline)
         if coverage_fn is not None:
             inside = inside & coverage_fn(t, b0, b1)
         if pipeline.depth_test_enable:
@@ -355,7 +371,7 @@ def rasterize_stencil(
 
     def body(state, t):
         tri_id, depth, bary, sbuf = state
-        inside, z, b0, b1 = _coverage_one(setup, t, px, py)
+        inside, z, b0, b1 = _coverage_one(setup, t, px, py, pipeline)
         s_pass = depth_compare(
             s_op,
             jnp.full_like(sbuf, ref & rm).astype(jnp.float32),
@@ -409,7 +425,7 @@ def rasterize_depth_only(
         depth_init = jnp.ones((height, width), jnp.float32)
 
     def body(depth, t):
-        inside, z, _, _ = _coverage_one(setup, t, px, py)
+        inside, z, _, _ = _coverage_one(setup, t, px, py, pipeline)
         depth = jnp.where(
             inside & depth_compare(pipeline.depth_compare_op, z, depth), z, depth
         )
@@ -504,7 +520,7 @@ def rasterize_ordered(
 
     def body(state, t):
         color, depth = state
-        inside, z, b0, b1 = _coverage_one(setup, t, px, py)
+        inside, z, b0, b1 = _coverage_one(setup, t, px, py, pipeline)
         if pipeline.depth_test_enable:
             accept = inside & depth_compare(pipeline.depth_compare_op, z, depth)
         else:

@@ -469,6 +469,10 @@ def supports_binned(pipeline: GraphicsPipeline, num_triangles: int, threshold: i
     """Whether the fast path applies (passes.py dispatch)."""
     if pipeline.blend.blend_enable or pipeline.alpha_cutoff is not None:
         return False
+    from renderer_rs_tpu.rhi.pipeline import PolygonMode
+
+    if pipeline.polygon_mode != PolygonMode.FILL:
+        return False  # wireframe/point fill runs on the scan path
     if pipeline.depth_test_enable and pipeline.depth_compare_op not in BINNED_COMPARE_OPS:
         return False
     if not pipeline.depth_test_enable:

@@ -334,3 +334,34 @@ def test_stencil_increment_counts_overdraw():
     s = np.asarray(sbuf)
     assert s.max() == 2      # overlap region
     assert (s == 1).sum() > 0
+
+
+# --- wireframe (polygon mode LINE) ----------------------------------------------------
+
+def test_wireframe_mode():
+    """LINE polygon mode draws edges only: far fewer covered pixels than
+    FILL, and the triangle centroid is empty."""
+    import dataclasses
+    import jax.numpy as jnp
+    from renderer_rs_tpu.ops.raster import (
+        gather_triangle_clip, rasterize, setup_triangles,
+    )
+    from renderer_rs_tpu.rhi.pipeline import CullMode, PolygonMode
+
+    h = w = 96
+    fill = (GraphicsPipelineBuilder().cull_mode(CullMode.NONE)
+            .depth_test_enable(False).depth_write_enable(False)
+            .depth_attachment_format(None).build())
+    wire = dataclasses.replace(fill, polygon_mode=PolygonMode.LINE, line_width=2.0)
+    pos = np.array([[0.0, -0.7, 0.0], [-0.7, 0.7, 0.0], [0.7, 0.7, 0.0]], np.float32)
+    clip = jnp.asarray(np.concatenate([pos, np.ones((3, 1), np.float32)], -1))
+    tris = jnp.array([[0, 1, 2]], jnp.int32)
+    sf = setup_triangles(gather_triangle_clip(clip, tris), w, h, fill)
+    sw = setup_triangles(gather_triangle_clip(clip, tris), w, h, wire)
+    cov_f = np.asarray(rasterize(sf, h, w, fill).covered)
+    cov_w = np.asarray(rasterize(sw, h, w, wire).covered)
+    assert 0 < cov_w.sum() < 0.35 * cov_f.sum()
+    assert not cov_w[52, 48]  # centroid is hollow
+    assert cov_w.sum() > 100  # but the outline exists
+    # wireframe coverage is a subset of fill coverage
+    assert not (cov_w & ~cov_f).any()
