@@ -32,7 +32,9 @@ def build(args):
     if args.scene == "gltf-pbr" and args.gltf:
         return gltf_pbr_scene(args.width, args.height, args.gltf)
     if args.scene == "full":
-        return full_scene(args.width, args.height, tri_budget=args.tris)
+        return full_scene(
+            args.width, args.height, tri_budget=args.tris, csm=args.csm
+        )
     return SCENES[args.scene](args.width, args.height)
 
 
@@ -47,6 +49,8 @@ def main(argv=None) -> int:
     parser.add_argument("--gltf", type=str, default=None, help="glTF path for gltf-pbr")
     parser.add_argument("--tris", type=int, default=100_000,
                         help="triangle budget for the full scene")
+    parser.add_argument("--csm", action="store_true",
+                        help="cascaded shadow maps (full scene)")
     parser.add_argument("--backend", type=str, default=None, help="jax platform override")
     parser.add_argument("--log", type=str, default=None, help="log filter (RUST_LOG style)")
     args = parser.parse_args(argv)

@@ -185,7 +185,13 @@ def gltf_pbr_scene(width: int, height: int, gltf_path: str | None = None):
     return scene, layout, kwargs, None
 
 
-def full_scene(width: int, height: int, tri_budget: int = 100_000, ibl: bool = True):
+def full_scene(
+    width: int,
+    height: int,
+    tri_budget: int = 100_000,
+    ibl: bool = True,
+    csm: bool = False,
+):
     """Config 4: shadow-mapped sun + HDR environment IBL + skybox + ACES
     tonemap at a given triangle budget (default 100k, the north-star
     workload). ibl=True runs the one-time IBL precompute chain (irradiance
@@ -230,9 +236,16 @@ def full_scene(width: int, height: int, tri_budget: int = 100_000, ibl: bool = T
     builder.set_lights(
         LightBank.create(sun=DirectionalLight.create(direction=sun_dir, intensity=3.5))
     )
-    builder.set_shadow_matrix(
-        directional_light_matrix(jnp.asarray(sun_dir), jnp.zeros(3), 7.0)
-    )
+    if csm:
+        # 4-cascade sun shadows fitted to the camera frustum (ops/csm.py)
+        from renderer_rs_tpu.ops.csm import fit_cascades
+
+        mats, splits = fit_cascades(cam, sun_dir)
+        builder.set_csm(mats, splits)
+    else:
+        builder.set_shadow_matrix(
+            directional_light_matrix(jnp.asarray(sun_dir), jnp.zeros(3), 7.0)
+        )
     sky = procedural_sky_cubemap(64, sun_direction=tuple(sun_dir))
     if ibl:
         # one-time jitted precompute programs (≙ the reference's compute

@@ -174,3 +174,38 @@ def test_csm_blended_transitions():
         )[0]
     )
     assert pure == 0.0
+
+
+def test_full_scene_csm_renders():
+    """End-to-end: the full config with 4-cascade shadows renders finite
+    pixels and produces shadows (darker floor regions) like the single-map
+    path."""
+    import jax.numpy as jnp
+    from renderer_rs_tpu.app.scenes import full_scene
+    from renderer_rs_tpu.renderer.passes import forward_frame
+    from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+    w, h = 96, 72
+    scene, layout, kwargs, _ = full_scene(w, h, tri_budget=600, ibl=False, csm=True)
+    assert layout.has_csm and not layout.has_shadow
+    pipe = GraphicsPipelineBuilder().build()
+    out = np.asarray(
+        forward_frame(
+            scene, layout, pipe, kwargs["shading"], w, h,
+            tonemap="aces", shadow_map_size=128,
+            shadow_params=kwargs["shadow_params"],
+        )
+    )
+    assert np.isfinite(out).all()
+    # compare against the no-shadow version: CSM must darken some pixels
+    scene2, layout2, kwargs2, _ = full_scene(w, h, tri_budget=600, ibl=False, csm=False)
+    import dataclasses
+    layout_nos = dataclasses.replace(layout2, has_shadow=False)
+    out_nos = np.asarray(
+        forward_frame(
+            scene2.replace(light_space_matrix=None), layout_nos, pipe,
+            kwargs2["shading"], w, h, tonemap="aces",
+        )
+    )
+    darker = (out_nos[..., :3].sum(-1) - out[..., :3].sum(-1)) > 0.05
+    assert darker.mean() > 0.02  # some pixels are shadowed
