@@ -16,6 +16,7 @@ from __future__ import annotations
 import enum
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -28,6 +29,7 @@ from renderer_rs_tpu.ops.raster import (
     perspective_bary,
     rasterize,
     rasterize_depth_only,
+    rasterize_ordered,
     setup_triangles,
 )
 from renderer_rs_tpu.ops.raster_binned import (
@@ -38,7 +40,11 @@ from renderer_rs_tpu.ops.raster_binned import (
 from renderer_rs_tpu.ops.shadow import ShadowParams, calculate_shadow
 from renderer_rs_tpu.ops.skybox import skybox_pass
 from renderer_rs_tpu.ops.tonemap import apply_tonemap
-from renderer_rs_tpu.rhi.pipeline import GraphicsPipeline, GraphicsPipelineBuilder
+from renderer_rs_tpu.rhi.pipeline import (
+    ColorBlendAttachment,
+    GraphicsPipeline,
+    GraphicsPipelineBuilder,
+)
 from renderer_rs_tpu.renderer.scene_build import GpuScene, SceneLayout
 
 
@@ -424,6 +430,7 @@ def forward_frame(
     shadow_map_size: int = 1024,
     shadow_params: ShadowParams = ShadowParams(),
     band: tuple | None = None,
+    return_depth: bool = False,
 ) -> jnp.ndarray:
     """The full frame: ≙ record_commands + queue_submit fused
     (renderer.rs:452-557). Returns linear [H,W,4] ready for sRGB encode.
@@ -542,4 +549,77 @@ def forward_frame(
 
     if tonemap != "none":
         out = apply_tonemap(out, tonemap)
+    if return_depth:
+        return out, vis.depth
     return out
+
+
+def transparent_pass(
+    color: jnp.ndarray,
+    depth: jnp.ndarray,
+    scene: GpuScene,
+    layout: SceneLayout,
+    pipeline: GraphicsPipeline,
+    width: int,
+    height: int,
+) -> jnp.ndarray:
+    """Sorted back-to-front alpha blending over an opaque frame.
+
+    ≙ the classic transparent pass the reference's alpha_blend preset
+    (pipeline.rs:524-544) is built for: depth-TEST against the opaque depth
+    buffer, no depth WRITE, src-over composition in view-depth order.
+    Triangles sort by centroid NDC depth (descending) inside the jit, so the
+    pass stays one traced program. Shading is sun Blinn-Phong + ambient with
+    the material's base-color alpha (the richest order-dependent shading the
+    scan path affords; PBR transparents are a later-round item).
+
+    color/depth: [H,W,4]/[H,W] from the opaque pass. Returns blended color.
+    """
+    import dataclasses as _dc
+
+    from renderer_rs_tpu.ops import blinn_phong as _bp
+
+    vs = vertex_stage(scene, layout)
+    tri_clip = gather_triangle_clip(vs.clip, scene.tris)
+    from renderer_rs_tpu.ops.clip import clip_triangles_near
+
+    tri_clip, clip_valid, clip_src, _ = clip_triangles_near(tri_clip)
+
+    blend_pipe = _dc.replace(
+        pipeline,
+        blend=ColorBlendAttachment.alpha_blend(),
+        depth_write_enable=False,
+    )
+    setup = setup_triangles(tri_clip, width, height, blend_pipe, tri_valid=clip_valid)
+
+    # back-to-front order by centroid NDC depth (painter's sort)
+    centroid_z = jnp.mean(setup.z, axis=-1)
+    order = jnp.argsort(-jnp.where(setup.valid, centroid_z, -jnp.inf))
+    setup = jax.tree.map(lambda a: a[order], setup)
+    src_sorted = clip_src[order]
+
+    # per-triangle shading tables (sun Blinn-Phong, constant per vertex set)
+    tri_n = vs.world_normal[scene.tris]  # [T,3,3]
+    tri_p = vs.world_pos[scene.tris]
+    bank_rgba = scene.materials.base_color[scene.tri_material]  # [T,4]
+    bank_rough = scene.materials.roughness[scene.tri_material]
+    lights = scene.lights
+    cam_pos = scene.camera.camera_position
+
+    def fragment_fn(t, bary3, mask):
+        s = src_sorted[t]
+        n = normalize(jnp.einsum("hwv,vk->hwk", bary3, tri_n[s]))
+        p = jnp.einsum("hwv,vk->hwk", bary3, tri_p[s])
+        view = normalize(cam_pos - p)
+        albedo = bank_rgba[s][:3]
+        rgb = _bp.directional_light(
+            lights.sun_direction, lights.sun_color, lights.sun_intensity,
+            n, view, albedo, bank_rough[s],
+        ) + scene.scene_ubo.ambient_color * albedo
+        a = jnp.broadcast_to(bank_rgba[s][3], rgb.shape[:-1])[..., None]
+        return jnp.concatenate([rgb, a], axis=-1)
+
+    blended, _ = rasterize_ordered(
+        setup, height, width, blend_pipe, fragment_fn, color, depth_init=depth
+    )
+    return blended
