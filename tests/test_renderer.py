@@ -1,0 +1,99 @@
+"""Renderer orchestration tests — the frame-loop semantics of
+crates/renderer/src/renderer.rs (deferred resize, frames in flight, UBO
+updates without recompilation, present plumbing)."""
+
+import numpy as np
+import pytest
+
+from renderer_rs_tpu.app.scenes import triangle_scene, cube_scene
+from renderer_rs_tpu.core.config import RendererConfig
+from renderer_rs_tpu.platform.window import Window
+from renderer_rs_tpu.renderer.renderer import Renderer
+
+
+def _make(scene_name="triangle", w=64, h=48, **kw):
+    window = Window(w, h, "test")
+    if scene_name == "triangle":
+        scene, layout, kwargs, _ = triangle_scene(w, h)
+    else:
+        scene, layout, kwargs, _ = cube_scene(w, h)
+    kwargs.update(kw)
+    r = Renderer(window, RendererConfig(width=w, height=h, backend="cpu"), **kwargs)
+    r.set_scene(scene, layout)
+    return r, window
+
+
+def test_render_frame_requires_scene():
+    window = Window(32, 32)
+    r = Renderer(window, RendererConfig(width=32, height=32, backend="cpu"))
+    with pytest.raises(RuntimeError):
+        r.render_frame()
+
+
+def test_render_and_present():
+    r, window = _make()
+    u8 = None
+    # fill the 2-deep pipeline: first present returns the first frame
+    for _ in range(3):
+        u8 = r.render_frame()
+    assert u8 is not None and u8.shape == (48, 64, 4)
+    surf = window.create_surface()
+    assert surf.frame_count >= 1
+    assert surf.last_frame is not None
+    # triangle visible: center pixel differs from the clear color corner
+    assert not np.array_equal(u8[24, 32], u8[0, 0])
+    r.wait_idle()
+
+
+def test_deferred_resize_recompiles():
+    """≙ renderer.rs:265-353: resize takes effect at the NEXT render_frame,
+    draining in-flight frames first."""
+    r, window = _make()
+    r.render_frame()
+    fn_before = r._frame_fn
+    r.resize(96, 64)
+    assert r.config.width == 64  # not yet applied
+    u8 = None
+    for _ in range(3):
+        u8 = r.render_frame()
+    assert r.config.width == 96
+    assert r._frame_fn is not fn_before  # re-jitted specialization
+    assert u8.shape == (64, 96, 4)
+
+
+def test_update_camera_no_recompile():
+    """Dynamic UBO updates reuse the compiled frame (≙ updating a UBO vs
+    rebuilding pipelines)."""
+    import math
+
+    from renderer_rs_tpu.scene.camera import Camera, Projection
+
+    r, _ = _make("cube")
+    r.render_frame()
+    fn = r._frame_fn
+    cam = Camera(Projection.perspective(math.radians(50), 64 / 48, 0.1, 50.0))
+    cam.position = np.array([0.0, 1.0, 3.0], np.float32)
+    cam.look_at([0.0, 0.0, 0.0])
+    r.update_camera(cam)
+    r.render_frame()
+    assert r._frame_fn is fn  # same compiled executable
+
+
+def test_set_scene_same_layout_keeps_specialization():
+    r, _ = _make("cube")
+    r.render_frame()
+    fn = r._frame_fn
+    scene2, layout2, _, animate = cube_scene(64, 48)
+    r.set_scene(animate(scene2, 1.0, 0.016), layout2)
+    assert r._frame_fn is fn  # layout unchanged -> no recompile
+    scene3, layout3, _, _ = triangle_scene(64, 48)
+    r.set_scene(scene3, layout3)
+    assert r._frame_fn is None  # new layout -> respecialize
+
+
+def test_frame_stats_accumulate():
+    r, _ = _make()
+    for _ in range(4):
+        r.render_frame()
+    assert r.stats.frame_count == 4
+    assert r.stats.fps > 0
