@@ -36,6 +36,7 @@ from renderer_rs_tpu.rhi.rendering import (  # noqa: F401
     StencilOp,
 )
 from renderer_rs_tpu.rhi.device import Device  # noqa: F401
+from renderer_rs_tpu.rhi.buffer import Buffer, BufferUsage  # noqa: F401
 from renderer_rs_tpu.rhi.command import CommandBuffer, CommandPool  # noqa: F401
 from renderer_rs_tpu.rhi.descriptor import (  # noqa: F401
     Binding,

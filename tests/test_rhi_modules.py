@@ -365,3 +365,24 @@ def test_wireframe_mode():
     assert cov_w.sum() > 100  # but the outline exists
     # wireframe coverage is a subset of fill coverage
     assert not (cov_w & ~cov_f).any()
+
+
+# --- buffers ---------------------------------------------------------------------------
+
+def test_buffer_usage_and_uploads():
+    """≙ buffer.rs tests: usage->placement table, write_data, staging upload."""
+    import jax.numpy as jnp
+    from renderer_rs_tpu.rhi.buffer import Buffer, BufferUsage
+
+    assert BufferUsage.STORAGE.device_resident
+    assert not BufferUsage.VERTEX.device_resident
+
+    b = Buffer.new_with_data(BufferUsage.VERTEX, np.zeros((4, 3), np.float32))
+    assert b.size_bytes == 48
+    b.write_data(3, jnp.asarray([9.0, 9.0, 9.0]))
+    out = np.asarray(b.data)
+    np.testing.assert_allclose(out[1], [9, 9, 9])  # flat offset 3 = row 1
+    np.testing.assert_allclose(out[0], [0, 0, 0])
+
+    b.upload_via_staging(np.ones((4, 3), np.float32))
+    np.testing.assert_allclose(np.asarray(b.data), 1.0)
