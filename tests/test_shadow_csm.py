@@ -209,3 +209,25 @@ def test_full_scene_csm_renders():
     )
     darker = (out_nos[..., :3].sum(-1) - out[..., :3].sum(-1)) > 0.05
     assert darker.mean() > 0.02  # some pixels are shadowed
+
+
+def test_full_scene_ibl_plus_csm():
+    """The richest reference shader (model_pbr_ibl_csm.hlsl): split-sum IBL
+    ambient + 4-cascade shadows in one frame."""
+    from renderer_rs_tpu.app.scenes import full_scene
+    from renderer_rs_tpu.renderer.passes import ShadingModel, forward_frame
+    from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+    w, h = 96, 72
+    scene, layout, kwargs, _ = full_scene(w, h, tri_budget=600, ibl=True, csm=True)
+    assert layout.has_csm and layout.has_environment
+    assert kwargs["shading"] == ShadingModel.PBR_IBL
+    out = np.asarray(
+        forward_frame(
+            scene, layout, GraphicsPipelineBuilder().build(),
+            kwargs["shading"], w, h, tonemap="aces", shadow_map_size=128,
+            shadow_params=kwargs["shadow_params"],
+        )
+    )
+    assert np.isfinite(out).all()
+    assert out[..., :3].std() > 0.05  # an actual image, not a constant
