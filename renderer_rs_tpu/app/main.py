@@ -86,8 +86,11 @@ def main(argv=None) -> int:
     renderer.wait_idle()
     elapsed = timer.elapsed()
     log.info(
-        "%d frames in %.2fs (%.1f FPS incl. compile)",
-        args.frames, elapsed, args.frames / max(elapsed, 1e-9),
+        "%d frames in %.2fs (%.1f FPS incl. compile); steady-state %s",
+        args.frames,
+        elapsed,
+        args.frames / max(elapsed, 1e-9),
+        renderer.stats.summary(),
     )
     return 0
 
