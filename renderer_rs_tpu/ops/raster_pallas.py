@@ -69,7 +69,7 @@ def _kernel_edge(ax, ay, bx, by, sgn, px, py):
     return sgn * ((bx - ax) * (py - ay) - (by - ay) * (px - ax))
 
 
-def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_only):
+def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_only, n_vary=0):
     greater = pipeline.depth_compare_op in (
         CompareOp.GREATER,
         CompareOp.GREATER_OR_EQUAL,
@@ -83,6 +83,8 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
         *outs, coef_ref, dma_sem = outs_and_scratch
         if depth_only:
             (depth_out,) = outs
+        elif n_vary:
+            depth_out, tid_out, b0_out, b1_out, vary_out = outs
         else:
             depth_out, tid_out, b0_out, b1_out = outs
         i = pl.program_id(0)
@@ -112,6 +114,8 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
             tid_out[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
             b0_out[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
             b1_out[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+            if n_vary:
+                vary_out[:] = jnp.zeros((n_vary, tile_h, tile_w), jnp.float32)
 
         n_chunks = (count + chunk - 1) // chunk
 
@@ -205,6 +209,29 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
             tid_out[:] = jnp.where(accept, id_best, tid_out[:])
             b0_out[:] = jnp.where(accept, b0_best, b0_out[:])
             b1_out[:] = jnp.where(accept, b1_best, b1_out[:])
+
+            if n_vary:
+                # Fused perspective-correct varyings: interpolate the
+                # winner's attributes in-kernel (they ride the free pad
+                # lanes of the coef slab — zero extra DMA traffic).
+                # columns: 24..26 = inv_w0..2; 27.. = A[vertex v][k]
+                b2 = 1.0 - b0 - b1
+                wb0 = b0 * col(24)
+                wb1 = b1 * col(25)
+                wb2 = b2 * col(26)
+                denom = wb0 + wb1 + wb2
+                inv_d = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
+                aw0 = jnp.sum(wb0 * inv_d * uf, axis=0)  # winner's weights
+                aw1 = jnp.sum(wb1 * inv_d * uf, axis=0)
+                aw2 = jnp.sum(wb2 * inv_d * uf, axis=0)
+                for k in range(n_vary):
+                    a0 = jnp.sum(col(27 + 3 * k) * uf, axis=0)
+                    a1 = jnp.sum(col(27 + 3 * k + 1) * uf, axis=0)
+                    a2 = jnp.sum(col(27 + 3 * k + 2) * uf, axis=0)
+                    vk = aw0 * a0 + aw1 * a1 + aw2 * a2
+                    vary_out[k, :, :] = jnp.where(
+                        accept, vk, vary_out[k, :, :]
+                    )
             return 0
 
         jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -223,10 +250,18 @@ def rasterize_binned_pallas(
     cap: int = 2048,
     chunk: int = 64,
     depth_only: bool = False,
+    varyings: jnp.ndarray | None = None,
 ):
     """Binned rasterization with per-tile dynamic trip counts (see module
     docstring). Returns VisibilityBuffer, or just the depth array when
-    depth_only."""
+    depth_only.
+
+    varyings: optional [T, 3, K] per-triangle-vertex attributes (K <= 33).
+    When given, the kernel interpolates the winner's attributes
+    perspective-correctly IN the raster loop and additionally returns a
+    [H, W, K] image — eliminating the per-pixel attribute gathers of the
+    deferred path. The attribute columns ride the coefficient slab's pad
+    lanes, so DMA traffic is unchanged."""
     t = setup.num_triangles
     cap = min(cap, max(t, chunk))
     cap = _cdiv(cap, chunk) * chunk
@@ -262,7 +297,18 @@ def rasterize_binned_pallas(
         cols += [e["ax"], e["ay"], e["bx"], e["by"], e["sgn"], e["tl"]]
     cols += [z[..., 0], z[..., 1], z[..., 2]]
     cols += [inv_area, valid, tri_idx.astype(jnp.float32)]
-    coef = jnp.stack(cols, axis=-1)  # [n_tiles, cap, 24]
+    n_vary = 0
+    if varyings is not None and not depth_only:
+        n_vary = varyings.shape[-1]
+        assert 24 + 3 + 3 * n_vary <= 128, "too many varying channels"
+        w_clip = setup.w[safe_idx]  # [n_tiles, cap, 3]
+        inv_w = 1.0 / jnp.maximum(w_clip, 1e-12)
+        cols += [inv_w[..., 0], inv_w[..., 1], inv_w[..., 2]]  # 24..26
+        va = varyings[jnp.minimum(safe_idx, varyings.shape[0] - 1)]
+        # [n_tiles, cap, 3, K] -> K*(3) columns: A0k, A1k, A2k
+        for k in range(n_vary):
+            cols += [va[..., 0, k], va[..., 1, k], va[..., 2, k]]
+    coef = jnp.stack(cols, axis=-1)  # [n_tiles, cap, 24(+3+3K)]
     # Lane-padded flat layout [n_tiles*cap, 128]: Mosaic only supports
     # 128-wide HBM DMA slabs, and the in-kernel column extraction needs
     # candidates in SUBLANES (lane->sublane reshapes don't lower). The 5.3x
@@ -295,7 +341,7 @@ def rasterize_binned_pallas(
         axis=-1,
     ).reshape(-1)  # interleaved [ty0, tx0, ty1, tx1, ...]
 
-    kernel = _make_kernel(pipeline, tile_h, tile_w, cap, chunk, depth_only)
+    kernel = _make_kernel(pipeline, tile_h, tile_w, cap, chunk, depth_only, n_vary)
 
     out_shapes = [jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32)]
     if not depth_only:
@@ -304,6 +350,10 @@ def rasterize_binned_pallas(
             jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
         ]
+        if n_vary:
+            out_shapes.append(
+                jax.ShapeDtypeStruct((n_tiles, n_vary, tile_h, tile_w), jnp.float32)
+            )
 
     tile_block = pl.BlockSpec(
         (1, tile_h, tile_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -316,8 +366,12 @@ def rasterize_binned_pallas(
             pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
-            for _ in out_shapes
+            pl.BlockSpec(
+                (1,) + shp.shape[1:],
+                (lambda nd: lambda i, *_: (i,) + (0,) * nd)(len(shp.shape) - 1),
+                memory_space=pltpu.VMEM,
+            )
+            for shp in out_shapes
         ],
         scratch_shapes=[
             pltpu.VMEM((2, chunk, 128), jnp.float32),
@@ -348,9 +402,18 @@ def rasterize_binned_pallas(
 
     if depth_only:
         return stitch(outs[0])
-    depth_t, tid_t, b0_t, b1_t = outs
-    return VisibilityBuffer(
+    if n_vary:
+        depth_t, tid_t, b0_t, b1_t, vary_t = outs
+    else:
+        depth_t, tid_t, b0_t, b1_t = outs
+    vis = VisibilityBuffer(
         tri_id=stitch(tid_t),
         depth=stitch(depth_t),
         bary=jnp.stack([stitch(b0_t), stitch(b1_t)], axis=-1),
     )
+    if n_vary:
+        full = vary_t.reshape(nty, ntx, n_vary, tile_h, tile_w)
+        full = full.transpose(2, 0, 3, 1, 4).reshape(n_vary, hp, wp)
+        vary_img = full[:, :height, :width].transpose(1, 2, 0)  # [H,W,K]
+        return vis, vary_img
+    return vis

@@ -208,6 +208,7 @@ def _shade_pixels(
     bary3: jnp.ndarray,
     shadow_map: jnp.ndarray | None,
     shadow_params: ShadowParams,
+    varying: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """The fragment stage over the visibility buffer. Returns linear HDR
     [H,W,4] (misses contain garbage; caller composites by coverage)."""
@@ -217,12 +218,14 @@ def _shade_pixels(
         return jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)
 
     # --- G-buffer interpolation (varyings of pixel/model_pbr.hlsl) ----------
-    # all varyings packed into ONE [V,K] matrix so the per-pixel vertex
-    # gather happens once (gathers, not math, dominate the shading pass)
-    packed = [vs.world_pos, vs.world_normal, scene.uvs]
-    if layout.texture_slots[1]:
-        packed.append(vs.world_tangent)
-    varying = interpolate(vis, tris, jnp.concatenate(packed, axis=-1), bary3)
+    # Either the raster kernel already interpolated the varyings (fused
+    # pallas path) or we gather+interpolate here: ONE packed [V,K] matrix so
+    # the per-pixel vertex gather happens once.
+    if varying is None:
+        packed = [vs.world_pos, vs.world_normal, scene.uvs]
+        if layout.texture_slots[1]:
+            packed.append(vs.world_tangent)
+        varying = interpolate(vis, tris, jnp.concatenate(packed, axis=-1), bary3)
     world_pos = varying[..., 0:3]
     normal = normalize(varying[..., 3:6])
     uv = varying[..., 6:8]
@@ -508,7 +511,39 @@ def forward_frame(
             a = a * tri_alpha_factor[src]
             return jnp.where(tex >= 0, a >= cutoff, True)
 
-    if band is None and coverage_fn is None:
+    varying_img = None
+    fuse = (
+        band is None
+        and coverage_fn is None
+        and shading != ShadingModel.FLAT
+        and supports_binned(pipeline, n_raster_tris)
+        and _use_pallas()
+    )
+    if fuse:
+        # fused path: the Pallas kernel interpolates the varyings in-loop
+        # (they ride the coefficient slab's pad lanes — free DMA), removing
+        # the per-pixel attribute gathers and the perspective_bary pass.
+        from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
+
+        packed = [vs.world_pos, vs.world_normal, scene.uvs]
+        if layout.texture_slots[1]:
+            packed.append(vs.world_tangent)
+        attr = jnp.concatenate(packed, axis=-1)  # [V,K]
+        tri_attr_src = attr[scene.tris]  # [T,3,K]
+        # compose with the clip frame: clipped vertex attrs are barycentric
+        # mixes of the source triangle's attrs
+        tri_attr = jnp.einsum(
+            "cij,cjk->cik", clip_bary, tri_attr_src[clip_src]
+        )  # [2T,3,K]
+        vis, varying_img = rasterize_binned_pallas(
+            setup, height, width, pipeline,
+            cap=_binned_cap(n_raster_tris, height, width),
+            varyings=tri_attr,
+        )
+        out_h = height
+        y_offset = 0
+        bary3 = None  # unused: varyings are already interpolated
+    elif band is None and coverage_fn is None:
         vis = _rasterize_dispatch(setup, height, width, pipeline, n_raster_tris)
         out_h = height
         y_offset = 0
@@ -518,17 +553,20 @@ def forward_frame(
         vis = rasterize(
             setup, out_h, width, pipeline, y_offset=y_offset, coverage_fn=coverage_fn
         )
-    bary3 = perspective_bary(vis, setup)
-
-    # map clipped-slot winners back to source triangles + source barycentrics
-    slot = jnp.maximum(vis.tri_id, 0)
-    bary3 = jnp.einsum("hwv,hwvk->hwk", bary3, clip_bary[slot])
+    if not fuse:
+        bary3 = perspective_bary(vis, setup)
+        # map clipped winners back to source triangles + source barycentrics
+        slot = jnp.maximum(vis.tri_id, 0)
+        bary3 = jnp.einsum("hwv,hwvk->hwk", bary3, clip_bary[slot])
+    else:
+        slot = jnp.maximum(vis.tri_id, 0)
     vis = vis.replace(
         tri_id=jnp.where(vis.tri_id >= 0, clip_src[slot], vis.tri_id)
     )
 
     color = _shade_pixels(
-        scene, layout, shading, vis, vs, bary3, shadow_map, shadow_params
+        scene, layout, shading, vis, vs, bary3, shadow_map, shadow_params,
+        varying=varying_img,
     )
 
     bg = jnp.broadcast_to(

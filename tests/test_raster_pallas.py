@@ -1,0 +1,102 @@
+"""Pallas raster kernel tests (interpret mode on CPU).
+
+The kernel must match the XLA binned path bit-for-bit on visibility, and the
+fused-varyings output must match the deferred perspective-correct
+interpolation to float tolerance."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental import pallas as pl
+
+import renderer_rs_tpu.ops.raster_pallas as rp
+from renderer_rs_tpu.ops.raster import (
+    gather_triangle_clip,
+    interpolate,
+    perspective_bary,
+    rasterize,
+    setup_triangles,
+)
+from renderer_rs_tpu.ops.raster_binned import rasterize_binned
+from renderer_rs_tpu.rhi.pipeline import CullMode, GraphicsPipelineBuilder
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(rp.pl, "pallas_call", interp)
+
+
+def _scene(t=120, seed=4, perspective=True):
+    rng = np.random.default_rng(seed)
+    center = rng.uniform(-1.0, 1.0, (t, 1, 3)).astype(np.float32)
+    off = rng.uniform(-0.3, 0.3, (t, 3, 3)).astype(np.float32)
+    pos = center + off
+    pos[..., 2] = rng.uniform(0.05, 0.95, (t, 3))
+    w = (
+        rng.uniform(0.5, 3.0, (t, 3, 1)).astype(np.float32)
+        if perspective
+        else np.ones((t, 3, 1), np.float32)
+    )
+    clip = np.concatenate([pos * w, w], -1)
+    return (
+        jnp.asarray(clip.reshape(t * 3, 4)),
+        jnp.arange(t * 3, dtype=jnp.int32).reshape(t, 3),
+    )
+
+
+def test_pallas_matches_xla_binned():
+    clip, tris = _scene()
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    h, w = 96, 256
+    setup = setup_triangles(gather_triangle_clip(clip, tris), w, h, pipe)
+    vx = rasterize_binned(setup, h, w, pipe, cap=256)
+    vp = rp.rasterize_binned_pallas(setup, h, w, pipe, cap=256, chunk=16)
+    np.testing.assert_array_equal(np.asarray(vx.tri_id), np.asarray(vp.tri_id))
+    np.testing.assert_array_equal(np.asarray(vx.depth), np.asarray(vp.depth))
+    cov = np.asarray(vx.covered)
+    np.testing.assert_allclose(
+        np.asarray(vx.bary)[cov], np.asarray(vp.bary)[cov], atol=0
+    )
+
+
+def test_pallas_depth_only_matches():
+    clip, tris = _scene(seed=9)
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    h, w = 64, 128
+    setup = setup_triangles(gather_triangle_clip(clip, tris), w, h, pipe)
+    dx = rasterize_binned(setup, h, w, pipe, cap=256).depth
+    dp = rp.rasterize_binned_pallas(setup, h, w, pipe, cap=256, depth_only=True)
+    np.testing.assert_array_equal(np.asarray(dx), np.asarray(dp))
+
+
+def test_pallas_fused_varyings_match_deferred():
+    """In-kernel perspective-correct interpolation == the deferred
+    perspective_bary + interpolate path (float-order tolerance)."""
+    clip, tris = _scene(seed=4)
+    rng = np.random.default_rng(7)
+    attr = jnp.asarray(rng.random((clip.shape[0], 8), dtype=np.float32))
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    h, w = 96, 256
+    setup = setup_triangles(gather_triangle_clip(clip, tris), w, h, pipe)
+
+    vis_ref = rasterize(setup, h, w, pipe)
+    bary3 = perspective_bary(vis_ref, setup)
+    vary_ref = interpolate(vis_ref, tris, attr, bary3)
+
+    vis_pl, vary_pl = rp.rasterize_binned_pallas(
+        setup, h, w, pipe, cap=256, chunk=16, varyings=attr[tris]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vis_ref.tri_id), np.asarray(vis_pl.tri_id)
+    )
+    cov = np.asarray(vis_ref.covered)
+    np.testing.assert_allclose(
+        np.asarray(vary_ref)[cov], np.asarray(vary_pl)[cov], atol=2e-5
+    )
