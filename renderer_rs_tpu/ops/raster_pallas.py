@@ -69,7 +69,7 @@ def _kernel_edge(ax, ay, bx, by, sgn, px, py):
     return sgn * ((bx - ax) * (py - ay) - (by - ay) * (px - ax))
 
 
-def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_only, n_vary=0):
+def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_only, n_vary=0, n_flat=0):
     greater = pipeline.depth_compare_op in (
         CompareOp.GREATER,
         CompareOp.GREATER_OR_EQUAL,
@@ -83,7 +83,7 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
         *outs, coef_ref, dma_sem = outs_and_scratch
         if depth_only:
             (depth_out,) = outs
-        elif n_vary:
+        elif n_vary or n_flat:
             depth_out, tid_out, b0_out, b1_out, vary_out = outs
         else:
             depth_out, tid_out, b0_out, b1_out = outs
@@ -114,8 +114,8 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
             tid_out[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
             b0_out[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
             b1_out[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
-            if n_vary:
-                vary_out[:] = jnp.zeros((n_vary, tile_h, tile_w), jnp.float32)
+            if n_vary or n_flat:
+                vary_out[:] = jnp.zeros((n_vary + n_flat, tile_h, tile_w), jnp.float32)
 
         n_chunks = (count + chunk - 1) // chunk
 
@@ -210,6 +210,13 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
             b0_out[:] = jnp.where(accept, b0_best, b0_out[:])
             b1_out[:] = jnp.where(accept, b1_best, b1_out[:])
 
+            if n_flat:
+                # per-triangle constants (material params): winner-select only
+                for k in range(n_flat):
+                    f = jnp.sum(col(27 + 3 * n_vary + k) * uf, axis=0)
+                    vary_out[n_vary + k, :, :] = jnp.where(
+                        accept, f, vary_out[n_vary + k, :, :]
+                    )
             if n_vary:
                 # Fused perspective-correct varyings: interpolate the
                 # winner's attributes in-kernel (they ride the free pad
@@ -251,17 +258,26 @@ def rasterize_binned_pallas(
     chunk: int = 64,
     depth_only: bool = False,
     varyings: jnp.ndarray | None = None,
+    vary_src: jnp.ndarray | None = None,
+    vary_bary: jnp.ndarray | None = None,
+    flat_varyings: jnp.ndarray | None = None,
 ):
     """Binned rasterization with per-tile dynamic trip counts (see module
     docstring). Returns VisibilityBuffer, or just the depth array when
     depth_only.
 
-    varyings: optional [T, 3, K] per-triangle-vertex attributes (K <= 33).
+    varyings: optional [Tv, 3, K] per-triangle-vertex attributes (K <= 33).
     When given, the kernel interpolates the winner's attributes
     perspective-correctly IN the raster loop and additionally returns a
     [H, W, K] image — eliminating the per-pixel attribute gathers of the
     deferred path. The attribute columns ride the coefficient slab's pad
-    lanes, so DMA traffic is unchanged."""
+    lanes, so DMA traffic is unchanged.
+
+    vary_src/vary_bary: optional per-raster-slot source mapping ([T] int32)
+    and barycentric frames ([T,3,3]) from near-plane clipping: the slot's
+    vertex attributes are composed as A'_i = sum_j bary[i,j] * A_src[j].
+    Composition happens per column here so no padded [T,3,K] intermediate is
+    ever materialized (XLA lane-pads small minor dims by 128x)."""
     t = setup.num_triangles
     cap = min(cap, max(t, chunk))
     cap = _cdiv(cap, chunk) * chunk
@@ -304,10 +320,36 @@ def rasterize_binned_pallas(
         w_clip = setup.w[safe_idx]  # [n_tiles, cap, 3]
         inv_w = 1.0 / jnp.maximum(w_clip, 1e-12)
         cols += [inv_w[..., 0], inv_w[..., 1], inv_w[..., 2]]  # 24..26
-        va = varyings[jnp.minimum(safe_idx, varyings.shape[0] - 1)]
-        # [n_tiles, cap, 3, K] -> K*(3) columns: A0k, A1k, A2k
+        if vary_src is not None:
+            src = vary_src[safe_idx]  # [n_tiles, cap]
+            cb = vary_bary[safe_idx]  # [n_tiles, cap, 3, 3]
+        else:
+            src = jnp.minimum(safe_idx, varyings.shape[0] - 1)
+            cb = None
+        va = varyings[src]  # [n_tiles, cap, 3, K]
+
+        # K*(3) columns A_ik, composed with the clip frame per column so no
+        # padded [.,3,K] intermediate survives fusion
         for k in range(n_vary):
-            cols += [va[..., 0, k], va[..., 1, k], va[..., 2, k]]
+            for i in range(3):
+                if cb is None:
+                    cols.append(va[..., i, k])
+                else:
+                    cols.append(
+                        cb[..., i, 0] * va[..., 0, k]
+                        + cb[..., i, 1] * va[..., 1, k]
+                        + cb[..., i, 2] * va[..., 2, k]
+                    )
+    n_flat = 0
+    if flat_varyings is not None and not depth_only:
+        n_flat = flat_varyings.shape[-1]
+        assert 27 + 3 * n_vary + n_flat <= 128, "too many channels"
+        fsrc = vary_src[safe_idx] if vary_src is not None else jnp.minimum(
+            safe_idx, flat_varyings.shape[0] - 1
+        )
+        fva = flat_varyings[fsrc]  # [n_tiles, cap, Kf]
+        for k in range(n_flat):
+            cols.append(fva[..., k])
     coef = jnp.stack(cols, axis=-1)  # [n_tiles, cap, 24(+3+3K)]
     # Lane-padded flat layout [n_tiles*cap, 128]: Mosaic only supports
     # 128-wide HBM DMA slabs, and the in-kernel column extraction needs
@@ -341,7 +383,7 @@ def rasterize_binned_pallas(
         axis=-1,
     ).reshape(-1)  # interleaved [ty0, tx0, ty1, tx1, ...]
 
-    kernel = _make_kernel(pipeline, tile_h, tile_w, cap, chunk, depth_only, n_vary)
+    kernel = _make_kernel(pipeline, tile_h, tile_w, cap, chunk, depth_only, n_vary, n_flat)
 
     out_shapes = [jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32)]
     if not depth_only:
@@ -350,9 +392,11 @@ def rasterize_binned_pallas(
             jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
         ]
-        if n_vary:
+        if n_vary or n_flat:
             out_shapes.append(
-                jax.ShapeDtypeStruct((n_tiles, n_vary, tile_h, tile_w), jnp.float32)
+                jax.ShapeDtypeStruct(
+                    (n_tiles, n_vary + n_flat, tile_h, tile_w), jnp.float32
+                )
             )
 
     tile_block = pl.BlockSpec(
@@ -402,7 +446,7 @@ def rasterize_binned_pallas(
 
     if depth_only:
         return stitch(outs[0])
-    if n_vary:
+    if n_vary or n_flat:
         depth_t, tid_t, b0_t, b1_t, vary_t = outs
     else:
         depth_t, tid_t, b0_t, b1_t = outs
@@ -411,9 +455,10 @@ def rasterize_binned_pallas(
         depth=stitch(depth_t),
         bary=jnp.stack([stitch(b0_t), stitch(b1_t)], axis=-1),
     )
-    if n_vary:
-        full = vary_t.reshape(nty, ntx, n_vary, tile_h, tile_w)
-        full = full.transpose(2, 0, 3, 1, 4).reshape(n_vary, hp, wp)
+    if n_vary or n_flat:
+        nk = n_vary + n_flat
+        full = vary_t.reshape(nty, ntx, nk, tile_h, tile_w)
+        full = full.transpose(2, 0, 3, 1, 4).reshape(nk, hp, wp)
         vary_img = full[:, :height, :width].transpose(1, 2, 0)  # [H,W,K]
         return vis, vary_img
     return vis

@@ -48,6 +48,21 @@ from renderer_rs_tpu.rhi.pipeline import (
 from renderer_rs_tpu.renderer.scene_build import GpuScene, SceneLayout
 
 
+def _material_bank(mats) -> jnp.ndarray:
+    """[M,11] packed material parameters (order consumed by _shade_pixels)."""
+    return jnp.concatenate(
+        [
+            mats.base_color,  # 0:4
+            mats.metallic[:, None],  # 4
+            mats.roughness[:, None],  # 5
+            mats.ao[:, None],  # 6
+            mats.emissive[:, :3],  # 7:10
+            mats.normal_scale[:, None],  # 10
+        ],
+        axis=-1,
+    )
+
+
 class ShadingModel(enum.Enum):
     """Which fragment shader family the frame uses (static jit key)."""
 
@@ -209,6 +224,7 @@ def _shade_pixels(
     shadow_map: jnp.ndarray | None,
     shadow_params: ShadowParams,
     varying: jnp.ndarray | None = None,
+    fused_materials: bool = False,
 ) -> jnp.ndarray:
     """The fragment stage over the visibility buffer. Returns linear HDR
     [H,W,4] (misses contain garbage; caller composites by coverage)."""
@@ -230,25 +246,18 @@ def _shade_pixels(
     normal = normalize(varying[..., 3:6])
     uv = varying[..., 6:8]
 
-    # per-pixel material params via ONE packed bank gather
     tid = jnp.maximum(vis.tri_id, 0)
-    mat_id = scene.tri_material[tid]  # [H,W]
     mats = scene.materials
-    bank = jnp.concatenate(
-        [
-            mats.base_color,  # 0:4
-            mats.metallic[:, None],  # 4
-            mats.roughness[:, None],  # 5
-            mats.ao[:, None],  # 6
-            mats.emissive[:, :3],  # 7:10
-            mats.normal_scale[:, None],  # 10
-        ],
-        axis=-1,
-    )
-    # tri-major pre-gather (small) -> one per-pixel row gather (see
-    # ops/raster.interpolate for the rationale)
-    tri_bank = bank[scene.tri_material]  # [T,11]
-    mat_px = tri_bank[tid]  # [H,W,11]
+    if fused_materials:
+        # material params rode the raster kernel's fused-varying lanes
+        # (constant per triangle -> exact under the persp weights)
+        nv = varying.shape[-1]
+        mat_px = varying[..., nv - 11 :]
+    else:
+        # per-pixel material params via ONE packed bank gather (tri-major
+        # pre-gather; see ops/raster.interpolate for the rationale)
+        bank = _material_bank(mats)
+        mat_px = bank[scene.tri_material][tid]  # [H,W,11]
     base_color = mat_px[..., 0:4]
     metallic = mat_px[..., 4]
     roughness = mat_px[..., 5]
@@ -529,16 +538,17 @@ def forward_frame(
         if layout.texture_slots[1]:
             packed.append(vs.world_tangent)
         attr = jnp.concatenate(packed, axis=-1)  # [V,K]
-        tri_attr_src = attr[scene.tris]  # [T,3,K]
-        # compose with the clip frame: clipped vertex attrs are barycentric
-        # mixes of the source triangle's attrs
-        tri_attr = jnp.einsum(
-            "cij,cjk->cik", clip_bary, tri_attr_src[clip_src]
-        )  # [2T,3,K]
+        tri_attr_src = attr[scene.tris]  # [T,3,K] — composition with the
+        # clip frame happens per column inside the kernel prep (vary_bary).
+        # NOTE: materials could also ride as flat channels
+        # (flat_varyings=...), but measured SLOWER than the tri-major bank
+        # gather (11 extra masked chunk-sums > one row gather) — not used.
         vis, varying_img = rasterize_binned_pallas(
             setup, height, width, pipeline,
             cap=_binned_cap(n_raster_tris, height, width),
-            varyings=tri_attr,
+            varyings=tri_attr_src,
+            vary_src=clip_src,
+            vary_bary=clip_bary,
         )
         out_h = height
         y_offset = 0
