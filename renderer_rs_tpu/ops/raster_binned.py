@@ -133,6 +133,12 @@ def bin_triangles(
     of up to cap_big entries that is merged per tile. Lists stay sorted by
     triangle id, so results are identical to bin_triangles_dense (same
     membership, same order) — asserted by tests.
+
+    Overflow safety: if more than cap_big triangles exceed the span limit
+    (e.g. a close-up with many screen-filling triangles), the side list can
+    no longer hold them all — in that case a `lax.cond` falls back to the
+    exact O(n_tiles·T) dense binning for the whole frame, so membership is
+    always identical to bin_triangles_dense (never silently dropped).
     """
     t = setup.num_triangles
     nty, ntx = _cdiv(height, tile_h), _cdiv(width, tile_w)
@@ -191,9 +197,17 @@ def bin_triangles(
 
     # --- merge (both ascending by id; sort of cap+kb keeps global order) ----
     merged = jnp.sort(jnp.concatenate([idx_small, idx_big], axis=-1), axis=-1)
-    tri_idx = merged[:, :cap]
-    counts = jnp.minimum(
+    sorted_idx = merged[:, :cap]
+    sorted_counts = jnp.minimum(
         counts_small + jnp.sum(big_overlap, axis=-1).astype(jnp.int32), cap
+    )
+
+    # --- overflow fallback: side list full -> exact dense binning -----------
+    n_big = jnp.sum(big.astype(jnp.int32))
+    tri_idx, counts = jax.lax.cond(
+        n_big <= kb,
+        lambda: (sorted_idx, sorted_counts),
+        lambda: bin_triangles_dense(setup, height, width, tile_h, tile_w, cap)[:2],
     )
     return tri_idx, counts, nty, ntx
 

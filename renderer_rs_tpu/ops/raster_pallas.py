@@ -211,9 +211,12 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
             b1_out[:] = jnp.where(accept, b1_best, b1_out[:])
 
             if n_flat:
-                # per-triangle constants (material params): winner-select only
+                # per-triangle constants (material params): winner-select
+                # only. Column base matches the host packing: inv_w cols
+                # 24..26 and the 3K vary columns exist only when n_vary>0.
+                flat_base = 24 + (3 + 3 * n_vary if n_vary else 0)
                 for k in range(n_flat):
-                    f = jnp.sum(col(27 + 3 * n_vary + k) * uf, axis=0)
+                    f = jnp.sum(col(flat_base + k) * uf, axis=0)
                     vary_out[n_vary + k, :, :] = jnp.where(
                         accept, f, vary_out[n_vary + k, :, :]
                     )
@@ -343,7 +346,8 @@ def rasterize_binned_pallas(
     n_flat = 0
     if flat_varyings is not None and not depth_only:
         n_flat = flat_varyings.shape[-1]
-        assert 27 + 3 * n_vary + n_flat <= 128, "too many channels"
+        flat_base = 24 + (3 + 3 * n_vary if n_vary else 0)
+        assert flat_base + n_flat <= 128, "too many channels"
         fsrc = vary_src[safe_idx] if vary_src is not None else jnp.minimum(
             safe_idx, flat_varyings.shape[0] - 1
         )

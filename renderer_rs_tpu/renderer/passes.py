@@ -457,7 +457,15 @@ def forward_frame(
     software rasterizer SSAA *is* the multisample pattern, and it also
     supersamples shading (better than hardware MSAA).
     """
-    if pipeline.msaa_samples > 1 and band is None:
+    if pipeline.msaa_samples > 1:
+        if band is not None:
+            # A row-sharded band rendered at 1x would silently diverge from
+            # the single-chip supersampled image; shard the supersampled
+            # frame instead (multiply band rows by sy outside).
+            raise NotImplementedError(
+                "msaa_samples > 1 with band sharding: render the supersampled "
+                "frame sharded and box-resolve after stitching"
+            )
         sx, sy = {2: (2, 1), 4: (2, 2), 8: (4, 2)}[pipeline.msaa_samples]
         import dataclasses as _dc
 
@@ -466,9 +474,25 @@ def forward_frame(
             scene, layout, sub, shading, width * sx, height * sy,
             clear_color=clear_color, tonemap=tonemap,
             shadow_map_size=shadow_map_size, shadow_params=shadow_params,
+            return_depth=return_depth,
         )
+        if return_depth:
+            hi, hi_depth = hi
         # box resolve (≙ vkCmdResolveImage)
-        return hi.reshape(height, sy, width, sx, 4).mean(axis=(1, 3))
+        out = hi.reshape(height, sy, width, sx, 4).mean(axis=(1, 3))
+        if return_depth:
+            # depth resolve keeps the depth-test winner over the footprint
+            # (nearest for LESS*, farthest for GREATER*)
+            d = hi_depth.reshape(height, sy, width, sx)
+            from renderer_rs_tpu.rhi.pipeline import CompareOp as _CmpOp
+
+            if pipeline.depth_compare_op in (
+                _CmpOp.GREATER,
+                _CmpOp.GREATER_OR_EQUAL,
+            ):
+                return out, d.max(axis=(1, 3))
+            return out, d.min(axis=(1, 3))
+        return out
     if layout.has_csm:
         shadow_map = csm_shadow_pass(scene, layout, shadow_map_size)
     elif layout.has_shadow:
@@ -631,7 +655,7 @@ def transparent_pass(
     tri_clip = gather_triangle_clip(vs.clip, scene.tris)
     from renderer_rs_tpu.ops.clip import clip_triangles_near
 
-    tri_clip, clip_valid, clip_src, _ = clip_triangles_near(tri_clip)
+    tri_clip, clip_valid, clip_src, clip_bary = clip_triangles_near(tri_clip)
 
     blend_pipe = _dc.replace(
         pipeline,
@@ -645,6 +669,7 @@ def transparent_pass(
     order = jnp.argsort(-jnp.where(setup.valid, centroid_z, -jnp.inf))
     setup = jax.tree.map(lambda a: a[order], setup)
     src_sorted = clip_src[order]
+    cb_sorted = clip_bary[order]  # [T,3,3] clipped-vertex -> source frame
 
     # per-triangle shading tables (sun Blinn-Phong, constant per vertex set)
     tri_n = vs.world_normal[scene.tris]  # [T,3,3]
@@ -656,8 +681,11 @@ def transparent_pass(
 
     def fragment_fn(t, bary3, mask):
         s = src_sorted[t]
-        n = normalize(jnp.einsum("hwv,vk->hwk", bary3, tri_n[s]))
-        p = jnp.einsum("hwv,vk->hwk", bary3, tri_p[s])
+        # compose with the clip frame so near-plane-clipped sub-triangles
+        # interpolate SOURCE-vertex attributes (as the opaque path does)
+        bsrc = jnp.einsum("hwv,vk->hwk", bary3, cb_sorted[t])
+        n = normalize(jnp.einsum("hwv,vk->hwk", bsrc, tri_n[s]))
+        p = jnp.einsum("hwv,vk->hwk", bsrc, tri_p[s])
         view = normalize(cam_pos - p)
         albedo = bank_rgba[s][:3]
         rgb = _bp.directional_light(

@@ -100,3 +100,60 @@ def test_pallas_fused_varyings_match_deferred():
     np.testing.assert_allclose(
         np.asarray(vary_ref)[cov], np.asarray(vary_pl)[cov], atol=2e-5
     )
+
+
+def test_pallas_flat_only_varyings():
+    """flat_varyings WITHOUT smooth varyings: the kernel must read flat
+    channels from the correct column base (24 when n_vary==0 — round-1
+    advisor finding: it read col 27 and returned garbage)."""
+    clip, tris = _scene(seed=5, t=60)
+    rng = np.random.default_rng(11)
+    t = tris.shape[0]
+    flat = jnp.asarray(rng.random((t, 4), dtype=np.float32))
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    h, w = 64, 128
+    setup = setup_triangles(gather_triangle_clip(clip, tris), w, h, pipe)
+
+    vis_ref = rasterize(setup, h, w, pipe)
+    vis_pl, flat_pl = rp.rasterize_binned_pallas(
+        setup, h, w, pipe, cap=128, chunk=16, flat_varyings=flat
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vis_ref.tri_id), np.asarray(vis_pl.tri_id)
+    )
+    cov = np.asarray(vis_ref.covered)
+    tid = np.asarray(vis_ref.tri_id)
+    expect = np.asarray(flat)[np.maximum(tid, 0)]
+    np.testing.assert_allclose(
+        np.asarray(flat_pl)[cov], expect[cov], atol=1e-6
+    )
+
+
+def test_pallas_flat_plus_smooth_varyings():
+    """flat + smooth varyings together keep both channel groups correct."""
+    clip, tris = _scene(seed=6, t=60)
+    rng = np.random.default_rng(12)
+    t = tris.shape[0]
+    attr = jnp.asarray(rng.random((clip.shape[0], 3), dtype=np.float32))
+    flat = jnp.asarray(rng.random((t, 2), dtype=np.float32))
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    h, w = 64, 128
+    setup = setup_triangles(gather_triangle_clip(clip, tris), w, h, pipe)
+
+    vis_ref = rasterize(setup, h, w, pipe)
+    bary3 = perspective_bary(vis_ref, setup)
+    vary_ref = interpolate(vis_ref, tris, attr, bary3)
+
+    vis_pl, out_pl = rp.rasterize_binned_pallas(
+        setup, h, w, pipe, cap=128, chunk=16,
+        varyings=attr[tris], flat_varyings=flat,
+    )
+    cov = np.asarray(vis_ref.covered)
+    tid = np.asarray(vis_ref.tri_id)
+    np.testing.assert_allclose(
+        np.asarray(vary_ref)[cov], np.asarray(out_pl)[..., :3][cov], atol=2e-5
+    )
+    expect = np.asarray(flat)[np.maximum(tid, 0)]
+    np.testing.assert_allclose(
+        np.asarray(out_pl)[..., 3:][cov], expect[cov], atol=1e-6
+    )
