@@ -4,11 +4,14 @@ The reference's winit event loop (resumed -> create window+renderer;
 RedrawRequested -> timer.tick + render_frame; continuous redraw via
 about_to_wait, main.rs:35-105) becomes a headless frame loop: no display
 server exists, so "present" writes PNGs / keeps the last frame, and input
-events can be scripted (--orbit spins the camera like a user dragging).
+events are scripted — --orbit injects a left-button drag + scroll stream
+into InputState driving an OrbitController; --fly holds W + mouse-look
+driving an FpsController (≙ main.rs:61-104 winit event wiring).
 
 Usage:
     python -m renderer_rs_tpu.app.main --scene triangle --frames 1 --out /tmp/out
     python -m renderer_rs_tpu.app.main --scene full --width 1920 --height 1080
+    python -m renderer_rs_tpu.app.main --scene blinnphong --frames 8 --orbit
 """
 
 from __future__ import annotations
@@ -19,11 +22,47 @@ import math
 
 from renderer_rs_tpu.core import Timer, init_logging
 from renderer_rs_tpu.core.config import RendererConfig
-from renderer_rs_tpu.platform.input import InputState
+from renderer_rs_tpu.platform.input import InputState, KeyCode, MouseButton
 from renderer_rs_tpu.platform.window import Window
 from renderer_rs_tpu.renderer.renderer import Renderer
 
 log = logging.getLogger("renderer_rs_tpu.app")
+
+
+def inject_scripted_events(inp: InputState, mode: str, frame: int) -> None:
+    """Per-frame scripted event stream standing in for winit callbacks
+    (≙ the user dragging/flying; app/src/main.rs:61-97)."""
+    if mode == "orbit":
+        if frame == 0:
+            inp.on_mouse_move(400.0, 300.0)  # anchor (no delta on first)
+            inp.on_mouse_press(MouseButton.LEFT)
+        inp.on_mouse_move(400.0 + 8.0 * (frame + 1), 300.0 + 2.0 * (frame + 1))
+        if frame % 16 == 8:
+            inp.on_scroll(1.0)
+    elif mode == "fly":
+        if frame == 0:
+            inp.on_mouse_move(400.0, 300.0)
+            inp.on_key_press(KeyCode.KEY_W)
+        inp.on_mouse_move(400.0 + 25.0 * (frame + 1), 300.0 + 5.0 * (frame + 1))
+
+
+def apply_camera_input(inp: InputState, mode: str, controller, camera, dt: float) -> None:
+    """InputState -> controller -> Camera (≙ the reference's intended
+    controller wiring, crates/scene/src/camera.rs:287-326, 451-507)."""
+    if mode == "orbit":
+        if inp.is_mouse_pressed(MouseButton.LEFT):
+            controller.process_mouse_movement(*inp.mouse_delta)
+        if inp.scroll_delta:
+            controller.process_zoom(inp.scroll_delta)
+        controller.update_camera(camera)
+    else:
+        controller.process_mouse_movement(*inp.mouse_delta)
+        key = inp.is_key_pressed
+        forward = float(key(KeyCode.KEY_W)) - float(key(KeyCode.KEY_S))
+        right = float(key(KeyCode.KEY_D)) - float(key(KeyCode.KEY_A))
+        up = float(key(KeyCode.SPACE)) - float(key(KeyCode.SHIFT_LEFT))
+        controller.set_movement_input(forward, right, up)
+        controller.update_camera(camera, dt)
 
 
 def build(args):
@@ -53,6 +92,10 @@ def main(argv=None) -> int:
                         help="cascaded shadow maps (full scene)")
     parser.add_argument("--backend", type=str, default=None, help="jax platform override")
     parser.add_argument("--log", type=str, default=None, help="log filter (RUST_LOG style)")
+    parser.add_argument("--orbit", action="store_true",
+                        help="scripted orbit-drag camera (OrbitController)")
+    parser.add_argument("--fly", action="store_true",
+                        help="scripted fly-forward camera (FpsController)")
     args = parser.parse_args(argv)
 
     if args.backend:
@@ -63,18 +106,40 @@ def main(argv=None) -> int:
     init_logging(args.log)
     window = Window(args.width, args.height, f"renderer_rs_tpu [{args.scene}]", sink=args.out)
     scene, layout, kwargs, animate = build(args)
+    camera = kwargs.get("camera")
     renderer = Renderer(
         window, RendererConfig(width=args.width, height=args.height), **kwargs
     )
     renderer.set_scene(scene, layout)
+
+    ctl_mode = "orbit" if args.orbit else ("fly" if args.fly else None)
+    controller = None
+    if ctl_mode and camera is None:
+        log.warning("--%s ignored: the %s scene has no camera", ctl_mode, args.scene)
+        ctl_mode = None
+    elif ctl_mode == "orbit":
+        from renderer_rs_tpu.scene.camera import OrbitController
+
+        controller = OrbitController()
+        controller.sync_with_camera(camera, (0.0, 0.0, 0.0))
+    elif ctl_mode == "fly":
+        from renderer_rs_tpu.scene.camera import FpsController
+
+        controller = FpsController()
+        controller.sync_with_camera(camera)
 
     input_state = InputState()
     timer = Timer()  # ≙ app timer (main.rs:77)
     t = 0.0
     for frame in range(args.frames):
         input_state.begin_frame()  # ≙ about_to_wait (main.rs:99-104)
+        if ctl_mode:
+            inject_scripted_events(input_state, ctl_mode, frame)
         dt = timer.tick()
         t += dt if frame > 0 else 0.0
+        if ctl_mode:
+            apply_camera_input(input_state, ctl_mode, controller, camera, dt)
+            renderer.update_camera(camera)
         if animate is not None:
             renderer.update_scene(animate(renderer._scene, t, dt))
         renderer.render_frame()

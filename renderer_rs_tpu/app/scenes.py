@@ -72,7 +72,7 @@ def cube_scene(width: int, height: int):
     )
     builder.set_scene_ubo(SceneUbo.create(ambient_color=(0.08, 0.08, 0.08)))
     scene, layout = builder.build()
-    kwargs = dict(shading=ShadingModel.BLINN_PHONG)
+    kwargs = dict(shading=ShadingModel.BLINN_PHONG, camera=cam)
 
     def animate(scene, t, dt):
         rot = quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), t)
@@ -118,7 +118,7 @@ def blinnphong_scene(width: int, height: int, rings=32, sectors=48):
     )
     builder.set_scene_ubo(SceneUbo.create(ambient_color=(0.03, 0.03, 0.04)))
     scene, layout = builder.build()
-    kwargs = dict(shading=ShadingModel.BLINN_PHONG)
+    kwargs = dict(shading=ShadingModel.BLINN_PHONG, camera=cam)
 
     def animate(scene, t, dt):
         # lights orbit the sphere
@@ -181,7 +181,7 @@ def gltf_pbr_scene(width: int, height: int, gltf_path: str | None = None):
         )
     )
     scene, layout = builder.build()
-    kwargs = dict(shading=ShadingModel.PBR)
+    kwargs = dict(shading=ShadingModel.PBR, camera=cam)
     return scene, layout, kwargs, None
 
 
@@ -266,6 +266,7 @@ def full_scene(
     # bias scaled to the shadow texel world size (ortho box 14 units / 1024)
     kwargs = dict(
         shading=ShadingModel.PBR_IBL if ibl else ShadingModel.PBR,
+        camera=cam,
         tonemap="aces",
         shadow_map_size=1024,
         shadow_params=ShadowParams(shadow_bias=0.012, normal_bias=0.06),

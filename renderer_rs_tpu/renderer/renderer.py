@@ -53,8 +53,12 @@ class Renderer:
         tonemap: str = "none",
         shadow_map_size: int = 1024,
         shadow_params: ShadowParams = ShadowParams(),
+        camera: Camera | None = None,
     ) -> None:
         self.window = window
+        # host-side Camera the app's controllers mutate (scene factories
+        # pass it through their kwargs); update_camera() refreshes the UBO
+        self.camera = camera
         self.config = (config or RendererConfig()).with_size(window.width, window.height)
         self.device = Device(self.config.backend)
         self.surface = window.create_surface()

@@ -110,6 +110,7 @@ class SceneBuilder:
     def __init__(self) -> None:
         self._meshes: list[tuple[Mesh, Transform, int]] = []
         self._materials: list[Material] = []
+        self._images: list[np.ndarray] = []  # accumulated by add_model
         self._lights: LightBank | None = None
         self._camera: CameraUbo | None = None
         self._scene_ubo: SceneUbo | None = None
@@ -135,9 +136,34 @@ class SceneBuilder:
         return self
 
     def add_model(self, model: Model, transform: Transform | None = None) -> "SceneBuilder":
-        """Add every mesh of a glTF model, keeping its material table."""
+        """Add every mesh of a glTF model, keeping its material table and
+        texture images (material texture indices are remapped into the
+        scene-global texture array; build() assembles it unless
+        set_textures was called explicitly)."""
         base = len(self._materials)
-        self._materials.extend(model.materials or [Material()])
+        base_img = len(self._images)
+        mats = model.materials or [Material()]
+        if model.textures:
+            self._images.extend(model.textures)
+            slots = (
+                "base_color_texture",
+                "normal_texture",
+                "metallic_roughness_texture",
+                "occlusion_texture",
+                "emissive_texture",
+            )
+            mats = [
+                dataclasses.replace(
+                    m,
+                    **{
+                        s: getattr(m, s) + base_img
+                        for s in slots
+                        if getattr(m, s) >= 0
+                    },
+                )
+                for m in mats
+            ]
+        self._materials.extend(mats)
         for mesh in model.meshes:
             mi = mesh.material_index
             mat_idx = base + (mi if mi is not None else 0)
@@ -205,6 +231,9 @@ class SceneBuilder:
     def build(self) -> tuple[GpuScene, SceneLayout]:
         if not self._meshes:
             raise ValueError("scene has no meshes")
+        if self._images and self._textures is None:
+            # texture images accumulated by add_model -> scene texture array
+            self.set_textures(self._images)
         pos_l, nrm_l, uv_l, tan_l, col_l, tri_l, tmat_l = [], [], [], [], [], [], []
         models, normal_mats, ranges = [], [], []
         v_off = 0

@@ -63,20 +63,36 @@ class Mesh:
 
 @dataclasses.dataclass
 class Model:
-    """≙ resources::Model (model.rs:66-345)."""
+    """≙ resources::Model (model.rs:66-345).
+
+    textures: decoded [H,W,4]-float images indexed by glTF *texture* index
+    (the indices Material.*_texture store) — the capability the reference
+    stubs as Task 3.1 (rhi/src/texture.rs:5). Color-slot textures
+    (base-color/emissive, sampled through _SRGB views in model_pbr.hlsl)
+    are sRGB-decoded to linear at load; data textures (normal/MR/AO) stay
+    linear.
+    """
 
     meshes: list[Mesh]
     materials: list[Material]
     aabb_min: np.ndarray  # [3]
     aabb_max: np.ndarray  # [3]
+    textures: list[np.ndarray] = dataclasses.field(default_factory=list)
 
     @staticmethod
-    def load(path: str) -> "Model":
-        """≙ Model::load (model.rs:111-270)."""
+    def load(path: str, generate_tangent_frames: bool = True) -> "Model":
+        """≙ Model::load (model.rs:111-270).
+
+        generate_tangent_frames: when a primitive lacks NORMAL/TANGENT
+        accessors, generate them from geometry (area-weighted normals /
+        Lengyel tangents via resources/geometry.py) instead of the
+        reference's constant defaults — required for correct normal
+        mapping on TANGENT-less assets."""
         if not os.path.exists(path):
             raise FileNotFoundError_(f"model file not found: {path}")
         doc = GltfDocument.load(path)
         materials = extract_materials(doc)
+        textures = _load_textures(doc, materials)
 
         meshes: list[Mesh] = []
         aabb_min = np.full(3, np.inf, np.float32)
@@ -92,25 +108,38 @@ class Model:
                 pos = doc.read_accessor(attrs["POSITION"]).astype(np.float32)
                 n = pos.shape[0]
 
-                if "NORMAL" in attrs:
-                    normals = doc.read_accessor(attrs["NORMAL"]).astype(np.float32)
-                else:  # default Y-up (model.rs:163-172)
-                    normals = np.tile(np.array([[0, 1, 0]], np.float32), (n, 1))
+                if "indices" in prim:
+                    indices = doc.read_accessor(prim["indices"]).reshape(-1).astype(np.uint32)
+                else:  # sequential fallback (model.rs:200-209)
+                    indices = np.arange(n, dtype=np.uint32)
 
                 if "TEXCOORD_0" in attrs:
                     uv = doc.read_accessor(attrs["TEXCOORD_0"]).astype(np.float32)
                 else:  # default zero UV (model.rs:175-184)
                     uv = np.zeros((n, 2), np.float32)
 
+                if "NORMAL" in attrs:
+                    normals = doc.read_accessor(attrs["NORMAL"]).astype(np.float32)
+                elif generate_tangent_frames:
+                    # area-weighted generated normals (upgrade over the
+                    # reference's constant Y-up default, model.rs:163-172)
+                    from renderer_rs_tpu.resources.geometry import compute_normals
+
+                    normals = compute_normals(pos, indices)
+                else:  # default Y-up (model.rs:163-172)
+                    normals = np.tile(np.array([[0, 1, 0]], np.float32), (n, 1))
+
                 if "TANGENT" in attrs:
                     tangents = doc.read_accessor(attrs["TANGENT"]).astype(np.float32)
+                elif generate_tangent_frames:
+                    # Lengyel tangent frames from UV gradients (upgrade over
+                    # the +X default, model.rs:187-197); degenerate UVs fall
+                    # back to +X inside compute_tangents
+                    from renderer_rs_tpu.resources.geometry import compute_tangents
+
+                    tangents = compute_tangents(pos, normals, uv, indices)
                 else:  # default +X, w=1 (model.rs:187-197)
                     tangents = np.tile(np.array([[1, 0, 0, 1]], np.float32), (n, 1))
-
-                if "indices" in prim:
-                    indices = doc.read_accessor(prim["indices"]).reshape(-1).astype(np.uint32)
-                else:  # sequential fallback (model.rs:200-209)
-                    indices = np.arange(n, dtype=np.uint32)
 
                 aabb_min = np.minimum(aabb_min, pos.min(axis=0))
                 aabb_max = np.maximum(aabb_max, pos.max(axis=0))
@@ -130,15 +159,21 @@ class Model:
             raise NoMeshesError("model contains no meshes (≙ model.rs:238-241)")
 
         model = Model(
-            meshes=meshes, materials=materials, aabb_min=aabb_min, aabb_max=aabb_max
+            meshes=meshes,
+            materials=materials,
+            aabb_min=aabb_min,
+            aabb_max=aabb_max,
+            textures=textures,
         )
         log.info(
-            "loaded model %s: %d meshes, %d vertices, %d triangles, %d materials",
+            "loaded model %s: %d meshes, %d vertices, %d triangles, "
+            "%d materials, %d textures",
             path,
             len(meshes),
             model.total_vertex_count(),
             model.total_triangle_count(),
             len(materials),
+            len(textures),
         )
         return model
 
@@ -160,6 +195,59 @@ class Model:
 
     def diagonal(self) -> float:
         return float(np.linalg.norm(self.size()))
+
+
+def _load_textures(doc: GltfDocument, materials: list[Material]) -> list[np.ndarray]:
+    """Decode every glTF texture's source image to [H,W,4] float32 linear.
+
+    Returned list is indexed by glTF *texture* index (what the material slot
+    fields store). Textures referenced from color slots (base-color or
+    emissive on any material — the reference samples these through _SRGB
+    views, model_pbr.hlsl:205-245) are sRGB-decoded; normal/MR/AO data maps
+    stay linear. Images shared between textures are decoded once."""
+    tex_defs = doc.doc.get("textures", [])
+    if not tex_defs:
+        return []
+    color_slots = set()
+    for m in materials:
+        if m.base_color_texture >= 0:
+            color_slots.add(m.base_color_texture)
+        if m.emissive_texture >= 0:
+            color_slots.add(m.emissive_texture)
+
+    image_cache: dict[int, np.ndarray] = {}
+    out: list[np.ndarray] = []
+    for ti, tex in enumerate(tex_defs):
+        src = tex.get("source")
+        if src is None:
+            out.append(np.ones((1, 1, 4), np.float32))
+            continue
+        if src not in image_cache:
+            try:
+                img = doc.read_image(src)
+            except (OSError, ValueError) as e:
+                # e.g. external image file stripped from the asset snapshot
+                # (the reference repo ships .MISSING_LARGE_BLOBS) — degrade
+                # to a 1x1 white placeholder instead of failing the load
+                log.warning("texture image %d unreadable (%s); using white", src, e)
+                image_cache[src] = np.ones((1, 1, 4), np.float32)
+                out.append(image_cache[src])
+                continue
+            if img.shape[-1] == 1:
+                img = np.concatenate([img] * 3 + [np.ones_like(img)], -1)
+            elif img.shape[-1] == 2:  # gray + alpha
+                img = np.concatenate([img[..., :1]] * 3 + [img[..., 1:]], -1)
+            elif img.shape[-1] == 3:
+                img = np.concatenate([img, np.ones_like(img[..., :1])], -1)
+            image_cache[src] = np.asarray(img, np.float32)
+        img = image_cache[src]
+        if ti in color_slots:
+            from renderer_rs_tpu.ops.srgb import srgb_to_linear
+
+            rgb = np.asarray(srgb_to_linear(img[..., :3]), np.float32)
+            img = np.concatenate([rgb, img[..., 3:]], -1)
+        out.append(img)
+    return out
 
 
 def extract_materials(doc: GltfDocument) -> list[Material]:

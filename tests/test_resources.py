@@ -124,14 +124,26 @@ def test_model_load_basic(tmp_path):
 
 
 def test_model_default_normals_and_indices(tmp_path):
-    """Missing NORMAL -> Y-up default (model.rs:163-172); missing indices ->
-    sequential (model.rs:200-209); missing UV/TANGENT defaults."""
-    m = Model.load(_make_gltf(tmp_path, with_normals=False, with_indices=False))
+    """Missing NORMAL/TANGENT now generate real frames from geometry
+    (upgrade over model.rs:163-197 constant defaults; VERDICT item 5);
+    missing indices -> sequential (model.rs:200-209); the reference's
+    constant defaults remain available via generate_tangent_frames=False."""
+    path = _make_gltf(tmp_path, with_normals=False, with_indices=False)
+    m = Model.load(path)
     mesh = m.meshes[0]
-    np.testing.assert_allclose(mesh.normals, [[0, 1, 0]] * 3)
+    # generated: area-weighted geometric normal of the triangle (unit length)
+    np.testing.assert_allclose(
+        np.linalg.norm(mesh.normals, axis=-1), np.ones(3), atol=1e-6
+    )
     np.testing.assert_array_equal(mesh.indices, [0, 1, 2])
     np.testing.assert_allclose(mesh.tex_coords, np.zeros((3, 2)))
+    # zero UVs -> degenerate UV gradient -> +X tangent fallback
     np.testing.assert_allclose(mesh.tangents, [[1, 0, 0, 1]] * 3)
+
+    # reference-exact defaulting still available
+    m2 = Model.load(path, generate_tangent_frames=False)
+    np.testing.assert_allclose(m2.meshes[0].normals, [[0, 1, 0]] * 3)
+    np.testing.assert_allclose(m2.meshes[0].tangents, [[1, 0, 0, 1]] * 3)
 
 
 def test_model_material_extraction(tmp_path):
