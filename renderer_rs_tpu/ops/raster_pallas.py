@@ -291,17 +291,7 @@ def rasterize_binned_pallas(
     n_tiles = nty * ntx
     counts = jnp.minimum(counts, cap)
 
-    safe_idx = jnp.minimum(tri_idx, t - 1)
-    in_range = tri_idx < t
-    xy = setup.xy[safe_idx]  # [n_tiles, cap, 3, 2]
-    z = setup.z[safe_idx]  # [n_tiles, cap, 3]
-    valid = (setup.valid[safe_idx] & in_range).astype(jnp.float32)
-    area = setup.area2[safe_idx]
-    s = jnp.sign(area)
-    area_abs = jnp.abs(area)
-    inv_area = jnp.where(area_abs > 0.0, 1.0 / jnp.maximum(area_abs, 1e-30), 0.0)
-
-    # coefficient matrix [n_tiles, cap, 24] in canonical edge form so the
+    # Per-SLOT coefficient table [t+1, 128] in canonical edge form so the
     # kernel needs no swap/bool logic on tiny vectors (Mosaic-friendly):
     #   [0..5]   edge0: ax, ay, bx, by, sgn, tl
     #   [6..11]  edge1
@@ -310,26 +300,36 @@ def rasterize_binned_pallas(
     #   [21]     inv_area (positive)
     #   [22]     valid (0/1)
     #   [23]     tri_id as f32 (exact below 2^24)
-    edges = _canonical_edges(xy, s)
+    # Built once per raster slot (O(T)) and expanded into the per-tile slab
+    # by ONE contiguous row gather — not per-column [n_tiles, cap] gathers,
+    # which cost ~50 gather ops over 6x more rows. Row t is all-zero
+    # (valid=0), which is exactly what the bin padding value `t` selects.
+    s = jnp.sign(setup.area2)
+    area_abs = jnp.abs(setup.area2)
+    inv_area = jnp.where(area_abs > 0.0, 1.0 / jnp.maximum(area_abs, 1e-30), 0.0)
+    edges = _canonical_edges(setup.xy, s)
     cols = []
     for e in edges:
         cols += [e["ax"], e["ay"], e["bx"], e["by"], e["sgn"], e["tl"]]
-    cols += [z[..., 0], z[..., 1], z[..., 2]]
-    cols += [inv_area, valid, tri_idx.astype(jnp.float32)]
+    cols += [setup.z[..., 0], setup.z[..., 1], setup.z[..., 2]]
+    cols += [
+        inv_area,
+        setup.valid.astype(jnp.float32),
+        jnp.arange(t, dtype=jnp.float32),
+    ]
     n_vary = 0
     if varyings is not None and not depth_only:
         n_vary = varyings.shape[-1]
         assert 24 + 3 + 3 * n_vary <= 128, "too many varying channels"
-        w_clip = setup.w[safe_idx]  # [n_tiles, cap, 3]
-        inv_w = 1.0 / jnp.maximum(w_clip, 1e-12)
+        inv_w = 1.0 / jnp.maximum(setup.w, 1e-12)  # [t,3]
         cols += [inv_w[..., 0], inv_w[..., 1], inv_w[..., 2]]  # 24..26
         if vary_src is not None:
-            src = vary_src[safe_idx]  # [n_tiles, cap]
-            cb = vary_bary[safe_idx]  # [n_tiles, cap, 3, 3]
+            src = vary_src  # [t] raster slot -> source triangle
+            cb = vary_bary  # [t,3,3]
         else:
-            src = jnp.minimum(safe_idx, varyings.shape[0] - 1)
+            src = jnp.minimum(jnp.arange(t), varyings.shape[0] - 1)
             cb = None
-        va = varyings[src]  # [n_tiles, cap, 3, K]
+        va = varyings[src]  # [t, 3, K]
 
         # K*(3) columns A_ik, composed with the clip frame per column so no
         # padded [.,3,K] intermediate survives fusion
@@ -348,20 +348,20 @@ def rasterize_binned_pallas(
         n_flat = flat_varyings.shape[-1]
         flat_base = 24 + (3 + 3 * n_vary if n_vary else 0)
         assert flat_base + n_flat <= 128, "too many channels"
-        fsrc = vary_src[safe_idx] if vary_src is not None else jnp.minimum(
-            safe_idx, flat_varyings.shape[0] - 1
+        fsrc = vary_src if vary_src is not None else jnp.minimum(
+            jnp.arange(t), flat_varyings.shape[0] - 1
         )
-        fva = flat_varyings[fsrc]  # [n_tiles, cap, Kf]
+        fva = flat_varyings[fsrc]  # [t, Kf]
         for k in range(n_flat):
             cols.append(fva[..., k])
-    coef = jnp.stack(cols, axis=-1)  # [n_tiles, cap, 24(+3+3K)]
-    # Lane-padded flat layout [n_tiles*cap, 128]: Mosaic only supports
-    # 128-wide HBM DMA slabs, and the in-kernel column extraction needs
-    # candidates in SUBLANES (lane->sublane reshapes don't lower). The 5.3x
-    # pad is pure HBM-write overhead in the XLA prep — bounded by keeping
-    # `cap` tight (see _binned_cap).
-    coef = jnp.pad(coef, ((0, 0), (0, 0), (0, 128 - coef.shape[-1])))
-    coef = coef.reshape(n_tiles * cap, 128)
+    table = jnp.stack(cols, axis=-1)  # [t, 24(+3+3K)]
+    # Lane-pad to 128 and add the all-zero pad row at index t: Mosaic only
+    # supports 128-wide HBM DMA slabs, and the in-kernel column extraction
+    # needs candidates in SUBLANES (lane->sublane reshapes don't lower).
+    table = jnp.pad(table, ((0, 1), (0, 128 - table.shape[-1])))
+    # ONE row gather builds the whole slab [n_tiles*cap, 128] (tri_idx is
+    # already padded with t by bin_triangles -> selects the zero row).
+    coef = table[tri_idx.reshape(-1)]
 
     greater = pipeline.depth_compare_op in (
         CompareOp.GREATER,

@@ -564,15 +564,19 @@ def forward_frame(
         attr = jnp.concatenate(packed, axis=-1)  # [V,K]
         tri_attr_src = attr[scene.tris]  # [T,3,K] — composition with the
         # clip frame happens per column inside the kernel prep (vary_bary).
-        # NOTE: materials could also ride as flat channels
-        # (flat_varyings=...), but measured SLOWER than the tri-major bank
-        # gather (11 extra masked chunk-sums > one row gather) — not used.
+        # Material parameters ride as flat (per-triangle constant) channels:
+        # 11 masked chunk-sums in-kernel replace TWO chained [H,W] row
+        # gathers (tri_material[tid] then bank[...]) that cost ~20 ms at
+        # 1080p — per-pixel gathers are the TPU's weak spot, kernel VPU
+        # sums are not.
+        mat_flat = _material_bank(scene.materials)[scene.tri_material]  # [T,11]
         vis, varying_img = rasterize_binned_pallas(
             setup, height, width, pipeline,
             cap=_binned_cap(n_raster_tris, height, width),
             varyings=tri_attr_src,
             vary_src=clip_src,
             vary_bary=clip_bary,
+            flat_varyings=mat_flat,
         )
         out_h = height
         y_offset = 0
@@ -601,6 +605,7 @@ def forward_frame(
     color = _shade_pixels(
         scene, layout, shading, vis, vs, bary3, shadow_map, shadow_params,
         varying=varying_img,
+        fused_materials=fuse,
     )
 
     bg = jnp.broadcast_to(
