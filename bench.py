@@ -28,6 +28,11 @@ def main() -> int:
 
     import jax
 
+    if os.environ.get("BENCH_SMALL"):
+        # force the CPU backend (the axon sitecustomize overrides
+        # JAX_PLATFORMS, so the env var alone does not stick)
+        jax.config.update("jax_platforms", "cpu")
+
     from renderer_rs_tpu.app.scenes import full_scene
     from renderer_rs_tpu.renderer.passes import forward_frame
     from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder

@@ -138,7 +138,12 @@ def main(argv=None) -> int:
         dt = timer.tick()
         t += dt if frame > 0 else 0.0
         if ctl_mode:
-            apply_camera_input(input_state, ctl_mode, controller, camera, dt)
+            # hitch clamp: a compile/IO stall must not teleport the camera
+            # (standard game-loop guard; the first frame's dt includes the
+            # XLA compile, which can be tens of seconds on this backend)
+            apply_camera_input(
+                input_state, ctl_mode, controller, camera, min(dt, 0.1)
+            )
             renderer.update_camera(camera)
         if animate is not None:
             renderer.update_scene(animate(renderer._scene, t, dt))

@@ -157,15 +157,13 @@ def calculate_shadow_csm_blended(
     return jnp.where(do_blend, blended, shadow)
 
 
-_DEBUG_COLORS = jnp.array(
-    [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [1.0, 1.0, 0.0]],
-    jnp.float32,
-)
-
-
 def cascade_debug_color(split_depths: jnp.ndarray, clip_depth: jnp.ndarray) -> jnp.ndarray:
     """≙ GetCascadeDebugColor (shadow_csm.hlsli:291-303)."""
-    return _DEBUG_COLORS[select_cascade(split_depths, clip_depth)]
+    colors = jnp.array(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [1.0, 1.0, 0.0]],
+        jnp.float32,
+    )
+    return colors[select_cascade(split_depths, clip_depth)]
 
 
 # --- host-side cascade fitting (the C++ side the reference hasn't built) ------

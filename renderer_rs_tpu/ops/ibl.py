@@ -282,6 +282,60 @@ def brdf_lut(size: int = 256, samples: int = 1024, chunk: int = 64) -> jnp.ndarr
     return jnp.stack([a_sum / samples, b_sum / samples], axis=-1).astype(jnp.float32)
 
 
+# --- spherical-harmonic irradiance (gather-free diffuse IBL) --------------------
+
+def sh9_basis(d: jnp.ndarray) -> jnp.ndarray:
+    """Real SH basis l<=2 evaluated along directions [...,3] -> [...,9].
+
+    Standard constants (Ramamoorthi & Hanrahan, "An Efficient Representation
+    for Irradiance Environment Maps"). Order: Y00, Y1-1, Y10, Y11, Y2-2,
+    Y2-1, Y20, Y21, Y22.
+    """
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    one = jnp.ones_like(x)
+    return jnp.stack(
+        [
+            0.282095 * one,
+            0.488603 * y,
+            0.488603 * z,
+            0.488603 * x,
+            1.092548 * x * y,
+            1.092548 * y * z,
+            0.315392 * (3.0 * z * z - 1.0),
+            1.092548 * x * z,
+            0.546274 * (x * x - y * y),
+        ],
+        axis=-1,
+    )
+
+
+def sh9_project_cubemap(faces: jnp.ndarray) -> jnp.ndarray:
+    """Project a [6,S,S,C] cubemap onto SH9 -> [9,C] coefficients.
+
+    Solid-angle-weighted projection c_lm = Σ f(d)·Y_lm(d)·dω. Projecting the
+    already-convolved irradiance cubemap (irradiance_map above) gives a
+    gather-free reconstruction that captures >99% of its energy — the cosine
+    kernel lives almost entirely in l<=2.
+    """
+    size = faces.shape[1]
+    dirs = cubemap_directions(size)  # [6,S,S,3]
+    w = cubemap_solid_angles(size)  # [S,S]
+    basis = sh9_basis(dirs)  # [6,S,S,9]
+    return jnp.einsum(
+        "fyxk,yx,fyxc->kc", basis, w, faces[..., :3].astype(jnp.float32)
+    )
+
+
+def sh9_eval(coeffs: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """Reconstruct the projected map along [...,3] directions -> [...,C].
+
+    Pure per-pixel polynomial + a [.,9]x[9,C] matmul — replaces the
+    per-pixel irradiance-cubemap gather of CalculateIBL (pbr.hlsli:434-436),
+    which costs ~10 ms/frame at 1080p on TPU. Clamped at 0 (ringing guard).
+    """
+    return jnp.maximum(sh9_basis(n) @ coeffs, 0.0)
+
+
 # --- demo environment ------------------------------------------------------------------
 
 def procedural_sky_cubemap(

@@ -191,6 +191,83 @@ def calculate_ibl(
     return (kd * diffuse + specular) * mat.ao[..., None]
 
 
+# Least-squares fit of brdf_lut(64, samples=2048) over (NdotV, roughness):
+# bivariate degree-5 polynomial + {exp2(-9.28·NdotV), ·r, sqrt(NdotV), ·r}
+# capture terms for the grazing ridge. Mean abs error 0.011/0.006
+# (scale/bias), ~5x tighter than Karis's mobile a004 fit against this LUT.
+# Term order: (i,j) = NdotV^i · r^j for i+j<=5 (j-major), then the 4 extras.
+_ENV_BRDF_SCALE_C = (
+    -0.20467638, 0.40553972, 2.20926974, -2.35092346, -0.60635421, 0.48959697,
+    10.53988158, -16.00064446, 0.11307607, 7.34674485, -0.07783143,
+    -17.61123712, 32.42396798, -15.63481490, -4.38756696,
+    14.69254720, -21.28281969, 11.86844660, -5.80202789, 2.71048390,
+    1.03621796, 0.37388853, 0.16790994, -1.65275117, 2.09886709,
+)
+_ENV_BRDF_BIAS_C = (
+    1.65195669, -2.98117197, 0.95465251, 3.10094792, -3.35848621, 0.92791413,
+    -9.90206078, 18.91299216, -12.33896654, 2.14557775, 1.25509294,
+    16.97517378, -27.56190032, 16.23656581, -4.03276973,
+    -14.85912427, 16.55409020, -4.76333227, 6.40965134, -3.57892007,
+    -1.09046371, -0.83260557, 0.64060156, 0.83105539, -1.51038790,
+)
+
+
+def env_brdf_approx(
+    ndotv: jnp.ndarray, roughness: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Analytic split-sum environment BRDF (scale, bias).
+
+    Replaces the per-pixel BRDF-LUT gather of CalculateIBL
+    (pbr.hlsli:456-457) — per-pixel gathers cost ~10 ms/frame at 1080p on
+    TPU — with ~60 VPU flops of fitted polynomial (coefficients above).
+    """
+    x = saturate(ndotv)
+    y = saturate(roughness)
+    terms = []
+    xi = jnp.ones_like(x)
+    for i in range(6):
+        yj = xi
+        for _ in range(6 - i):
+            terms.append(yj)
+            yj = yj * y
+        xi = xi * x
+    e = jnp.exp2(-9.28 * x)
+    sx = jnp.sqrt(x)
+    terms += [e, e * y, sx, sx * y]
+    scale = sum(c * t for c, t in zip(_ENV_BRDF_SCALE_C, terms))
+    bias = sum(c * t for c, t in zip(_ENV_BRDF_BIAS_C, terms))
+    return saturate(scale), saturate(bias)
+
+
+def calculate_ibl_fast(
+    n: jnp.ndarray,
+    v: jnp.ndarray,
+    mat: PBRMaterialParams,
+    irradiance_sh: jnp.ndarray,
+    prefiltered: jnp.ndarray,
+) -> jnp.ndarray:
+    """Gather-free CalculateIBL: SH9 diffuse + analytic BRDF.
+
+    Same kS/kD split-sum structure as calculate_ibl (pbr.hlsli:399-466);
+    `prefiltered` is the specular radiance already fetched by the caller
+    (the merged specular/skybox atlas lookup in renderer/passes.py).
+    """
+    from renderer_rs_tpu.ops.ibl import sh9_eval
+
+    metallic = mat.metallic[..., None]
+    roughness = mat.roughness
+    f0 = calculate_f0(mat.albedo, metallic)
+    ndotv = jnp.maximum(dot(n, v)[..., 0], 0.0)
+    f = fresnel_schlick_roughness(ndotv[..., None], f0, roughness[..., None])
+    ks = f
+    kd = (1.0 - ks) * (1.0 - metallic)
+
+    diffuse = sh9_eval(irradiance_sh, n) * mat.albedo
+    scale, bias = env_brdf_approx(ndotv, roughness)
+    specular = prefiltered * (f0 * scale[..., None] + bias[..., None])
+    return (kd * diffuse + specular) * mat.ao[..., None]
+
+
 def hemisphere_ambient(n: jnp.ndarray, albedo: jnp.ndarray, ao: jnp.ndarray) -> jnp.ndarray:
     """≙ CalculateHemisphereAmbient (pbr.hlsli:480-490): lerp between warm
     ground (0.08,0.06,0.04) and cool sky (0.15,0.18,0.25) on N.y."""

@@ -32,8 +32,6 @@ from renderer_rs_tpu.ops.raster_binned import (
 )
 from renderer_rs_tpu.rhi.pipeline import CompareOp, GraphicsPipeline
 
-_INF = jnp.float32(jnp.inf)
-
 
 def _canonical_edges(xy, s):
     """Precompute (outside the kernel) per-edge canonical endpoints, the

@@ -225,13 +225,17 @@ def _shade_pixels(
     shadow_params: ShadowParams,
     varying: jnp.ndarray | None = None,
     fused_materials: bool = False,
-) -> jnp.ndarray:
-    """The fragment stage over the visibility buffer. Returns linear HDR
-    [H,W,4] (misses contain garbage; caller composites by coverage)."""
+    sky_dirs: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+    """The fragment stage over the visibility buffer. Returns (linear HDR
+    [H,W,4], sky_rgb or None); misses contain garbage in the color — the
+    caller composites by coverage. When `sky_dirs` is given (fast-ambient
+    environments), the specular-IBL atlas fetch doubles as the skybox
+    sample for far-plane pixels and the result rides back as sky_rgb."""
     tris = scene.tris
     if shading == ShadingModel.FLAT:
         rgb = interpolate(vis, tris, scene.colors, bary3)
-        return jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)
+        return jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1), None
 
     # --- G-buffer interpolation (varyings of pixel/model_pbr.hlsl) ----------
     # Either the raster kernel already interpolated the varyings (fused
@@ -406,28 +410,64 @@ def _shade_pixels(
             radiance = lights.spot_color[i] * lights.spot_intensity[i] * att[..., None]
             lo = lo + mask * pbr_ops.pbr_direct(normal, view_dir, ldir, radiance, mat)
 
+        env = scene.environment
         if (
             shading == ShadingModel.PBR_IBL
             and layout.has_environment
-            and scene.environment is not None
-            and scene.environment.irradiance_mips is not None
+            and env is not None
+            and env.irradiance_mips is not None
         ):
             r = jnp.asarray(
                 view_dir - 2.0 * jnp.sum(view_dir * normal, -1, keepdims=True) * normal
             )
             r = -r  # reflect(-V, N)
+            if sky_dirs is not None and env.atlas is not None:
+                # Fast ambient: SH9 diffuse + analytic BRDF + ONE merged
+                # specular/skybox lookup. Covered pixels fetch the
+                # prefiltered level pair at mip = roughness*max_lod;
+                # far-plane pixels fetch the skybox segment (last atlas
+                # segment, frac=0) — the two sets are disjoint, so the
+                # skybox costs no extra gather (pixel/skybox.hlsl fused in).
+                from renderer_rs_tpu.ops.sampling import (
+                    _cube_atlas_fetch,
+                    direction_to_cube_uv,
+                )
+
+                n_pref = len(env.prefiltered_mips)
+                max_lod = float(n_pref - 1)
+                far = vis.depth >= 1.0
+                dirs = jnp.where(far[..., None], sky_dirs, r)
+                lod = jnp.where(far, float(n_pref), mat.roughness * max_lod)
+                face, uv = direction_to_cube_uv(dirs)
+                lo_l = jnp.floor(lod).astype(jnp.int32)
+                hi_l = jnp.where(far, n_pref, jnp.minimum(lo_l + 1, n_pref - 1))
+                frac = (lod - lo_l.astype(lod.dtype))[..., None]
+                c = env.skybox_mips[0].shape[-1]
+                f_lo = _cube_atlas_fetch(
+                    env.atlas, env.atlas_offsets, env.atlas_sizes, lo_l, face, uv, c
+                )
+                f_hi = _cube_atlas_fetch(
+                    env.atlas, env.atlas_offsets, env.atlas_sizes, hi_l, face, uv, c
+                )
+                spec_sky = (f_lo * (1.0 - frac) + f_hi * frac)[..., :3]
+                ambient = pbr_ops.calculate_ibl_fast(
+                    normal, view_dir, mat, env.irradiance_sh, spec_sky
+                )
+                sky_rgb = spec_sky
+                rgb = ambient + lo + emissive
+                return jnp.concatenate([rgb, base_color[..., 3:4]], axis=-1), sky_rgb
             ambient = pbr_ops.calculate_ibl(
                 normal, view_dir, r, mat,
-                scene.environment.irradiance_mips,
-                scene.environment.prefiltered_mips,
-                scene.environment.brdf_lut,
+                env.irradiance_mips,
+                env.prefiltered_mips,
+                env.brdf_lut,
             )
         else:
             # hemisphere fallback (model_pbr.hlsl ambient, pbr.hlsli:480-490)
             ambient = pbr_ops.hemisphere_ambient(normal, albedo, ao)
         rgb = ambient + lo + emissive
 
-    return jnp.concatenate([rgb, base_color[..., 3:4]], axis=-1)
+    return jnp.concatenate([rgb, base_color[..., 3:4]], axis=-1), None
 
 
 def forward_frame(
@@ -602,10 +642,26 @@ def forward_frame(
         tri_id=jnp.where(vis.tri_id >= 0, clip_src[slot], vis.tri_id)
     )
 
-    color = _shade_pixels(
+    # Fast-ambient environments: hand the per-pixel sky rays to the shading
+    # stage so the skybox sample merges into the specular-IBL atlas fetch.
+    sky_dirs = None
+    if (
+        shading == ShadingModel.PBR_IBL
+        and layout.has_environment
+        and scene.environment is not None
+        and scene.environment.irradiance_mips is not None
+        and scene.environment.atlas is not None
+    ):
+        from renderer_rs_tpu.ops.skybox import pixel_ray_directions
+
+        inv_vp = jnp.linalg.inv(scene.camera.view_projection)
+        sky_dirs = pixel_ray_directions(inv_vp, out_h, width, y_offset, height)
+
+    color, sky_rgb = _shade_pixels(
         scene, layout, shading, vis, vs, bary3, shadow_map, shadow_params,
         varying=varying_img,
         fused_materials=fuse,
+        sky_dirs=sky_dirs,
     )
 
     bg = jnp.broadcast_to(
@@ -613,7 +669,13 @@ def forward_frame(
     )
     out = jnp.where(vis.covered[..., None], color, bg)
 
-    if layout.has_environment and scene.environment is not None:
+    if sky_rgb is not None:
+        # ≙ skybox_pass composite (far-plane pixels), sample already fetched
+        sky_rgba = jnp.concatenate(
+            [sky_rgb, jnp.ones_like(sky_rgb[..., :1])], axis=-1
+        )
+        out = jnp.where((vis.depth >= 1.0)[..., None], sky_rgba, out)
+    elif layout.has_environment and scene.environment is not None:
         inv_vp = jnp.linalg.inv(scene.camera.view_projection)
         out = skybox_pass(
             out,

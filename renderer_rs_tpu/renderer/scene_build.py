@@ -38,12 +38,53 @@ class TextureArrays:
 
 @struct.dataclass
 class Environment:
-    """Skybox + IBL maps (wired by the full-frame config)."""
+    """Skybox + IBL maps (wired by the full-frame config).
+
+    The optional `irradiance_sh` / `atlas*` fields are the fast-ambient
+    form built by `finalize_environment`: SH9 coefficients replace the
+    per-pixel irradiance-cubemap gather, and one window atlas holds every
+    prefiltered-specular level PLUS the skybox as its last segment so the
+    specular lookup and the skybox sample share the same two gathers
+    (covered and far-plane pixels are disjoint). The mips/LUT remain for
+    the exact map-sampling path (ops/pbr.calculate_ibl)."""
 
     skybox_mips: Any  # CubeMap.mips tuple of [6,H,W,C]
     irradiance_mips: Any | None = None
     prefiltered_mips: Any | None = None
     brdf_lut: Any | None = None
+    irradiance_sh: Any | None = None  # [9,3] SH9 coefficients
+    atlas: Any | None = None  # [R,4C] window atlas (prefiltered levels + skybox)
+    atlas_offsets: Any | None = None  # [L+1] int32 row offsets
+    atlas_sizes: Any | None = None  # [L+1] int32 face sizes
+
+
+def finalize_environment(env: Environment) -> Environment:
+    """Precompute the fast-ambient fields (SH9 irradiance + merged
+    specular/skybox window atlas) on an IBL-complete Environment.
+
+    Doing this at BUILD time keeps the per-frame jit free of the window
+    packing that sample_cubemap/sample_cubemap_lod otherwise re-trace into
+    every frame. No-op unless irradiance+prefiltered maps are present.
+    """
+    if env.irradiance_mips is None or env.prefiltered_mips is None:
+        return env
+    from renderer_rs_tpu.ops.ibl import sh9_project_cubemap
+    from renderer_rs_tpu.ops.sampling import _cube_window_flat
+
+    sh = sh9_project_cubemap(env.irradiance_mips[0])
+    segments = list(env.prefiltered_mips) + [env.skybox_mips[0]]
+    atlas = jnp.concatenate([_cube_window_flat(m) for m in segments], axis=0)
+    sizes, offsets, off = [], [], 0
+    for m in segments:
+        sizes.append(m.shape[1])
+        offsets.append(off)
+        off += 6 * m.shape[1] * m.shape[1]
+    return env.replace(
+        irradiance_sh=sh,
+        atlas=atlas,
+        atlas_offsets=jnp.asarray(offsets, jnp.int32),
+        atlas_sizes=jnp.asarray(sizes, jnp.int32),
+    )
 
 
 @struct.dataclass
@@ -213,8 +254,12 @@ class SceneBuilder:
         self._textures = TextureArrays(mips=tuple(mips))
         return self
 
-    def set_environment(self, env: Environment) -> "SceneBuilder":
-        self._environment = env
+    def set_environment(self, env: Environment, finalize: bool = True) -> "SceneBuilder":
+        """Attach the skybox/IBL environment. By default IBL-complete
+        environments are finalized into the fast-ambient form (SH9 +
+        merged specular/skybox atlas); pass finalize=False to keep the
+        exact map-sampling path (ops/pbr.calculate_ibl + skybox_pass)."""
+        self._environment = finalize_environment(env) if finalize else env
         return self
 
     def set_shadow_matrix(self, light_space_matrix) -> "SceneBuilder":

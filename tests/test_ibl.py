@@ -121,3 +121,88 @@ def test_procedural_sky_has_sun():
     assert float(sky[2].max()) > 3.0
     assert float(sky[3].max()) < 2.0
     assert float(sky[2].max()) > 3.0 * float(sky[3].max())
+
+
+# --- fast ambient (SH9 + analytic BRDF + merged atlas) -------------------------
+
+def test_sh9_reconstructs_irradiance_map():
+    """SH9 projection of the cosine-convolved irradiance map reconstructs it
+    closely (the cosine kernel is ~entirely l<=2)."""
+    from renderer_rs_tpu.ops.ibl import (
+        cubemap_directions,
+        irradiance_map,
+        sh9_eval,
+        sh9_project_cubemap,
+    )
+
+    sky = procedural_sky_cubemap(32, sun_direction=(-0.4, -1.0, -0.2))
+    irr = irradiance_map(sky, size=16)  # [6,16,16,3]
+    sh = sh9_project_cubemap(irr)
+    dirs = cubemap_directions(16)
+    recon = np.asarray(sh9_eval(sh, dirs))
+    ref = np.asarray(irr)
+    scale = max(ref.max(), 1e-6)
+    err = np.abs(recon - ref) / scale
+    assert err.mean() < 0.02, f"mean rel err {err.mean():.4f}"
+    assert err.max() < 0.12, f"max rel err {err.max():.4f}"
+
+
+def test_env_brdf_approx_matches_lut():
+    """The fitted analytic env BRDF tracks the Monte-Carlo LUT closely."""
+    import jax.numpy as jnp
+
+    from renderer_rs_tpu.ops.pbr import env_brdf_approx
+
+    lut = np.asarray(brdf_lut(32, samples=512, chunk=32))  # [32,32,2]
+    # LUT layout: rows = roughness, cols = NdotV (texel centers)
+    t = (np.arange(32, dtype=np.float32) + 0.5) / 32
+    ndotv, rough = np.meshgrid(t, t, indexing="xy")
+    scale, bias = env_brdf_approx(jnp.asarray(ndotv), jnp.asarray(rough))
+    scale, bias = np.asarray(scale), np.asarray(bias)
+    assert np.abs(scale - lut[..., 0]).mean() < 0.02
+    assert np.abs(bias - lut[..., 1]).mean() < 0.02
+    assert np.abs(scale - lut[..., 0]).max() < 0.12
+    assert np.abs(bias - lut[..., 1]).max() < 0.15
+
+
+def test_finalize_environment_and_merged_sky_matches_skybox_pass():
+    """The fast-ambient frame's far-plane pixels equal the maps-path skybox
+    composite bit-for-bit (same window math), and covered pixels stay close
+    (SH diffuse + analytic BRDF vs map sampling)."""
+    import jax.numpy as jnp
+
+    from renderer_rs_tpu.app.scenes import full_scene
+    from renderer_rs_tpu.renderer.passes import forward_frame
+    from renderer_rs_tpu.renderer.scene_build import finalize_environment
+    from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+    w, h = 96, 64
+    scene, layout, kwargs, _ = full_scene(w, h, tri_budget=500)
+    env = scene.environment
+    assert env.atlas is not None and env.irradiance_sh is not None
+    pipeline = GraphicsPipelineBuilder().build()
+
+    fast = forward_frame(
+        scene, layout, pipeline, kwargs["shading"], w, h, shadow_map_size=128
+    )
+    # strip the fast fields -> exact maps path
+    env_maps = env.replace(
+        irradiance_sh=None, atlas=None, atlas_offsets=None, atlas_sizes=None
+    )
+    maps = forward_frame(
+        scene.replace(environment=env_maps), layout, pipeline,
+        kwargs["shading"], w, h, shadow_map_size=128,
+    )
+    fast, maps = np.asarray(fast), np.asarray(maps)
+    assert np.isfinite(fast).all()
+    # identify sky pixels via the maps path's own depth: re-render depth
+    _, depth = forward_frame(
+        scene, layout, pipeline, kwargs["shading"], w, h,
+        shadow_map_size=128, return_depth=True,
+    )
+    far = np.asarray(depth) >= 1.0
+    assert far.any() and (~far).any()
+    np.testing.assert_array_equal(fast[far], maps[far])  # sky bit-identical
+    # covered pixels: ambient formulation differs -> close, not equal
+    diff = np.abs(fast[~far] - maps[~far])
+    assert diff.mean() < 0.03, f"covered mean diff {diff.mean():.4f}"
