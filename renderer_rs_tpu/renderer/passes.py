@@ -483,6 +483,7 @@ def forward_frame(
     shadow_params: ShadowParams = ShadowParams(),
     band: tuple | None = None,
     return_depth: bool = False,
+    shadow_map: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """The full frame: ≙ record_commands + queue_submit fused
     (renderer.rs:452-557). Returns linear [H,W,4] ready for sRGB encode.
@@ -514,7 +515,7 @@ def forward_frame(
             scene, layout, sub, shading, width * sx, height * sy,
             clear_color=clear_color, tonemap=tonemap,
             shadow_map_size=shadow_map_size, shadow_params=shadow_params,
-            return_depth=return_depth,
+            return_depth=return_depth, shadow_map=shadow_map,
         )
         if return_depth:
             hi, hi_depth = hi
@@ -533,12 +534,15 @@ def forward_frame(
                 return out, d.max(axis=(1, 3))
             return out, d.min(axis=(1, 3))
         return out
-    if layout.has_csm:
-        shadow_map = csm_shadow_pass(scene, layout, shadow_map_size)
-    elif layout.has_shadow:
-        shadow_map = shadow_map_pass(scene, layout, shadow_map_size)
-    else:
-        shadow_map = None
+    # shadow_map may be precomputed by the caller (the Renderer compiles the
+    # shadow and forward passes as separate jits so a resize re-specializes
+    # only the forward pass — ≙ the reference's per-pipeline compiles,
+    # pipeline.rs:161-268 being independent objects)
+    if shadow_map is None:
+        if layout.has_csm:
+            shadow_map = csm_shadow_pass(scene, layout, shadow_map_size)
+        elif layout.has_shadow:
+            shadow_map = shadow_map_pass(scene, layout, shadow_map_size)
 
     vs = vertex_stage(scene, layout)
     tri_clip = gather_triangle_clip(vs.clip, scene.tris)

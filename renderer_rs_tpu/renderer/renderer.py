@@ -73,6 +73,12 @@ class Renderer:
         self._layout: SceneLayout | None = None
         self._framebuffer_resized = False
         self._frame_fn = None  # compiled specialization (≙ the pipeline object)
+        self._shadow_fn = None  # separate jit: resize does NOT recompile it
+        # compiled-specialization cache keyed by (w, h): resizing back to a
+        # previously-seen extent (e.g. the shape_buckets) is recompile-free,
+        # the way Vulkan keeps pipeline objects alive across swapchain
+        # recreations (pipeline.rs pipelines are extent-independent)
+        self._fn_cache: dict = {}
         self.last_frame: np.ndarray | None = None
         self.stats = FrameStats()  # rolling FPS (the reference's missing counter)
         log.info(
@@ -88,6 +94,8 @@ class Renderer:
         (≙ building pipelines for a new vertex/descriptor layout)."""
         if layout != self._layout:
             self._frame_fn = None
+            self._shadow_fn = None
+            self._fn_cache.clear()
         self._scene = scene
         self._layout = layout
 
@@ -122,9 +130,38 @@ class Renderer:
         log.debug("framebuffer recreated: %dx%d", self.config.width, self.config.height)
 
     # --- frame function --------------------------------------------------------
+    def _needs_shadow(self) -> bool:
+        return bool(self._layout.has_csm or self._layout.has_shadow)
+
+    def _build_shadow_fn(self):
+        """Compile the shadow pass as its OWN jit: it depends on the shadow
+        map size and layout but not on the framebuffer extent, so a window
+        resize never re-pays this compile."""
+        from renderer_rs_tpu.renderer.passes import csm_shadow_pass, shadow_map_pass
+
+        layout = self._layout
+        sm_size = self.shadow_map_size
+
+        @jax.jit
+        def shadow(scene: GpuScene):
+            if layout.has_csm:
+                return csm_shadow_pass(scene, layout, sm_size)
+            return shadow_map_pass(scene, layout, sm_size)
+
+        t0 = time.perf_counter()
+        compiled = shadow.lower(self._scene).compile()
+        log.info(
+            "shadow pass compiled in %.2fs (%d^2%s)",
+            time.perf_counter() - t0,
+            sm_size,
+            " x4 cascades" if layout.has_csm else "",
+        )
+        return compiled
+
     def _build_frame_fn(self):
-        """Compile the frame specialization (≙ vkCreateGraphicsPipelines:
-        the expensive driver compile happens once, SURVEY.md §3.1)."""
+        """Compile the forward-frame specialization for the current extent
+        (≙ vkCreateGraphicsPipelines: the expensive driver compile happens
+        once per extent, SURVEY.md §3.1; cached across resizes)."""
         layout = self._layout
         pipeline = self.pipeline
         shading = self.shading
@@ -133,25 +170,34 @@ class Renderer:
         tonemap = self.tonemap
         sm_size = self.shadow_map_size
         sp = self.shadow_params
+        split_shadow = self._needs_shadow()
 
-        @jax.jit
-        def frame(scene: GpuScene):
-            return forward_frame(
-                scene,
-                layout,
-                pipeline,
-                shading,
-                width,
-                height,
-                clear_color=clear,
-                tonemap=tonemap,
-                shadow_map_size=sm_size,
-                shadow_params=sp,
-            )
+        if split_shadow:
+
+            @jax.jit
+            def frame(scene: GpuScene, shadow_map):
+                return forward_frame(
+                    scene, layout, pipeline, shading, width, height,
+                    clear_color=clear, tonemap=tonemap,
+                    shadow_map_size=sm_size, shadow_params=sp,
+                    shadow_map=shadow_map,
+                )
+
+            example = (self._scene, self._shadow_fn(self._scene))
+        else:
+
+            @jax.jit
+            def frame(scene: GpuScene):
+                return forward_frame(
+                    scene, layout, pipeline, shading, width, height,
+                    clear_color=clear, tonemap=tonemap,
+                    shadow_map_size=sm_size, shadow_params=sp,
+                )
+
+            example = (self._scene,)
 
         t0 = time.perf_counter()
-        lowered = frame.lower(self._scene)
-        compiled = lowered.compile()
+        compiled = frame.lower(*example).compile()
         log.info(
             "frame function compiled in %.2fs (%dx%d, %s, %d objects, %d tris)",
             time.perf_counter() - t0,
@@ -163,6 +209,37 @@ class Renderer:
         )
         return compiled
 
+    def _ensure_compiled(self) -> None:
+        if self._needs_shadow() and self._shadow_fn is None:
+            self._shadow_fn = self._build_shadow_fn()
+        if self._frame_fn is None:
+            key = (self.config.width, self.config.height)
+            if key not in self._fn_cache:
+                self._fn_cache[key] = self._build_frame_fn()
+            self._frame_fn = self._fn_cache[key]
+
+    def _run_frame(self, scene: GpuScene):
+        """The per-frame dispatch: shadow jit feeds the forward jit (both
+        async; XLA orders them by dataflow)."""
+        if self._needs_shadow():
+            return self._frame_fn(scene, self._shadow_fn(scene))
+        return self._frame_fn(scene)
+
+    def precompile_buckets(self) -> None:
+        """Pre-warm forward-pass specializations for config.shape_buckets so
+        interactive resizes between standard extents never stall."""
+        orig = self.config
+        try:
+            for w, h in self.config.shape_buckets:
+                self.config = self.config.with_size(w, h)
+                key = (w, h)
+                if key not in self._fn_cache:
+                    if self._needs_shadow() and self._shadow_fn is None:
+                        self._shadow_fn = self._build_shadow_fn()
+                    self._fn_cache[key] = self._build_frame_fn()
+        finally:
+            self.config = orig
+
     # --- hot path (≙ render_frame, renderer.rs:367-449) -------------------------
     def render_frame(self, present: bool = True) -> np.ndarray | None:
         """Render one frame; returns the presented uint8 image (or None while
@@ -170,11 +247,10 @@ class Renderer:
         if self._scene is None or self._layout is None:
             raise RuntimeError("no scene bound — call set_scene first")
         self._recreate_if_needed()
-        if self._frame_fn is None:
-            self._frame_fn = self._build_frame_fn()
+        self._ensure_compiled()
 
         # submit (async enqueue; blocks only when 2 frames are in flight)
-        self.frame_manager.submit(self._frame_fn, self._scene)
+        self.frame_manager.submit(self._run_frame, self._scene)
         self.stats.tick()
 
         if not present:
@@ -191,9 +267,8 @@ class Renderer:
     def render_frame_hdr(self):
         """Synchronous single frame, returning the linear device array
         (bench/golden path; no sRGB encode, no surface)."""
-        if self._frame_fn is None:
-            self._frame_fn = self._build_frame_fn()
-        return self._frame_fn(self._scene)
+        self._ensure_compiled()
+        return self._run_frame(self._scene)
 
     def wait_idle(self) -> None:
         """≙ device.wait_idle on drop (renderer.rs:635-683)."""
