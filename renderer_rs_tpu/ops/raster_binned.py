@@ -283,8 +283,14 @@ def rasterize_binned(
     tile_w: int = 128,
     cap: int = 512,
     chunk: int = 32,
+    z_floor: jnp.ndarray | None = None,
 ) -> VisibilityBuffer:
-    """Binned visibility-buffer rasterization (see module docstring)."""
+    """Binned visibility-buffer rasterization (see module docstring).
+
+    z_floor: optional [H,W] per-pixel strict lower bound on candidate depth
+    (coverage requires zc > z_floor). The depth-peeling primitive behind
+    alpha-cutoff on the fast path (renderer/passes): pass the previously
+    rejected winner's depth to raster the NEXT-nearest layer."""
     assert pipeline.depth_compare_op in BINNED_COMPARE_OPS or not pipeline.depth_test_enable
     t = setup.num_triangles
     cap = min(cap, max(t, chunk))
@@ -325,10 +331,21 @@ def rasterize_binned(
     ty = jnp.arange(n_tiles, dtype=jnp.int32) // ntx
     tx = jnp.arange(n_tiles, dtype=jnp.int32) % ntx
 
+    if z_floor is None:
+        zfloor_tiles = jnp.full((n_tiles, tile_h, tile_w), -jnp.inf, jnp.float32)
+    else:
+        zf = jnp.pad(
+            z_floor, ((0, hp - height), (0, wp - width)), constant_values=jnp.inf
+        )
+        zfloor_tiles = (
+            zf.reshape(nty, tile_h, ntx, tile_w).transpose(0, 2, 1, 3)
+            .reshape(n_tiles, tile_h, tile_w)
+        )
+
     local_py = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0) + 0.5
     local_px = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1) + 0.5
 
-    def tile_fn(tri_ids, xy, z, valid, s, inv_area, d_init, ty_i, tx_i):
+    def tile_fn(tri_ids, xy, z, valid, s, inv_area, d_init, zf_t, ty_i, tx_i):
         # GLOBAL pixel coordinates — bit-identical edge values vs scan path
         px = local_px + (tx_i * tile_w).astype(jnp.float32)
         py = local_py + (ty_i * tile_h).astype(jnp.float32)
@@ -337,6 +354,7 @@ def rasterize_binned(
             c_ids, c_xy, c_z, c_valid, c_s, c_inv = chunk_slice
             depth, tid, b0c, b1c = carry
             cov, zc, b0, b1 = _chunk_coverage(c_xy, c_z, c_valid, c_s, c_inv, px, py)
+            cov = cov & (zc > zf_t[None])
             # order-aware reduce within chunk, gather-free: pick the best
             # depth by axis-0 min/max, break ties to the LOWEST candidate
             # slot (submission order), then select that winner's values via
@@ -393,7 +411,8 @@ def rasterize_binned(
         return depth, tid, b0, b1
 
     depth_t, tid_t, b0_t, b1_t = jax.vmap(tile_fn)(
-        tri_idx, xy_b, z_b, valid_b, s_b, inv_area_b, depth_tiles, ty, tx
+        tri_idx, xy_b, z_b, valid_b, s_b, inv_area_b, depth_tiles, zfloor_tiles,
+        ty, tx
     )
 
     def stitch(tiles):
@@ -492,9 +511,21 @@ def rasterize_depth_only_binned(
     return full.reshape(hp, wp)[:height, :width]
 
 
-def supports_binned(pipeline: GraphicsPipeline, num_triangles: int, threshold: int = 64) -> bool:
-    """Whether the fast path applies (passes.py dispatch)."""
-    if pipeline.blend.blend_enable or pipeline.alpha_cutoff is not None:
+def supports_binned(
+    pipeline: GraphicsPipeline,
+    num_triangles: int,
+    threshold: int = 64,
+    allow_alpha_cutoff: bool = False,
+) -> bool:
+    """Whether the fast path applies (passes.py dispatch).
+
+    allow_alpha_cutoff: MASK pipelines are single-pass-unsupported (the
+    coverage test needs a texture sample before the depth write), but the
+    depth-peeling driver in renderer/passes handles them with K binned
+    passes — it asks with allow_alpha_cutoff=True."""
+    if pipeline.blend.blend_enable:
+        return False
+    if pipeline.alpha_cutoff is not None and not allow_alpha_cutoff:
         return False
     from renderer_rs_tpu.rhi.pipeline import PolygonMode
 

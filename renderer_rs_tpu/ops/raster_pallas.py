@@ -67,7 +67,7 @@ def _kernel_edge(ax, ay, bx, by, sgn, px, py):
     return sgn * ((bx - ax) * (py - ay) - (by - ay) * (px - ax))
 
 
-def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_only, n_vary=0, n_flat=0):
+def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_only, n_vary=0, n_flat=0, has_zfloor=False):
     greater = pipeline.depth_compare_op in (
         CompareOp.GREATER,
         CompareOp.GREATER_OR_EQUAL,
@@ -79,6 +79,8 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
 
     def kernel(counts_ref, tilepos_ref, coef_hbm, dinit_ref, *outs_and_scratch):
         *outs, coef_ref, dma_sem = outs_and_scratch
+        if has_zfloor:
+            zfloor_ref, *outs = outs
         if depth_only:
             (depth_out,) = outs
         elif n_vary or n_flat:
@@ -167,6 +169,10 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
             b2 = 1.0 - b0 - b1
             zc = b0 * col(18) + b1 * col(19) + b2 * col(20)
             cov = cov & (zc >= 0.0) & (zc <= 1.0)
+            if has_zfloor:
+                # depth-peeling constraint: only fragments strictly beyond
+                # the previously rejected winner are candidates
+                cov = cov & (zc > zfloor_ref[:][None])
             # mask candidates beyond the tile's actual count
             slot = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
             cov = cov & ((base + slot[:, :1, :1]) < count)
@@ -262,6 +268,7 @@ def rasterize_binned_pallas(
     vary_src: jnp.ndarray | None = None,
     vary_bary: jnp.ndarray | None = None,
     flat_varyings: jnp.ndarray | None = None,
+    z_floor: jnp.ndarray | None = None,
 ):
     """Binned rasterization with per-tile dynamic trip counts (see module
     docstring). Returns VisibilityBuffer, or just the depth array when
@@ -278,7 +285,11 @@ def rasterize_binned_pallas(
     and barycentric frames ([T,3,3]) from near-plane clipping: the slot's
     vertex attributes are composed as A'_i = sum_j bary[i,j] * A_src[j].
     Composition happens per column here so no padded [T,3,K] intermediate is
-    ever materialized (XLA lane-pads small minor dims by 128x)."""
+    ever materialized (XLA lane-pads small minor dims by 128x).
+
+    z_floor: optional [H,W] strict lower bound on candidate depth (coverage
+    requires zc > z_floor) — the depth-peeling primitive behind alpha-cutoff
+    on the fast path (renderer/passes)."""
     t = setup.num_triangles
     cap = min(cap, max(t, chunk))
     cap = _cdiv(cap, chunk) * chunk
@@ -385,7 +396,19 @@ def rasterize_binned_pallas(
         axis=-1,
     ).reshape(-1)  # interleaved [ty0, tx0, ty1, tx1, ...]
 
-    kernel = _make_kernel(pipeline, tile_h, tile_w, cap, chunk, depth_only, n_vary, n_flat)
+    has_zfloor = z_floor is not None
+    if has_zfloor:
+        zf = jnp.pad(
+            z_floor, ((0, hp - height), (0, wp - width)), constant_values=jnp.inf
+        )
+        zfloor_tiles = (
+            zf.reshape(nty, tile_h, ntx, tile_w).transpose(0, 2, 1, 3)
+            .reshape(n_tiles, tile_h, tile_w)
+        )
+    kernel = _make_kernel(
+        pipeline, tile_h, tile_w, cap, chunk, depth_only, n_vary, n_flat,
+        has_zfloor=has_zfloor,
+    )
 
     out_shapes = [jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32)]
     if not depth_only:
@@ -410,7 +433,12 @@ def rasterize_binned_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # coef stays in HBM
             pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        ]
+        + (
+            [pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)]
+            if has_zfloor
+            else []
+        ),
         out_specs=[
             pl.BlockSpec(
                 (1,) + shp.shape[1:],
@@ -436,11 +464,14 @@ def rasterize_binned_pallas(
             *rest[len(rest) - 2 :],
         )
 
+    call_args = [counts, tilepos, coef, depth_tiles]
+    if has_zfloor:
+        call_args.append(zfloor_tiles)
     outs = pl.pallas_call(
         wrapped_kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-    )(counts, tilepos, coef, depth_tiles)
+    )(*call_args)
 
     def stitch(tiles):
         full = tiles.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3)

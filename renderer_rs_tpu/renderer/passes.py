@@ -24,6 +24,7 @@ from renderer_rs_tpu.mathx.vec import normalize
 from renderer_rs_tpu.ops import blinn_phong as bp
 from renderer_rs_tpu.ops import pbr as pbr_ops
 from renderer_rs_tpu.ops.raster import (
+    VisibilityBuffer,
     gather_triangle_clip,
     interpolate,
     perspective_bary,
@@ -470,6 +471,121 @@ def _shade_pixels(
     return jnp.concatenate([rgb, base_color[..., 3:4]], axis=-1), None
 
 
+def _alpha_peeled_raster(
+    scene: GpuScene,
+    layout: SceneLayout,
+    setup,
+    clip_src,
+    clip_bary,
+    vs: VertexStageOut,
+    height: int,
+    width: int,
+    pipeline: GraphicsPipeline,
+    n_raster_tris: int,
+    peels: int = 4,
+):
+    """Alpha-cutoff (MASK) rasterization on the binned fast path via bounded
+    depth peeling (≙ model_pbr.hlsl:218-221 `discard` before depth write).
+
+    Layer 0 rasters normally; each further pass re-rasters with a strict
+    per-pixel z floor at the rejected winner's depth, yielding the
+    next-nearest fragment (z_floor support in raster_binned/raster_pallas).
+    Pixels whose winner passes the alpha test stop peeling (their floor
+    becomes +inf). After `peels` layers a still-failing pixel resolves to
+    background — exact vs the scan-oracle coverage callback whenever the
+    overlap depth of FAILING fragments is < `peels` (tests assert). This
+    replaces the O(T)-sequential scan a single MASK material used to force.
+
+    Returns (vis, vary_img or None); vary_img present on the fused Pallas
+    path with flat channels [alpha_tex_id, material bank(11)] appended —
+    materials last, matching the _shade_pixels fused contract.
+    """
+    from renderer_rs_tpu.ops.sampling import sample_array_bilinear
+
+    cutoff = pipeline.alpha_cutoff
+    cap = _binned_cap(n_raster_tris, height, width)
+    base_mip = scene.textures.mips[0]
+    tex_of_tri = scene.materials.tex_ids[scene.tri_material][:, 0]  # [Tsrc]
+    afac_of_tri = scene.materials.base_color[scene.tri_material][:, 3]
+
+    if _use_pallas():
+        from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
+
+        packed = [vs.world_pos, vs.world_normal, scene.uvs]
+        if layout.texture_slots[1]:
+            packed.append(vs.world_tangent)
+        attr = jnp.concatenate(packed, axis=-1)
+        tri_attr_src = attr[scene.tris]  # [Tsrc,3,K]
+        flat = jnp.concatenate(
+            [
+                tex_of_tri[:, None].astype(jnp.float32),
+                _material_bank(scene.materials)[scene.tri_material],
+            ],
+            axis=-1,
+        )  # [Tsrc, 12]
+
+        def raster(z_floor):
+            return rasterize_binned_pallas(
+                setup, height, width, pipeline, cap=cap,
+                varyings=tri_attr_src, vary_src=clip_src, vary_bary=clip_bary,
+                flat_varyings=flat, z_floor=z_floor,
+            )
+
+        def alpha_ok(vis_l, vary_l):
+            nv = vary_l.shape[-1]
+            uv = vary_l[..., 6:8]
+            tex = vary_l[..., nv - 12].astype(jnp.int32)
+            afac = vary_l[..., nv - 8]  # material base_color.a (bank col 3)
+            a = sample_array_bilinear(base_mip, tex, uv)[..., 3] * afac
+            return jnp.where(tex >= 0, a >= cutoff, True)
+
+    else:
+        tri_uv = scene.uvs[scene.tris]  # [Tsrc,3,2]
+
+        def raster(z_floor):
+            return (
+                rasterize_binned(
+                    setup, height, width, pipeline, cap=cap, z_floor=z_floor
+                ),
+                None,
+            )
+
+        def alpha_ok(vis_l, _vary_l):
+            slot = jnp.maximum(vis_l.tri_id, 0)
+            b3 = perspective_bary(vis_l, setup)
+            b3 = jnp.einsum("hwv,hwvk->hwk", b3, clip_bary[slot])
+            src = clip_src[slot]
+            uv = jnp.einsum("hwv,hwvk->hwk", b3, tri_uv[src])
+            tex = tex_of_tri[src]
+            a = sample_array_bilinear(base_mip, tex, uv)[..., 3]
+            a = a * afac_of_tri[src]
+            return jnp.where(tex >= 0, a >= cutoff, True)
+
+    vis, vary = raster(None)
+    done = alpha_ok(vis, vary) | ~vis.covered
+    for _ in range(peels - 1):
+        z_floor = jnp.where(done, jnp.inf, vis.depth)
+        vis2, vary2 = raster(z_floor)
+        upd = ~done
+        vis = VisibilityBuffer(
+            tri_id=jnp.where(upd, vis2.tri_id, vis.tri_id),
+            depth=jnp.where(upd, vis2.depth, vis.depth),
+            bary=jnp.where(upd[..., None], vis2.bary, vis.bary),
+        )
+        if vary is not None:
+            vary = jnp.where(upd[..., None], vary2, vary)
+        done = done | (upd & (alpha_ok(vis, vary) | ~vis2.covered))
+
+    # exhausted the peel budget with the winner still failing -> background
+    # (depth back to the 1.0 clear the raster passes start from)
+    fail = ~done
+    vis = vis.replace(
+        tri_id=jnp.where(fail, -1, vis.tri_id),
+        depth=jnp.where(fail, 1.0, vis.depth),
+    )
+    return vis, vary
+
+
 def forward_frame(
     scene: GpuScene,
     layout: SceneLayout,
@@ -560,10 +676,19 @@ def forward_frame(
 
     # Alpha-cutoff (MASK) materials: the coverage test samples base-color
     # alpha per candidate fragment BEFORE the depth write (model_pbr.hlsl:
-    # 218-221 `discard`; SURVEY.md §7 hard part). Only the exact scan path
-    # supports per-fragment coverage callbacks.
+    # 218-221 `discard`; SURVEY.md §7 hard part). The fast path handles it
+    # with bounded depth peeling over the binned rasterizer
+    # (_alpha_peeled_raster); the scan path keeps a per-fragment coverage
+    # callback for band rendering / exotic compare ops / FLAT shading.
     coverage_fn = None
-    if pipeline.alpha_cutoff is not None and layout.has_textures:
+    peel = (
+        pipeline.alpha_cutoff is not None
+        and layout.has_textures
+        and band is None
+        and shading != ShadingModel.FLAT
+        and supports_binned(pipeline, n_raster_tris, allow_alpha_cutoff=True)
+    )
+    if pipeline.alpha_cutoff is not None and layout.has_textures and not peel:
         from renderer_rs_tpu.ops.sampling import sample_array_bilinear
 
         tri_uv = scene.uvs[scene.tris]  # [T,3,2]
@@ -575,10 +700,16 @@ def forward_frame(
         def coverage_fn(t, b0, b1):
             src = clip_src[t]
             bsrc = clip_bary[t]  # [3,3] clipped->source frame
+            # perspective-correct source barycentrics (same math as the
+            # fused kernel's varying interpolation, eps matched): the
+            # reference PS receives perspective-interpolated UVs
+            w = setup.w[t]  # [3] clip w of the raster slot's vertices
+            inv_w = 1.0 / jnp.maximum(w, 1e-12)
             b2 = 1.0 - b0 - b1
-            bs = (
-                b0[..., None] * bsrc[0] + b1[..., None] * bsrc[1] + b2[..., None] * bsrc[2]
-            )  # [H,W,3] source barycentrics (screen-space approx for coverage)
+            wb = jnp.stack([b0 * inv_w[0], b1 * inv_w[1], b2 * inv_w[2]], -1)
+            denom = jnp.sum(wb, axis=-1, keepdims=True)
+            bp = wb / jnp.where(denom == 0.0, 1.0, denom)
+            bs = bp @ bsrc  # [H,W,3] source barycentrics
             uvs = tri_uv[src]  # [3,2]
             uv = bs @ uvs  # [H,W,2]
             tex = tri_alpha_tex[src]
@@ -592,11 +723,19 @@ def forward_frame(
     fuse = (
         band is None
         and coverage_fn is None
+        and not peel
         and shading != ShadingModel.FLAT
         and supports_binned(pipeline, n_raster_tris)
         and _use_pallas()
     )
-    if fuse:
+    if peel:
+        vis, varying_img = _alpha_peeled_raster(
+            scene, layout, setup, clip_src, clip_bary, vs, height, width,
+            pipeline, n_raster_tris,
+        )
+        out_h = height
+        y_offset = 0
+    elif fuse:
         # fused path: the Pallas kernel interpolates the varyings in-loop
         # (they ride the coefficient slab's pad lanes — free DMA), removing
         # the per-pixel attribute gathers and the perspective_bary pass.
@@ -635,12 +774,13 @@ def forward_frame(
         vis = rasterize(
             setup, out_h, width, pipeline, y_offset=y_offset, coverage_fn=coverage_fn
         )
-    if not fuse:
+    if varying_img is None:
         bary3 = perspective_bary(vis, setup)
         # map clipped winners back to source triangles + source barycentrics
         slot = jnp.maximum(vis.tri_id, 0)
         bary3 = jnp.einsum("hwv,hwvk->hwk", bary3, clip_bary[slot])
     else:
+        bary3 = None  # varyings already interpolated in-kernel
         slot = jnp.maximum(vis.tri_id, 0)
     vis = vis.replace(
         tri_id=jnp.where(vis.tri_id >= 0, clip_src[slot], vis.tri_id)
@@ -664,7 +804,7 @@ def forward_frame(
     color, sky_rgb = _shade_pixels(
         scene, layout, shading, vis, vs, bary3, shadow_map, shadow_params,
         varying=varying_img,
-        fused_materials=fuse,
+        fused_materials=varying_img is not None,
         sky_dirs=sky_dirs,
     )
 

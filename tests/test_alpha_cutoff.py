@@ -1,0 +1,125 @@
+"""Alpha-cutoff (MASK) on the fast raster path via depth peeling.
+
+≙ model_pbr.hlsl:218-221 `discard` (before depth write). The peeled binned
+path must agree with the scan-oracle coverage callback whenever the number
+of stacked FAILING fragments is below the peel budget (VERDICT r1 item 4).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from renderer_rs_tpu.renderer.passes import ShadingModel, forward_frame
+from renderer_rs_tpu.renderer.scene_build import SceneBuilder
+from renderer_rs_tpu.resources.material import Material
+from renderer_rs_tpu.rhi.pipeline import CullMode, GraphicsPipelineBuilder
+from renderer_rs_tpu.resources.ubo import CameraUbo, SceneUbo
+from renderer_rs_tpu.scene.camera import Camera, Projection
+from renderer_rs_tpu.scene.light import DirectionalLight, LightBank
+from renderer_rs_tpu.scene.transform import Transform
+from renderer_rs_tpu.utils import meshgen
+
+W, H = 128, 96
+
+
+def _cutout_texture(size=64):
+    """RGBA with a hard-edged alpha stripe pattern: alpha is 0 or 1 in wide
+    bands so bilinear samples land far from the 0.5 cutoff except on a thin
+    boundary line (keeps the peeled-vs-scan comparison robust)."""
+    y, x = np.mgrid[0:size, 0:size]
+    a = ((x // 16) % 2).astype(np.float32)
+    img = np.stack(
+        [np.full_like(a, 0.9), np.full_like(a, 0.4), np.full_like(a, 0.2), a], -1
+    )
+    return img.astype(np.float32)
+
+
+def _mask_scene(layers=3):
+    """`layers` stacked quads with a cutout texture in front of an opaque
+    floor, viewed down -Z."""
+    b = SceneBuilder()
+    mask_mat = Material(base_color=(1, 1, 1, 1), roughness=0.7, base_color_texture=0)
+    for i in range(layers):
+        # rotate plane_mesh (XZ, +Y normal) to face the camera (+Z)
+        from renderer_rs_tpu.mathx import quat_from_axis_angle
+
+        rot = np.asarray(quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), np.pi / 2))
+        tr = (
+            Transform()
+            .with_position([0.15 * i, 0.1 * i, -0.4 * i])
+            .with_rotation(rot)
+        )
+        b.add_mesh(meshgen.plane_mesh(2.0, uv_scale=1.0), tr, mask_mat if i == 0 else 0)
+    floor = Material(base_color=(0.2, 0.6, 0.3, 1.0), roughness=0.9)
+    b.add_mesh(
+        meshgen.plane_mesh(6.0),
+        Transform().with_position([0, -1.2, 0]),
+        floor,
+    )
+    # pad triangle count above the binned threshold (>=64 raster slots)
+    filler = Material(base_color=(0.5, 0.2, 0.2, 1.0))
+    for k in range(20):
+        b.add_mesh(
+            meshgen.cube_mesh(0.08),
+            Transform().with_position([-1.6 + 0.16 * k, -0.9, -1.0]),
+            filler,
+        )
+    b.set_textures([_cutout_texture()], size=64)
+    cam = Camera(Projection.perspective(np.radians(50.0), W / H, 0.1, 50.0))
+    cam.position = np.array([0.0, 0.0, 3.0], np.float32)
+    cam.look_at([0.0, 0.0, 0.0])
+    b.set_camera(CameraUbo.create(cam.view_matrix(), cam.projection_matrix(), cam.position))
+    b.set_lights(LightBank.create(sun=DirectionalLight.create(direction=(-0.3, -1.0, -0.4))))
+    b.set_scene_ubo(SceneUbo.create(ambient_color=(0.1, 0.1, 0.1)))
+    return b.build()
+
+
+def _pipe():
+    return (
+        GraphicsPipelineBuilder()
+        .cull_mode(CullMode.NONE)
+        .alpha_cutoff(0.5)
+        .build()
+    )
+
+
+def test_peeled_matches_scan_oracle():
+    scene, layout = _mask_scene(layers=3)
+    pipe = _pipe()
+    peeled = np.asarray(
+        forward_frame(scene, layout, pipe, ShadingModel.PBR, W, H)
+    )
+    # band=(0,H) forces the exact scan rasterizer + per-fragment coverage
+    scan = np.asarray(
+        forward_frame(scene, layout, pipe, ShadingModel.PBR, W, H, band=(0, H))
+    )
+    assert np.isfinite(peeled).all()
+    # agreement everywhere except (at most) a hairline of texels where the
+    # bilinear alpha crosses the cutoff within fp noise of the two interp
+    # paths
+    mismatch = np.mean(np.any(peeled != scan, axis=-1))
+    assert mismatch < 0.005, f"peeled vs scan mismatch frac {mismatch:.4f}"
+
+
+def test_cutout_shows_background_through_holes():
+    scene, layout = _mask_scene(layers=1)
+    pipe = _pipe()
+    img = np.asarray(forward_frame(scene, layout, pipe, ShadingModel.PBR, W, H))
+    opaque = np.asarray(
+        forward_frame(
+            scene, layout, dataclasses.replace(pipe, alpha_cutoff=None),
+            ShadingModel.PBR, W, H,
+        )
+    )
+    # with the cutoff, a visible fraction of quad pixels vanish
+    assert np.mean(np.any(img != opaque, axis=-1)) > 0.05
+
+
+def test_peel_budget_overflow_resolves_to_background():
+    """More stacked failing layers than the peel budget: holes fall through
+    to the clear color instead of garbage (documented bound)."""
+    scene, layout = _mask_scene(layers=6)
+    pipe = _pipe()
+    img = np.asarray(forward_frame(scene, layout, pipe, ShadingModel.PBR, W, H))
+    assert np.isfinite(img).all()

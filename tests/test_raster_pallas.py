@@ -157,3 +157,23 @@ def test_pallas_flat_plus_smooth_varyings():
     np.testing.assert_allclose(
         np.asarray(out_pl)[..., 3:][cov], expect[cov], atol=1e-6
     )
+
+
+def test_pallas_z_floor_matches_xla_binned():
+    """The depth-peeling z_floor constraint matches across kernels: both
+    must return the next-nearest fragment strictly beyond the floor."""
+    clip, tris = _scene(t=100, seed=9)
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    h, w = 64, 128
+    setup = setup_triangles(gather_triangle_clip(clip, tris), w, h, pipe)
+    # layer 0 (no floor) then peel at the layer-0 depth
+    v0 = rasterize_binned(setup, h, w, pipe, cap=128)
+    floor = jnp.where(v0.covered, v0.depth, jnp.inf)
+    vx = rasterize_binned(setup, h, w, pipe, cap=128, z_floor=floor)
+    vp = rp.rasterize_binned_pallas(setup, h, w, pipe, cap=128, chunk=16, z_floor=floor)
+    np.testing.assert_array_equal(np.asarray(vx.tri_id), np.asarray(vp.tri_id))
+    np.testing.assert_array_equal(np.asarray(vx.depth), np.asarray(vp.depth))
+    # the peeled layer is strictly behind layer 0 wherever covered
+    both = np.asarray(v0.covered & vx.covered)
+    assert both.any()
+    assert (np.asarray(vx.depth)[both] > np.asarray(v0.depth)[both]).all()
