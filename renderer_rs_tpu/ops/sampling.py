@@ -341,3 +341,110 @@ def sample_cubemap_lod(mips: tuple, d: jnp.ndarray, lod: jnp.ndarray) -> jnp.nda
     out_lo = _cube_atlas_fetch(atlas, offsets, sizes, lo, face, uv, c)
     out_hi = _cube_atlas_fetch(atlas, offsets, sizes, hi, face, uv, c)
     return out_lo * (1 - frac) + out_hi * frac
+
+
+# --- texture-array window atlas (implicit-LOD trilinear in TWO gathers) --------
+
+def _array_window_flat(level: jnp.ndarray, wrap_u: WrapMode, wrap_v: WrapMode):
+    """Pack one texture-array level [N,H,W,C] into a flat [N*H*W, 4C]
+    2x2-window table honoring the wrap mode (REPEAT rolls, CLAMP repeats the
+    edge), so any bilinear footprint is ONE row."""
+    def shift_w(a):
+        if wrap_u == WrapMode.REPEAT:
+            return jnp.roll(a, -1, axis=2)
+        return jnp.concatenate([a[:, :, 1:], a[:, :, -1:]], axis=2)
+
+    def shift_h(a):
+        if wrap_v == WrapMode.REPEAT:
+            return jnp.roll(a, -1, axis=1)
+        return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+
+    right = shift_w(level)
+    down = shift_h(level)
+    downright = shift_w(down)
+    window = jnp.concatenate([level, right, down, downright], axis=-1)
+    n, h, w, c4 = window.shape
+    return window.reshape(n * h * w, c4)
+
+
+def build_array_atlas(
+    mips: tuple, sampler: Sampler = Sampler()
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Build (atlas [R,4C], offsets [L], sizes [L,2]) over a mip chain of
+    texture-array levels. Done once at scene build — keeps the window
+    packing out of the per-frame jit (mirrors the cubemap mip atlas,
+    ops/sampling.sample_cubemap_lod)."""
+    tables = [_array_window_flat(m, sampler.wrap_u, sampler.wrap_v) for m in mips]
+    sizes, offsets, off = [], [], 0
+    for m in mips:
+        sizes.append((m.shape[1], m.shape[2]))
+        offsets.append(off)
+        off += m.shape[0] * m.shape[1] * m.shape[2]
+    return (
+        jnp.concatenate(tables, axis=0),
+        jnp.asarray(offsets, jnp.int32),
+        jnp.asarray(sizes, jnp.int32),
+    )
+
+
+def _array_atlas_fetch(atlas, offsets, sizes, level, tid, uv, c, sampler: Sampler):
+    """Bilinear fetch of one (per-pixel) mip level from the flat window
+    atlas — ONE gather per pixel. Bit-matches sample_array_bilinear."""
+    h = sizes[level, 0]
+    w = sizes[level, 1]
+    x = uv[..., 0] * w.astype(jnp.float32) - 0.5
+    y = uv[..., 1] * h.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    if sampler.wrap_u == WrapMode.REPEAT:
+        x0w = jnp.mod(x0, w)
+    else:
+        # CLAMP: below-edge samples collapse both taps to column 0 — the
+        # window's right-plane is column 1 there, so zero the fraction
+        fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
+        x0w = jnp.clip(x0, 0, w - 1)
+    if sampler.wrap_v == WrapMode.REPEAT:
+        y0w = jnp.mod(y0, h)
+    else:
+        fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
+        y0w = jnp.clip(y0, 0, h - 1)
+    t = jnp.maximum(tid, 0)
+    idx = offsets[level] + (t * h + y0w) * w + x0w
+    taps = atlas[idx]  # [...,4C]
+    t00 = taps[..., 0:c]
+    t10 = taps[..., c : 2 * c]
+    t01 = taps[..., 2 * c : 3 * c]
+    t11 = taps[..., 3 * c : 4 * c]
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def sample_array_textured_atlas(
+    atlas: jnp.ndarray,
+    offsets: jnp.ndarray,
+    sizes: jnp.ndarray,
+    n_levels: int,
+    base_hw: tuple[int, int],
+    c: int,
+    tid: jnp.ndarray,
+    uv: jnp.ndarray,
+    sampler: Sampler = Sampler(),
+) -> jnp.ndarray:
+    """Trilinear texture-array sampling with implicit screen-derivative LOD
+    in exactly TWO gathers (lo/hi mip), replacing sample_array_textured's
+    evaluate-every-level-then-select (cost ∝ mip count per pixel)."""
+    if n_levels == 1:
+        return _array_atlas_fetch(
+            atlas, offsets, sizes, jnp.zeros_like(tid), tid, uv, c, sampler
+        )
+    lod = screen_space_lod(uv, base_hw[0], base_hw[1])
+    lod = jnp.clip(lod, 0.0, n_levels - 1.0)
+    lo = jnp.floor(lod).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n_levels - 1)
+    frac = (lod - lo.astype(lod.dtype))[..., None]
+    out_lo = _array_atlas_fetch(atlas, offsets, sizes, lo, tid, uv, c, sampler)
+    out_hi = _array_atlas_fetch(atlas, offsets, sizes, hi, tid, uv, c, sampler)
+    return out_lo * (1 - frac) + out_hi * frac

@@ -274,13 +274,26 @@ def _shade_pixels(
 
     # --- texture fetches (model_pbr.hlsl:205-245, has-flags as selects) ------
     if layout.has_textures and scene.textures is not None:
-        from renderer_rs_tpu.ops.sampling import sample_array_textured
+        from renderer_rs_tpu.ops.sampling import (
+            sample_array_textured,
+            sample_array_textured_atlas,
+        )
 
-        mips = scene.textures.mips
+        tex = scene.textures
+        mips = tex.mips
 
         def fetch(slot):
             t = tex_ids[..., slot]
-            s = sample_array_textured(mips, t, uv)
+            if tex.atlas is not None:
+                # 2-gather implicit-LOD trilinear via the build-time window
+                # atlas (vs evaluating every mip level then selecting)
+                s = sample_array_textured_atlas(
+                    tex.atlas, tex.atlas_offsets, tex.atlas_sizes,
+                    len(mips), (mips[0].shape[1], mips[0].shape[2]),
+                    mips[0].shape[-1], t, uv,
+                )
+            else:
+                s = sample_array_textured(mips, t, uv)
             return s, (t >= 0)[..., None]
 
         # Unused slots are statically skipped (layout.texture_slots), so a

@@ -31,9 +31,16 @@ from renderer_rs_tpu.scene.transform import Transform
 @struct.dataclass
 class TextureArrays:
     """All scene textures resized to one [N,S,S,4] array per mip level, so a
-    per-pixel texture id can gather without dynamic shapes. tex id -1 = none."""
+    per-pixel texture id can gather without dynamic shapes. tex id -1 = none.
+
+    atlas/atlas_offsets/atlas_sizes: the flat 2x2-window mip atlas built at
+    scene build (ops/sampling.build_array_atlas) so implicit-LOD trilinear
+    sampling costs TWO gathers per pixel instead of evaluating every level."""
 
     mips: Any  # tuple of [N,H,W,4] f32
+    atlas: Any | None = None  # [R, 16] window rows
+    atlas_offsets: Any | None = None  # [L] int32
+    atlas_sizes: Any | None = None  # [L,2] int32
 
 
 @struct.dataclass
@@ -251,7 +258,12 @@ class SceneBuilder:
                 (lvl[:, 0::2, 0::2] + lvl[:, 1::2, 0::2] + lvl[:, 0::2, 1::2] + lvl[:, 1::2, 1::2])
                 * 0.25
             )
-        self._textures = TextureArrays(mips=tuple(mips))
+        from renderer_rs_tpu.ops.sampling import build_array_atlas
+
+        atlas, offsets, sizes = build_array_atlas(tuple(mips))
+        self._textures = TextureArrays(
+            mips=tuple(mips), atlas=atlas, atlas_offsets=offsets, atlas_sizes=sizes
+        )
         return self
 
     def set_environment(self, env: Environment, finalize: bool = True) -> "SceneBuilder":

@@ -139,3 +139,56 @@ def test_cubemap_sample_face_colors():
     )
     out = sample_cubemap(faces, dirs)
     np.testing.assert_allclose(np.asarray(out), colors, atol=1e-6)
+
+
+def test_array_atlas_matches_per_level_sampler():
+    """The 2-gather window-atlas trilinear path bit-matches the
+    evaluate-every-level oracle (sample_array_textured) for REPEAT and
+    CLAMP samplers."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from renderer_rs_tpu.ops.sampling import (
+        Sampler,
+        WrapMode,
+        build_array_atlas,
+        sample_array_textured,
+        sample_array_textured_atlas,
+    )
+
+    rng = np.random.default_rng(11)
+    mips = []
+    s = 32
+    base = rng.random((3, s, s, 4)).astype(np.float32)
+    lvl = base
+    mips.append(jnp.asarray(lvl))
+    while lvl.shape[1] > 1:
+        lvl = (
+            lvl[:, 0::2, 0::2] + lvl[:, 1::2, 0::2]
+            + lvl[:, 0::2, 1::2] + lvl[:, 1::2, 1::2]
+        ) * 0.25
+        mips.append(jnp.asarray(lvl))
+    mips = tuple(mips)
+
+    h, w = 24, 40
+    tid = jnp.asarray(rng.integers(0, 3, (h, w)), jnp.int32)
+    # smooth + warped UVs so the screen-space LOD spans several mip levels,
+    # including out-of-[0,1] values to exercise wrap
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    uv = np.stack(
+        [xx / w * 3.0 - 1.0 + 0.1 * np.sin(yy / 3), (yy / h) ** 2 * 4.0], -1
+    ).astype(np.float32)
+    uv = jnp.asarray(uv)
+
+    for sampler in (
+        Sampler(),
+        Sampler(wrap_u=WrapMode.CLAMP_TO_EDGE, wrap_v=WrapMode.CLAMP_TO_EDGE),
+    ):
+        ref = np.asarray(sample_array_textured(mips, tid, uv, sampler))
+        atlas, offsets, sizes = build_array_atlas(mips, sampler)
+        got = np.asarray(
+            sample_array_textured_atlas(
+                atlas, offsets, sizes, len(mips), (s, s), 4, tid, uv, sampler
+            )
+        )
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
