@@ -24,6 +24,7 @@ from renderer_rs_tpu.renderer.passes import ShadingModel
 from renderer_rs_tpu.renderer.scene_build import Environment, SceneBuilder
 from renderer_rs_tpu.resources.material import Material
 from renderer_rs_tpu.resources.ubo import CameraUbo, SceneUbo
+from renderer_rs_tpu.rhi.command import CommandBuffer
 from renderer_rs_tpu.rhi.pipeline import CullMode, GraphicsPipelineBuilder
 from renderer_rs_tpu.scene.camera import Camera, Projection
 from renderer_rs_tpu.scene.light import DirectionalLight, LightBank, PointLight
@@ -43,10 +44,11 @@ def _orbit_camera(width, height, distance=3.0, height_y=1.5, fov=60.0) -> Camera
 
 
 def triangle_scene(width: int, height: int):
-    """Config 0 (≙ renderer.rs:205-260): no culling, no depth, flat interp."""
-    builder = SceneBuilder()
-    builder.add_mesh(meshgen.triangle_mesh())
-    scene, layout = builder.build()
+    """Config 0 (≙ renderer.rs:205-260): no culling, no depth, flat interp.
+
+    Scene construction records through the CommandBuffer (begin -> bind
+    pipeline -> draw -> end -> build_scene), the documented lowering of the
+    reference's command recording (record_commands, renderer.rs:452-557)."""
     pipeline = (
         GraphicsPipelineBuilder()
         .cull_mode(CullMode.NONE)
@@ -55,15 +57,22 @@ def triangle_scene(width: int, height: int):
         .depth_attachment_format(None)
         .build()
     )
+    cb = CommandBuffer().begin().bind_pipeline(pipeline).set_viewport(width, height)
+    cb.draw_mesh(meshgen.triangle_mesh())
+    cb.end()
+    scene, layout, pipeline = cb.build_scene()
     kwargs = dict(pipeline=pipeline, shading=ShadingModel.FLAT)
     return scene, layout, kwargs, None
 
 
 def cube_scene(width: int, height: int):
     """Config 1: spinning textured cube."""
-    builder = SceneBuilder()
+    pipeline = GraphicsPipelineBuilder().build()
+    cb = CommandBuffer().begin().bind_pipeline(pipeline).set_viewport(width, height)
     mat = Material(base_color=(1, 1, 1, 1), roughness=0.6, base_color_texture=0)
-    builder.add_mesh(meshgen.cube_mesh(), Transform(), mat)
+    cb.draw_mesh(meshgen.cube_mesh(), Transform(), mat)
+    cb.end()
+    builder = SceneBuilder()
     builder.set_textures([meshgen.checkerboard_image(256)])
     cam = _orbit_camera(width, height, distance=2.2, height_y=1.4)
     builder.set_camera(_camera_ubo(cam))
@@ -71,8 +80,8 @@ def cube_scene(width: int, height: int):
         LightBank.create(sun=DirectionalLight.create(direction=(-0.5, -1.0, -0.3)))
     )
     builder.set_scene_ubo(SceneUbo.create(ambient_color=(0.08, 0.08, 0.08)))
-    scene, layout = builder.build()
-    kwargs = dict(shading=ShadingModel.BLINN_PHONG, camera=cam)
+    scene, layout, pipeline = cb.build_scene(builder)
+    kwargs = dict(pipeline=pipeline, shading=ShadingModel.BLINN_PHONG, camera=cam)
 
     def animate(scene, t, dt):
         rot = quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), t)
@@ -87,17 +96,20 @@ def cube_scene(width: int, height: int):
 
 def blinnphong_scene(width: int, height: int, rings=32, sectors=48):
     """Config 2: Blinn-Phong sphere ("Suzanne-class" mesh) + 4 point lights."""
-    builder = SceneBuilder()
-    builder.add_mesh(
+    pipeline = GraphicsPipelineBuilder().build()
+    cb = CommandBuffer().begin().bind_pipeline(pipeline).set_viewport(width, height)
+    cb.draw_mesh(
         meshgen.uv_sphere_mesh(0.9, rings, sectors),
         Transform(),
         Material(base_color=(0.8, 0.3, 0.2, 1.0), roughness=0.35),
     )
-    builder.add_mesh(
+    cb.draw_mesh(
         meshgen.plane_mesh(8.0),
         Transform().with_position([0.0, -1.0, 0.0]),
         Material(base_color=(0.6, 0.6, 0.65, 1.0), roughness=0.8),
     )
+    cb.end()
+    builder = SceneBuilder()
     cam = _orbit_camera(width, height, distance=3.2, height_y=1.6)
     builder.set_camera(_camera_ubo(cam))
     colors = [(1, 0.9, 0.8), (0.3, 0.5, 1.0), (0.4, 1.0, 0.4), (1.0, 0.3, 0.6)]
@@ -117,8 +129,8 @@ def blinnphong_scene(width: int, height: int, rings=32, sectors=48):
         )
     )
     builder.set_scene_ubo(SceneUbo.create(ambient_color=(0.03, 0.03, 0.04)))
-    scene, layout = builder.build()
-    kwargs = dict(shading=ShadingModel.BLINN_PHONG, camera=cam)
+    scene, layout, pipeline = cb.build_scene(builder)
+    kwargs = dict(pipeline=pipeline, shading=ShadingModel.BLINN_PHONG, camera=cam)
 
     def animate(scene, t, dt):
         # lights orbit the sphere
@@ -136,6 +148,8 @@ def blinnphong_scene(width: int, height: int, rings=32, sectors=48):
 def gltf_pbr_scene(width: int, height: int, gltf_path: str | None = None):
     """Config 3: PBR scene — a .gltf model if provided, else a procedural
     multi-draw scene-graph arrangement (metal/rough sphere grid + floor)."""
+    pipeline = GraphicsPipelineBuilder().build()
+    cb = CommandBuffer().begin().bind_pipeline(pipeline).set_viewport(width, height)
     builder = SceneBuilder()
     if gltf_path:
         from renderer_rs_tpu.resources.model import Model
@@ -146,7 +160,7 @@ def gltf_pbr_scene(width: int, height: int, gltf_path: str | None = None):
         root.with_scale([scale] * 3).with_position(
             (-model.center() * scale).tolist()
         )
-        builder.add_model(model, root)
+        cb.draw_model(model, root)
     else:
         n = 4
         for i in range(n):
@@ -167,12 +181,13 @@ def gltf_pbr_scene(width: int, height: int, gltf_path: str | None = None):
                     .with_scale([0.45, 0.45, 0.45])
                     .with_parent(root)
                 )
-                builder.add_mesh(meshgen.uv_sphere_mesh(1.0, 16, 24), child, mat)
-        builder.add_mesh(
+                cb.draw_mesh(meshgen.uv_sphere_mesh(1.0, 16, 24), child, mat)
+        cb.draw_mesh(
             meshgen.plane_mesh(10.0),
             Transform().with_position([0.0, 0.0, 0.0]),
             Material(base_color=(0.5, 0.5, 0.55, 1.0), roughness=0.9),
         )
+    cb.end()
     cam = _orbit_camera(width, height, distance=4.2, height_y=2.8, fov=50.0)
     builder.set_camera(_camera_ubo(cam))
     builder.set_lights(
@@ -180,8 +195,8 @@ def gltf_pbr_scene(width: int, height: int, gltf_path: str | None = None):
             sun=DirectionalLight.create(direction=(-0.5, -1.0, -0.4), intensity=3.0)
         )
     )
-    scene, layout = builder.build()
-    kwargs = dict(shading=ShadingModel.PBR, camera=cam)
+    scene, layout, pipeline = cb.build_scene(builder)
+    kwargs = dict(pipeline=pipeline, shading=ShadingModel.PBR, camera=cam)
     return scene, layout, kwargs, None
 
 
@@ -211,6 +226,8 @@ def full_scene(
     rings = max(int(math.sqrt(per_sphere / 4)), 4)
     sectors = 2 * rings
 
+    pipeline = GraphicsPipelineBuilder().build()
+    cb = CommandBuffer().begin().bind_pipeline(pipeline).set_viewport(width, height)
     builder = SceneBuilder()
     for i in range(n):
         for j in range(n):
@@ -224,12 +241,13 @@ def full_scene(
                 .with_position([(i - (n - 1) / 2) * 1.6, 0.6, (j - (n - 1) / 2) * 1.6])
                 .with_scale([0.6, 0.6, 0.6])
             )
-            builder.add_mesh(meshgen.uv_sphere_mesh(1.0, rings, sectors), tr, mat)
-    builder.add_mesh(
+            cb.draw_mesh(meshgen.uv_sphere_mesh(1.0, rings, sectors), tr, mat)
+    cb.draw_mesh(
         meshgen.plane_mesh(12.0),
         Transform(),
         Material(base_color=(0.55, 0.55, 0.6, 1.0), roughness=0.85),
     )
+    cb.end()
     cam = _orbit_camera(width, height, distance=5.0, height_y=3.0, fov=50.0)
     builder.set_camera(_camera_ubo(cam))
     sun_dir = np.array([-0.45, -1.0, -0.35], np.float32)
@@ -260,11 +278,12 @@ def full_scene(
     else:
         env = Environment(skybox_mips=(sky,))
     builder.set_environment(env)
-    scene, layout = builder.build()
+    scene, layout, pipeline = cb.build_scene(builder)
     from renderer_rs_tpu.ops.shadow import ShadowParams
 
     # bias scaled to the shadow texel world size (ortho box 14 units / 1024)
     kwargs = dict(
+        pipeline=pipeline,
         shading=ShadingModel.PBR_IBL if ibl else ShadingModel.PBR,
         camera=cam,
         tonemap="aces",

@@ -4,14 +4,15 @@ The reference FrameManager gates the CPU on per-frame fences so at most
 MAX_FRAMES_IN_FLIGHT=2 frames are recorded ahead of the GPU
 (frame_manager.rs:111-171, 341-588). JAX's async dispatch gives the same
 pipelining for free: calling the jitted frame function *enqueues* work and
-returns device futures. This class bounds the in-flight queue and maps the
-reference's step verbs:
+returns device futures. This class bounds the in-flight queue with the
+rhi.sync primitives and maps the reference's step verbs:
 
-    wait_for_frame   -> block on the oldest future when the queue is full
-    acquire/begin    -> pick the next framebuffer slot
-    submit           -> call the jitted frame fn (enqueue)
+    wait_for_frame   -> Fence.wait() on the oldest slot when the queue is full
+    acquire/begin    -> pick the next FrameSync slot (fence reset ≙ begin_frame)
+    submit           -> call the jitted frame fn and attach the result to the
+                        slot's in-flight Fence (≙ vkQueueSubmit w/ fence)
     present          -> readback np.asarray (≙ fence wait + vkQueuePresentKHR)
-    wait_for_all     -> drain every in-flight frame
+    wait_for_all     -> drain every in-flight fence
 """
 
 from __future__ import annotations
@@ -20,8 +21,9 @@ import collections
 import logging
 from typing import Any, Callable
 
-import jax
 import numpy as np
+
+from renderer_rs_tpu.rhi.sync import Fence, FrameSync
 
 log = logging.getLogger("renderer_rs_tpu.renderer.frame_manager")
 
@@ -35,7 +37,12 @@ class FrameManager:
         if frames_in_flight < 1:
             raise ValueError("frames_in_flight must be >= 1")
         self.frames_in_flight = frames_in_flight
-        self._in_flight: collections.deque = collections.deque()
+        # per-slot sync trio, fences created signaled so frame 0 never waits
+        # (≙ create_frame_sync, renderer.rs:157-196 / sync.rs:150-176)
+        self.frame_sync = tuple(
+            FrameSync.create(signaled=True) for _ in range(frames_in_flight)
+        )
+        self._in_flight: collections.deque[Fence] = collections.deque()
         self.current_frame = 0
         self.frame_count = 0
 
@@ -44,9 +51,11 @@ class FrameManager:
         frame_manager.rs:380-462). Blocks only when the queue is full
         (≙ wait_for_frame fence wait, frame_manager.rs:341-355)."""
         if len(self._in_flight) >= self.frames_in_flight:
-            oldest = self._in_flight.popleft()
-            jax.block_until_ready(oldest)  # fence wait
-        self._in_flight.append(frame_fn(*args))
+            self._in_flight.popleft().wait()  # ≙ vkWaitForFences
+        fence = self.frame_sync[self.current_frame].in_flight
+        fence.reset()  # ≙ vkResetFences before reuse (renderer.rs:397-401)
+        fence.attach(frame_fn(*args))  # ≙ vkQueueSubmit(..., fence)
+        self._in_flight.append(fence)
         self.current_frame = (self.current_frame + 1) % self.frames_in_flight
         self.frame_count += 1
 
@@ -55,14 +64,14 @@ class FrameManager:
         frame_manager.rs:499-518). Returns the [H,W,4] host array."""
         if not self._in_flight:
             return None
-        return np.asarray(self._in_flight.popleft())
+        return np.asarray(self._in_flight.popleft().wait())
 
     def wait_for_all_frames(self) -> list[np.ndarray]:
         """Drain the queue (≙ wait_for_all_frames, frame_manager.rs:549-560;
         used before swapchain/resize recreation)."""
         out = []
         while self._in_flight:
-            out.append(np.asarray(self._in_flight.popleft()))
+            out.append(np.asarray(self._in_flight.popleft().wait()))
         return out
 
     @property

@@ -29,8 +29,11 @@ from renderer_rs_tpu.renderer.frame_manager import FrameManager
 from renderer_rs_tpu.renderer.passes import ShadingModel, forward_frame
 from renderer_rs_tpu.renderer.scene_build import GpuScene, SceneLayout
 from renderer_rs_tpu.resources.ubo import CameraUbo
+from renderer_rs_tpu.rhi.descriptor import layouts_for
 from renderer_rs_tpu.rhi.device import Device
 from renderer_rs_tpu.rhi.pipeline import GraphicsPipeline, GraphicsPipelineBuilder
+from renderer_rs_tpu.rhi.shader import builtin_library
+from renderer_rs_tpu.rhi.swapchain import Swapchain
 from renderer_rs_tpu.scene.camera import Camera
 from renderer_rs_tpu.utils.image_io import framebuffer_to_u8
 
@@ -69,6 +72,10 @@ class Renderer:
         self.shadow_map_size = shadow_map_size
         self.shadow_params = shadow_params
         self.frame_manager = FrameManager(self.config.frames_in_flight)
+        # swapchain: rotating present slots behind the Surface (≙ Renderer
+        # owning the Swapchain, renderer.rs:55-86); resize marks it stale
+        self.swapchain = Swapchain(window.width, window.height)
+        self._pending_slots: list[int] = []  # acquired indices of in-flight frames
         self._scene: GpuScene | None = None
         self._layout: SceneLayout | None = None
         self._framebuffer_resized = False
@@ -92,6 +99,11 @@ class Renderer:
     def set_scene(self, scene: GpuScene, layout: SceneLayout) -> None:
         """Bind the scene. A new layout re-specializes the frame function
         (≙ building pipelines for a new vertex/descriptor layout)."""
+        # descriptor-set validation (≙ the validation layer catching an
+        # unbound set at bind time): every set the (shading, layout) pair
+        # requires must resolve to a non-None scene binding
+        for set_layout in layouts_for(self.shading, layout):
+            set_layout.validate(scene)
         if layout != self._layout:
             self._frame_fn = None
             self._shadow_fn = None
@@ -117,6 +129,7 @@ class Renderer:
     def resize(self, width: int, height: int) -> None:
         """Deferred: takes effect at the next render_frame."""
         self.window.resize(width, height)
+        self.swapchain.mark_stale()  # ≙ ERROR_OUT_OF_DATE on next acquire
         self._framebuffer_resized = True
 
     def _recreate_if_needed(self) -> None:
@@ -124,7 +137,9 @@ class Renderer:
             return
         # ≙ wait_for_all_frames before swapchain recreate (renderer.rs:286-296)
         self.frame_manager.wait_for_all_frames()
+        self._pending_slots.clear()
         self.config = self.config.with_size(self.window.width, self.window.height)
+        self.swapchain.recreate(self.config.width, self.config.height)
         self._frame_fn = None  # re-jit for the new extent
         self._framebuffer_resized = False
         log.debug("framebuffer recreated: %dx%d", self.config.width, self.config.height)
@@ -158,10 +173,38 @@ class Renderer:
         )
         return compiled
 
+    # shading model -> shader-stage names, the analog of the reference's
+    # SPIR-V file table (renderer.rs:210-222); resolved against the registry
+    # at pipeline build so a missing stage fails like a missing .spv
+    _STAGE_TABLE = {
+        ShadingModel.FLAT: ("triangle.vert", "triangle.frag"),
+        ShadingModel.BLINN_PHONG: ("model.vert", "model_full.frag"),
+        ShadingModel.PBR: ("model.vert", "model_pbr.frag"),
+        ShadingModel.PBR_IBL: ("model.vert", "model_pbr_ibl.frag"),
+    }
+
+    def _resolve_shader_stages(self) -> tuple:
+        """Look up every stage this frame specialization fuses
+        (≙ Shader::from_spirv_file ×N, renderer.rs:205-260)."""
+        lib = builtin_library()
+        names = list(self._STAGE_TABLE[self.shading])
+        if self._needs_shadow():
+            names.append("shadow.vert")
+        if self._layout is not None and self._layout.has_environment:
+            names.append("skybox.frag")
+        if self.tonemap != "none":
+            names.append("tonemap.frag")
+        return tuple(lib.get(n) for n in names)  # ShaderError if unregistered
+
     def _build_frame_fn(self):
         """Compile the forward-frame specialization for the current extent
         (≙ vkCreateGraphicsPipelines: the expensive driver compile happens
         once per extent, SURVEY.md §3.1; cached across resizes)."""
+        stages = self._resolve_shader_stages()
+        log.debug(
+            "pipeline stages: %s",
+            [s.stage_create_info() for s in stages],
+        )
         layout = self._layout
         pipeline = self.pipeline
         shading = self.shading
@@ -249,17 +292,33 @@ class Renderer:
         self._recreate_if_needed()
         self._ensure_compiled()
 
+        # acquire the frame's swapchain slot; a stale chain recreates and
+        # skips this frame (≙ acquire ERROR_OUT_OF_DATE -> recreate + return,
+        # renderer.rs:385-394)
+        image_index, needs_recreate = self.swapchain.acquire_next_image()
+        if needs_recreate:
+            self._framebuffer_resized = True
+            self._recreate_if_needed()
+            self._ensure_compiled()
+            image_index, _ = self.swapchain.acquire_next_image()
+
         # submit (async enqueue; blocks only when 2 frames are in flight)
         self.frame_manager.submit(self._run_frame, self._scene)
+        self._pending_slots.append(image_index)
         self.stats.tick()
 
         if not present:
             return None
-        # present the oldest finished frame: device->host readback + sRGB encode
+        # present the oldest finished frame: device->host readback + sRGB
+        # encode into its swapchain slot, then out the window surface
         fb = self.frame_manager.present_oldest()
         if fb is None:
             return None
         u8 = framebuffer_to_u8(fb)
+        slot = self._pending_slots.pop(0)
+        suboptimal = self.swapchain.present(slot, u8)
+        if suboptimal:  # ≙ SUBOPTIMAL_KHR -> recreate next frame
+            self._framebuffer_resized = True
         self.surface.present(u8)
         self.last_frame = u8
         return u8

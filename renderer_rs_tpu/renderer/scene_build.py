@@ -291,6 +291,9 @@ class SceneBuilder:
         if self._images and self._textures is None:
             # texture images accumulated by add_model -> scene texture array
             self.set_textures(self._images)
+        from renderer_rs_tpu.rhi.buffer import Buffer, BufferUsage
+        from renderer_rs_tpu.rhi.vertex import VertexBuffer
+
         pos_l, nrm_l, uv_l, tan_l, col_l, tri_l, tmat_l = [], [], [], [], [], [], []
         models, normal_mats, ranges = [], [], []
         v_off = 0
@@ -298,10 +301,16 @@ class SceneBuilder:
         for mesh, transform, mat_idx in self._meshes:
             n = mesh.vertex_count
             t = mesh.triangle_count
-            pos_l.append(mesh.positions)
-            nrm_l.append(mesh.normals)
-            uv_l.append(mesh.tex_coords)
-            tan_l.append(mesh.tangents)
+            # per-mesh SoA stream validation/normalization (≙ rhi::Vertex,
+            # vertex.rs:88-170): shape-checks the attributes and applies the
+            # loader defaulting rules for absent streams
+            vb = VertexBuffer.create(
+                mesh.positions, mesh.normals, mesh.tex_coords, mesh.tangents
+            )
+            pos_l.append(np.asarray(vb.position))
+            nrm_l.append(np.asarray(vb.normal))
+            uv_l.append(np.asarray(vb.tex_coord))
+            tan_l.append(np.asarray(vb.tangent))
             col = getattr(mesh, "colors", None)
             col_l.append(
                 col if col is not None else np.ones((n, 3), np.float32)
@@ -314,13 +323,21 @@ class SceneBuilder:
             v_off += n
             t_off += t
 
+        # usage-tagged uploads (≙ Buffer::new_with_data, buffer.rs:227-257):
+        # geometry streams are VERTEX/INDEX buffers; placement policy follows
+        # the reference's memory-location table (rhi/buffer.py)
+        def vbuf(arrs):
+            return Buffer.new_with_data(BufferUsage.VERTEX, np.concatenate(arrs)).data
+
         scene = GpuScene(
-            positions=jnp.asarray(np.concatenate(pos_l)),
-            normals=jnp.asarray(np.concatenate(nrm_l)),
-            uvs=jnp.asarray(np.concatenate(uv_l)),
-            tangents=jnp.asarray(np.concatenate(tan_l)),
-            colors=jnp.asarray(np.concatenate(col_l)),
-            tris=jnp.asarray(np.concatenate(tri_l)),
+            positions=vbuf(pos_l),
+            normals=vbuf(nrm_l),
+            uvs=vbuf(uv_l),
+            tangents=vbuf(tan_l),
+            colors=vbuf(col_l),
+            tris=Buffer.new_with_data(
+                BufferUsage.INDEX, np.concatenate(tri_l)
+            ).data,
             tri_material=jnp.asarray(np.concatenate(tmat_l)),
             models=jnp.asarray(np.stack(models)),
             normal_mats=jnp.asarray(np.stack(normal_mats)),

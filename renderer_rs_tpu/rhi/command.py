@@ -43,6 +43,16 @@ class DrawCmd:
 
 
 @dataclasses.dataclass
+class ModelDrawCmd:
+    """One recorded multi-mesh model draw (≙ the per-primitive draw loop a
+    glTF model expands into, renderer.rs:535-538)."""
+
+    pipeline: GraphicsPipeline
+    model: Any  # resources.Model
+    transform: Any
+
+
+@dataclasses.dataclass
 class DispatchCmd:
     """One recorded compute dispatch (≙ cmd_dispatch, command.rs:690-713):
     a jittable function + args, executed in submission order."""
@@ -102,6 +112,15 @@ class CommandBuffer:
         self.draws.append(DrawCmd(self._pipeline, mesh, transform, material))
         return self
 
+    def draw_model(self, model, transform=None) -> "CommandBuffer":
+        """Record every mesh of a glTF model with its material table
+        (≙ the app iterating model primitives into draw calls)."""
+        self._require_recording()
+        if self._pipeline is None:
+            raise RhiError("draw recorded with no pipeline bound")
+        self.draws.append(ModelDrawCmd(self._pipeline, model, transform))
+        return self
+
     def dispatch(self, fn, *args) -> "CommandBuffer":
         """≙ cmd_dispatch: a compute program (e.g. an IBL precompute)."""
         self._require_recording()
@@ -109,12 +128,18 @@ class CommandBuffer:
         return self
 
     # --- lowering ---------------------------------------------------------------
-    def build_scene(self, **builder_kwargs):
+    def build_scene(self, builder=None, **builder_kwargs):
         """Lower the recorded draw list into (GpuScene, SceneLayout) — the
         point where "recording" becomes the traced frame program.
 
         All draws must share one pipeline (one specialization); mixed-pipeline
         command buffers split into multiple passes at the renderer level.
+
+        builder: an optional pre-configured SceneBuilder carrying the
+        resource bindings (textures/lights/camera/environment — the
+        descriptor-set side); the draw list is lowered into it in recorded
+        order. Simple single-arg bindings can ride **builder_kwargs
+        (`set_<key>(value)`) instead.
         """
         from renderer_rs_tpu.renderer.scene_build import SceneBuilder
 
@@ -125,9 +150,12 @@ class CommandBuffer:
         pipelines = {id(d.pipeline) for d in self.draws}
         if len(pipelines) > 1:
             raise RhiError("mixed pipelines in one draw list; split passes")
-        builder = SceneBuilder()
+        builder = builder if builder is not None else SceneBuilder()
         for d in self.draws:
-            builder.add_mesh(d.mesh, d.transform, d.material)
+            if isinstance(d, ModelDrawCmd):
+                builder.add_model(d.model, d.transform)
+            else:
+                builder.add_mesh(d.mesh, d.transform, d.material)
         for key, value in builder_kwargs.items():
             getattr(builder, f"set_{key}")(value)
         scene, layout = builder.build()

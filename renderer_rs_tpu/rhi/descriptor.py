@@ -94,11 +94,41 @@ SET_IBL = DescriptorSetLayout(
 )
 
 
-def layouts_for(shading) -> tuple[DescriptorSetLayout, ...]:
-    """The set layouts a shading model binds (≙ pipeline layout creation)."""
+# Feature sets gated by SceneLayout flags (the has_* statics): the flag
+# claims the feature, the set layout checks the scene actually binds it.
+SET_TEXTURES = DescriptorSetLayout(
+    (Binding("textures.mips", BindingKind.SAMPLED_TEXTURE),)
+)
+SET_SHADOW = DescriptorSetLayout(
+    (Binding("light_space_matrix", BindingKind.UNIFORM),)
+)
+SET_CSM = DescriptorSetLayout(
+    (
+        Binding("csm_matrices", BindingKind.UNIFORM),
+        Binding("csm_splits", BindingKind.UNIFORM),
+    )
+)
+
+
+def layouts_for(shading, layout=None) -> tuple[DescriptorSetLayout, ...]:
+    """The set layouts a (shading model, scene layout) pair binds
+    (≙ pipeline layout creation). With a SceneLayout, every feature the
+    layout claims (has_textures/has_environment/has_shadow/has_csm) adds
+    its set — validate() then catches a scene whose pytree doesn't actually
+    provide the claimed binding (the unbound-descriptor failure mode)."""
     from renderer_rs_tpu.renderer.passes import ShadingModel
 
-    base = (SET_FRAME, SET_OBJECT, SET_MATERIAL)
-    if shading == ShadingModel.PBR_IBL:
-        return base + (SET_IBL,)
-    return base
+    sets = (SET_FRAME, SET_OBJECT, SET_MATERIAL)
+    if layout is None:
+        if shading == ShadingModel.PBR_IBL:
+            sets += (SET_IBL,)
+        return sets
+    if layout.has_textures:
+        sets += (SET_TEXTURES,)
+    if shading == ShadingModel.PBR_IBL and layout.has_environment:
+        sets += (SET_IBL,)
+    if layout.has_csm:
+        sets += (SET_CSM,)
+    elif layout.has_shadow:
+        sets += (SET_SHADOW,)
+    return sets

@@ -127,3 +127,68 @@ def test_resize_keeps_shadow_fn_and_caches_extents():
     r.resize(w, h)
     r.render_frame()
     assert r._frame_fn is fn_64  # cached specialization reused
+
+
+def test_swapchain_backs_present_path():
+    """The Swapchain rotates present slots on the live path (VERDICT r1
+    item 6): presented frames land in swapchain images, and a resize
+    recreates the chain at the new extent (≙ swapchain.rs:307-352)."""
+    r, window = _make()
+    for _ in range(4):
+        r.render_frame()
+    # at least one slot holds a presented frame of the right extent
+    filled = [
+        r.swapchain.image(i)
+        for i in range(r.swapchain.image_count)
+        if r.swapchain.image(i) is not None
+    ]
+    assert filled and filled[0].shape == (48, 64, 4)
+
+    r.resize(96, 64)
+    for _ in range(3):
+        r.render_frame()
+    assert r.swapchain.extent == (96, 64)
+    filled = [
+        r.swapchain.image(i)
+        for i in range(r.swapchain.image_count)
+        if r.swapchain.image(i) is not None
+    ]
+    assert filled and filled[0].shape == (64, 96, 4)
+    r.wait_idle()
+
+
+def test_set_scene_validates_descriptor_bindings():
+    """set_scene runs the descriptor-set layout validation (≙ the
+    validation layer catching an unbound set): a layout claiming a feature
+    whose scene binding is None must raise RhiError."""
+    import dataclasses
+
+    from renderer_rs_tpu.core.errors import RhiError
+
+    r, _ = _make("cube")  # textured scene
+    scene, layout = r._scene, r._layout
+    bad_scene = scene.replace(textures=None)  # claims has_textures, binds none
+    with pytest.raises(RhiError):
+        r.set_scene(bad_scene, layout)
+
+    bad_layout = dataclasses.replace(layout, has_shadow=True)
+    with pytest.raises(RhiError):
+        r.set_scene(scene, bad_layout)  # no light_space_matrix bound
+
+
+def test_frame_manager_uses_fences():
+    """Frames in flight are gated by rhi.sync Fences (≙ vkWaitForFences,
+    frame_manager.rs:341-355): submit attaches device values to the slot
+    fence; present waits and signals it."""
+    r, _ = _make()
+    r.render_frame(present=False)
+    fm = r.frame_manager
+    assert fm.in_flight == 1
+    fence = fm._in_flight[0]
+    from renderer_rs_tpu.rhi.sync import Fence
+
+    assert isinstance(fence, Fence)
+    out = fm.present_oldest()
+    assert out is not None
+    assert fence.is_signaled()
+    r.wait_idle()
