@@ -57,6 +57,24 @@ def _project(m: jnp.ndarray, p: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.stack([u, v], axis=-1), ndc[..., 2]
 
 
+def _cascade_pcf_window(shadow_maps: jnp.ndarray) -> jnp.ndarray:
+    """Pre-shift the [C,S,S] cascade array into a flat [C*S*S, 9] edge-
+    clamped 3x3 window table so a pixel's full PCF footprint is ONE row
+    gather (the trick proven on the single-map path, ops/shadow.py:108-126;
+    bit-identical because floor(u*S + d) == floor(u*S) + d for integer d)."""
+    c, s, _ = shadow_maps.shape
+    padded = jnp.pad(shadow_maps, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    window = jnp.stack(
+        [
+            padded[:, 1 + dy : 1 + dy + s, 1 + dx : 1 + dx + s]
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ],
+        axis=-1,
+    )  # [C,S,S,9]
+    return window.reshape(c * s * s, 9)
+
+
 def sample_cascade_pcf(
     shadow_maps: jnp.ndarray,
     light_matrix: jnp.ndarray,
@@ -65,11 +83,14 @@ def sample_cascade_pcf(
     normal: jnp.ndarray,
     light_dir: jnp.ndarray,
     params: CSMParams,
+    pcf_window: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """≙ SampleCascadePCF (shadow_csm.hlsli:94-145).
 
     shadow_maps: [C,S,S]; light_matrix: [...,4,4] (already gathered per
     pixel); cascade_index: [...] int32. Returns lit factor [...] in [0,1].
+    pcf_window: optional precomputed _cascade_pcf_window table (callers
+    sampling twice — the blended variant — build it once).
     """
     s = shadow_maps.shape[1]
     offset_pos = world_pos + normal * params.normal_bias
@@ -89,18 +110,22 @@ def sample_cascade_pcf(
     bias = jnp.maximum(params.shadow_bias * (1.0 - ndotl), 0.0005)
     current = z - bias
 
-    texel = 1.0 / s
-    taps = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
-    acc = 0.0
-    count = 9 if params.pcf else 1
-    for dx, dy in taps if params.pcf else ((0, 0),):
-        uu = u + dx * texel
-        vv = v + dy * texel
-        ix = jnp.clip(jnp.floor(uu * s).astype(jnp.int32), 0, s - 1)
-        iy = jnp.clip(jnp.floor(vv * s).astype(jnp.int32), 0, s - 1)
+    ix = jnp.clip(jnp.floor(u * s).astype(jnp.int32), 0, s - 1)
+    iy = jnp.clip(jnp.floor(v * s).astype(jnp.int32), 0, s - 1)
+    if params.pcf:
+        # all 9 taps in ONE row gather from the pre-shifted window table
+        # (edge-clamped per cascade; the per-tap offsets land on the integer
+        # 3x3 neighborhood, so the window row IS the PCF footprint — same
+        # math as the reference's 9 SampleCmp taps, shadow_csm.hlsli:122-138)
+        window = pcf_window if pcf_window is not None else _cascade_pcf_window(shadow_maps)
+        rows = (cascade_index * s + iy) * s + ix
+        taps = window[rows]  # [...,9]
+        shadow = jnp.mean(
+            jnp.where(taps >= current[..., None], 1.0, 0.0), axis=-1
+        )
+    else:
         stored = shadow_maps[cascade_index, iy, ix]
-        acc = acc + jnp.where(stored >= current, 1.0, 0.0)
-    shadow = acc / count
+        shadow = jnp.where(stored >= current, 1.0, 0.0)
     return jnp.where(in_bounds, shadow, 1.0)
 
 
@@ -139,13 +164,17 @@ def calculate_shadow_csm_blended(
     """≙ CalculateShadowCSMBlended (shadow_csm.hlsli:216-288): lerp with the
     next cascade inside blend_threshold of the split boundary."""
     idx = select_cascade(split_depths, clip_depth)
+    # the window table is built ONCE for both cascade samples (2 row
+    # gathers total instead of 18 pointwise gathers)
+    window = _cascade_pcf_window(shadow_maps) if params.pcf else None
     shadow = sample_cascade_pcf(
-        shadow_maps, cascade_matrices[idx], idx, world_pos, normal, light_dir, params
+        shadow_maps, cascade_matrices[idx], idx, world_pos, normal, light_dir,
+        params, pcf_window=window,
     )
     next_idx = jnp.minimum(idx + 1, CASCADE_COUNT - 1)
     next_shadow = sample_cascade_pcf(
         shadow_maps, cascade_matrices[next_idx], next_idx, world_pos, normal,
-        light_dir, params,
+        light_dir, params, pcf_window=window,
     )
     split = split_depths[idx]
     prev_split = jnp.where(idx > 0, split_depths[jnp.maximum(idx - 1, 0)], 0.0)

@@ -204,9 +204,30 @@ def shadow_map_pass(
 
 def csm_shadow_pass(scene: GpuScene, layout: SceneLayout, size: int) -> jnp.ndarray:
     """Render the 4-cascade shadow array [C,S,S] (≙ the Texture2DArray the
-    CSM shader samples, shadow_csm.hlsli:94-166)."""
+    CSM shader samples, shadow_csm.hlsli:94-166).
+
+    On TPU all four cascades rasterize in ONE Pallas launch (a grid of
+    4*n_tiles steps — the batched form of the reference's 4 sequential
+    shadow submissions); elsewhere they fall back to sequential passes,
+    which the batch is bit-identical to (tests assert)."""
     from renderer_rs_tpu.ops.csm import CASCADE_COUNT
 
+    if _use_pallas() and supports_binned(_SHADOW_PIPELINE, layout.num_triangles):
+        from renderer_rs_tpu.ops.raster_pallas import rasterize_depth_only_batch
+
+        setups = []
+        for c in range(CASCADE_COUNT):
+            clip = shadow_vertex_stage(scene, layout, scene.csm_matrices[c])
+            setups.append(
+                setup_triangles(
+                    gather_triangle_clip(clip, scene.tris), size, size,
+                    _SHADOW_PIPELINE,
+                )
+            )
+        cap = _binned_cap(layout.num_triangles, size, size)
+        return rasterize_depth_only_batch(
+            setups, size, size, _SHADOW_PIPELINE, cap=cap
+        )
     return jnp.stack(
         [
             shadow_map_pass(scene, layout, size, scene.csm_matrices[c])
@@ -673,19 +694,38 @@ def forward_frame(
         elif layout.has_shadow:
             shadow_map = shadow_map_pass(scene, layout, shadow_map_size)
 
+    from renderer_rs_tpu.rhi.pipeline import PrimitiveTopology
+
     vs = vertex_stage(scene, layout)
     tri_clip = gather_triangle_clip(vs.clip, scene.tris)
 
-    # Near-plane clipping: triangles crossing w=eps are split (T -> 2T slots)
-    # instead of dropped; shading maps winners back to source triangles and
-    # composes barycentrics (ops/clip.py). ≙ the hardware clipper stage.
-    from renderer_rs_tpu.ops.clip import clip_triangles_near
+    if pipeline.topology in (
+        PrimitiveTopology.POINT_LIST,
+        PrimitiveTopology.LINE_LIST,
+        PrimitiveTopology.LINE_STRIP,
+    ):
+        # point/line primitives (degenerate triples from
+        # rhi.vertex.expand_topology): the triangle near-clipper does not
+        # apply — primitives touching w<=eps drop whole (Vulkan clips
+        # lines too; bounded loss only within `eps` of the near plane)
+        t_n = layout.num_triangles
+        clip_valid = None
+        clip_src = jnp.arange(t_n, dtype=jnp.int32)
+        clip_bary = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (t_n, 3, 3))
+        setup = setup_triangles(tri_clip, width, height, pipeline)
+        n_raster_tris = t_n
+    else:
+        # Near-plane clipping: triangles crossing w=eps are split (T -> 2T
+        # slots) instead of dropped; shading maps winners back to source
+        # triangles and composes barycentrics (ops/clip.py). ≙ the hardware
+        # clipper stage.
+        from renderer_rs_tpu.ops.clip import clip_triangles_near
 
-    tri_clip, clip_valid, clip_src, clip_bary = clip_triangles_near(tri_clip)
+        tri_clip, clip_valid, clip_src, clip_bary = clip_triangles_near(tri_clip)
 
-    # viewport transform always uses the FULL framebuffer extent
-    setup = setup_triangles(tri_clip, width, height, pipeline, tri_valid=clip_valid)
-    n_raster_tris = 2 * layout.num_triangles
+        # viewport transform always uses the FULL framebuffer extent
+        setup = setup_triangles(tri_clip, width, height, pipeline, tri_valid=clip_valid)
+        n_raster_tris = 2 * layout.num_triangles
 
     # Alpha-cutoff (MASK) materials: the coverage test samples base-color
     # alpha per candidate fragment BEFORE the depth write (model_pbr.hlsl:
@@ -858,6 +898,7 @@ def transparent_pass(
     pipeline: GraphicsPipeline,
     width: int,
     height: int,
+    shading: ShadingModel = ShadingModel.BLINN_PHONG,
 ) -> jnp.ndarray:
     """Sorted back-to-front alpha blending over an opaque frame.
 
@@ -865,9 +906,12 @@ def transparent_pass(
     (pipeline.rs:524-544) is built for: depth-TEST against the opaque depth
     buffer, no depth WRITE, src-over composition in view-depth order.
     Triangles sort by centroid NDC depth (descending) inside the jit, so the
-    pass stays one traced program. Shading is sun Blinn-Phong + ambient with
-    the material's base-color alpha (the richest order-dependent shading the
-    scan path affords; PBR transparents are a later-round item).
+    pass stays one traced program. The blend preset is shading-agnostic
+    (as in the reference): `shading` picks sun Blinn-Phong + ambient or
+    Cook-Torrance PBR direct + hemisphere ambient (model_pbr.hlsl under
+    alpha_blend). Varyings interpolate PERSPECTIVE-correctly (the slot's
+    1/w weights composed with the near-clip frame), matching the opaque
+    path and the reference's default interpolation qualifiers.
 
     color/depth: [H,W,4]/[H,W] from the opaque pass. Returns blended color.
     """
@@ -895,27 +939,58 @@ def transparent_pass(
     src_sorted = clip_src[order]
     cb_sorted = clip_bary[order]  # [T,3,3] clipped-vertex -> source frame
 
-    # per-triangle shading tables (sun Blinn-Phong, constant per vertex set)
+    # per-triangle shading tables (material constants per sorted slot)
     tri_n = vs.world_normal[scene.tris]  # [T,3,3]
     tri_p = vs.world_pos[scene.tris]
-    bank_rgba = scene.materials.base_color[scene.tri_material]  # [T,4]
-    bank_rough = scene.materials.roughness[scene.tri_material]
+    mats = scene.materials
+    bank_rgba = mats.base_color[scene.tri_material]  # [T,4]
+    bank_rough = mats.roughness[scene.tri_material]
+    bank_metal = mats.metallic[scene.tri_material]
+    bank_ao = mats.ao[scene.tri_material]
+    bank_emis = mats.emissive[scene.tri_material][:, :3]
     lights = scene.lights
     cam_pos = scene.camera.camera_position
+    w3 = setup.w  # sorted slots' clip w (perspective weights)
 
     def fragment_fn(t, bary3, mask):
         s = src_sorted[t]
-        # compose with the clip frame so near-plane-clipped sub-triangles
-        # interpolate SOURCE-vertex attributes (as the opaque path does)
-        bsrc = jnp.einsum("hwv,vk->hwk", bary3, cb_sorted[t])
+        # perspective-correct barycentrics: weight by the slot's 1/w and
+        # renormalize (same math as the opaque kernel's varying lanes)...
+        inv_w = 1.0 / jnp.maximum(w3[t], 1e-12)  # [3]
+        wb = bary3 * inv_w
+        denom = jnp.sum(wb, axis=-1, keepdims=True)
+        bpersp = wb / jnp.where(denom == 0.0, 1.0, denom)
+        # ...then compose with the clip frame so near-plane-clipped
+        # sub-triangles interpolate SOURCE-vertex attributes
+        bsrc = jnp.einsum("hwv,vk->hwk", bpersp, cb_sorted[t])
         n = normalize(jnp.einsum("hwv,vk->hwk", bsrc, tri_n[s]))
         p = jnp.einsum("hwv,vk->hwk", bsrc, tri_p[s])
         view = normalize(cam_pos - p)
         albedo = bank_rgba[s][:3]
-        rgb = _bp.directional_light(
-            lights.sun_direction, lights.sun_color, lights.sun_intensity,
-            n, view, albedo, bank_rough[s],
-        ) + scene.scene_ubo.ambient_color * albedo
+        if shading in (ShadingModel.PBR, ShadingModel.PBR_IBL):
+            # Cook-Torrance direct + hemisphere ambient under alpha blend
+            # (model_pbr.hlsl with the alpha_blend preset)
+            mat = pbr_ops.PBRMaterialParams(
+                albedo=jnp.broadcast_to(albedo, p.shape),
+                metallic=bank_metal[s],
+                roughness=pbr_ops.clamp_roughness(bank_rough[s]),
+                ao=bank_ao[s],
+                emissive=bank_emis[s],
+            )
+            sun_dir = normalize(-lights.sun_direction)
+            rgb = pbr_ops.pbr_direct(
+                n, view, jnp.broadcast_to(sun_dir, p.shape),
+                lights.sun_color * lights.sun_intensity, mat,
+            )
+            rgb = rgb + pbr_ops.hemisphere_ambient(
+                n, mat.albedo, jnp.broadcast_to(bank_ao[s], p.shape[:-1])
+            )
+            rgb = rgb + bank_emis[s]
+        else:
+            rgb = _bp.directional_light(
+                lights.sun_direction, lights.sun_color, lights.sun_intensity,
+                n, view, albedo, bank_rough[s],
+            ) + scene.scene_ubo.ambient_color * albedo
         a = jnp.broadcast_to(bank_rgba[s][3], rgb.shape[:-1])[..., None]
         return jnp.concatenate([rgb, a], axis=-1)
 

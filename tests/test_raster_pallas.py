@@ -177,3 +177,21 @@ def test_pallas_z_floor_matches_xla_binned():
     both = np.asarray(v0.covered & vx.covered)
     assert both.any()
     assert (np.asarray(vx.depth)[both] > np.asarray(v0.depth)[both]).all()
+
+
+def test_depth_only_batch_matches_sequential():
+    """rasterize_depth_only_batch (one launch, N*n_tiles grid — the CSM
+    cascade batching) is bit-identical to N separate depth-only calls."""
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    h, w = 64, 128
+    setups = []
+    for seed in (4, 9, 13):
+        clip, tris = _scene(t=60, seed=seed)
+        setups.append(setup_triangles(gather_triangle_clip(clip, tris), w, h, pipe))
+    batched = rp.rasterize_depth_only_batch(setups, h, w, pipe, cap=128, chunk=16)
+    assert batched.shape == (3, h, w)
+    for i, s in enumerate(setups):
+        single = rp.rasterize_binned_pallas(
+            s, h, w, pipe, cap=128, chunk=16, depth_only=True
+        )
+        np.testing.assert_array_equal(np.asarray(batched[i]), np.asarray(single))
