@@ -32,6 +32,13 @@ def main() -> int:
         # force the CPU backend (the axon sitecustomize overrides
         # JAX_PLATFORMS, so the env var alone does not stick)
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: repeated bench/profile runs skip the
+    # 50-80s remote-compile hop for unchanged programs
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from renderer_rs_tpu.app.scenes import full_scene
     from renderer_rs_tpu.renderer.passes import forward_frame

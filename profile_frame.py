@@ -34,6 +34,11 @@ def main():
     if os.environ.get("BENCH_SMALL"):
         jax.config.update("jax_platforms", "cpu")
         width, height, tri_budget = 320, 240, 5_000
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from renderer_rs_tpu.app.scenes import full_scene
     from renderer_rs_tpu.ops.clip import clip_triangles_near

@@ -89,6 +89,8 @@ def setup_triangles(
     tri_clip: [T,3,4] clip-space positions (x,y,z,w).
     tri_valid: optional [T] bool (e.g. index-padding mask).
     """
+    from renderer_rs_tpu.rhi.pipeline import PrimitiveTopology
+
     w_clip = tri_clip[..., 3]  # [T,3]
     ok_w = jnp.all(w_clip > _W_EPS, axis=-1)  # near-plane drop (no clipping yet)
 
@@ -124,7 +126,18 @@ def setup_triangles(
     else:  # FRONT_AND_BACK (pipeline.rs:349: rasterize nothing)
         cull_ok = jnp.zeros_like(front)
 
-    valid = ok_w & cull_ok & (area2 != 0.0)
+    if pipeline.topology in (
+        PrimitiveTopology.POINT_LIST,
+        PrimitiveTopology.LINE_LIST,
+        PrimitiveTopology.LINE_STRIP,
+    ):
+        # points/lines: culling and the zero-area test are polygon-only
+        # (Vulkan spec: cull mode applies to polygons; pipeline.rs:330-350).
+        # Primitives ride as degenerate index triples (point: v,v,v;
+        # line: a,b,b) so the [T,3] layout is shared with triangles.
+        valid = ok_w
+    else:
+        valid = ok_w & cull_ok & (area2 != 0.0)
     if tri_valid is not None:
         valid = valid & tri_valid
 
@@ -210,11 +223,62 @@ class VisibilityBuffer:
         return self.tri_id >= 0
 
 
-def _coverage_one(setup: TriangleSetup, t, px, py, pipeline: GraphicsPipeline | None = None):
-    """Coverage + depth + barycentrics of triangle t over all pixels.
+def _coverage_point(setup: TriangleSetup, t, px, py):
+    """POINT_LIST coverage: a size-1.0 point covers the fragment whose
+    center lies in the half-open unit square around the vertex (Vulkan spec
+    "Basic Point Rasterization"; point size is 1.0 — the reference never
+    writes PointSize). Encoded as the degenerate triple (v,v,v)."""
+    x0, y0 = setup.xy[t, 0, 0], setup.xy[t, 0, 1]
+    inside = (
+        (px >= x0 - 0.5) & (px < x0 + 0.5) & (py >= y0 - 0.5) & (py < y0 + 0.5)
+    ) & setup.valid[t]
+    z = jnp.broadcast_to(setup.z[t, 0], px.shape)
+    inside = inside & (z >= 0.0) & (z <= 1.0)
+    one = jnp.ones_like(px)
+    return inside, z, one, jnp.zeros_like(px)
 
-    Returns (inside [H,W] bool, z [H,W], b0, b1).
+
+def _coverage_line(setup: TriangleSetup, t, px, py, pipeline: GraphicsPipeline):
+    """LINE_LIST/STRIP coverage: rectangle approximation of Vulkan line
+    rasterization — fragments whose center is within line_width/2 of the
+    segment, half-open at the end vertex so strip joints hit once (the
+    spec's diamond-exit rule excludes the endpoint). Encoded as the
+    degenerate triple (a,b,b); barycentrics are (1-s, s, 0) with s the
+    parametric position for attribute interpolation."""
+    x0, y0 = setup.xy[t, 0, 0], setup.xy[t, 0, 1]
+    x1, y1 = setup.xy[t, 1, 0], setup.xy[t, 1, 1]
+    dx = x1 - x0
+    dy = y1 - y0
+    len2 = dx * dx + dy * dy
+    inv_len2 = jnp.where(len2 > 0.0, 1.0 / jnp.maximum(len2, 1e-30), 0.0)
+    sp = ((px - x0) * dx + (py - y0) * dy) * inv_len2  # parametric [0,1)
+    perp = jnp.abs((px - x0) * dy - (py - y0) * dx) * jnp.sqrt(inv_len2)
+    hw = 0.5 * pipeline.line_width
+    inside = (
+        (sp >= 0.0) & (sp < 1.0) & (perp <= hw) & (len2 > 0.0) & setup.valid[t]
+    )
+    z = setup.z[t, 0] + (setup.z[t, 1] - setup.z[t, 0]) * sp
+    inside = inside & (z >= 0.0) & (z <= 1.0)
+    return inside, z, 1.0 - sp, sp
+
+
+def _coverage_one(setup: TriangleSetup, t, px, py, pipeline: GraphicsPipeline | None = None):
+    """Coverage + depth + barycentrics of primitive t over all pixels.
+
+    Returns (inside [H,W] bool, z [H,W], b0, b1). Dispatches on the
+    pipeline's (static) topology: triangles take the edge-function path,
+    points/lines their own coverage rules.
     """
+    if pipeline is not None:
+        from renderer_rs_tpu.rhi.pipeline import PrimitiveTopology
+
+        if pipeline.topology == PrimitiveTopology.POINT_LIST:
+            return _coverage_point(setup, t, px, py)
+        if pipeline.topology in (
+            PrimitiveTopology.LINE_LIST,
+            PrimitiveTopology.LINE_STRIP,
+        ):
+            return _coverage_line(setup, t, px, py, pipeline)
     xy = setup.xy[t]  # [3,2]
     s = jnp.sign(setup.area2[t])
     area_abs = jnp.abs(setup.area2[t])

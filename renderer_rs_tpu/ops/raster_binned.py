@@ -527,8 +527,10 @@ def supports_binned(
         return False
     if pipeline.alpha_cutoff is not None and not allow_alpha_cutoff:
         return False
-    from renderer_rs_tpu.rhi.pipeline import PolygonMode
+    from renderer_rs_tpu.rhi.pipeline import PolygonMode, PrimitiveTopology
 
+    if pipeline.topology != PrimitiveTopology.TRIANGLE_LIST:
+        return False  # point/line primitives rasterize on the scan path
     if pipeline.polygon_mode != PolygonMode.FILL:
         return False  # wireframe/point fill runs on the scan path
     if pipeline.depth_test_enable and pipeline.depth_compare_op not in BINNED_COMPARE_OPS:

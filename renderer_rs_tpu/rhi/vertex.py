@@ -15,7 +15,45 @@ from __future__ import annotations
 from typing import Any
 
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
+
+
+def expand_topology(indices, topology) -> np.ndarray:
+    """Input-assembly expansion: turn an index stream into the degenerate
+    [P,3] triples the rasterizer consumes (≙ the IA stage's primitive
+    assembly for each VkPrimitiveTopology, pipeline.rs:273-310).
+
+    POINT_LIST      [N]   -> (v,v,v) per vertex
+    LINE_LIST       [2L]  -> (a,b,b) per pair
+    LINE_STRIP      [N]   -> (v_i, v_i+1, v_i+1)
+    TRIANGLE_LIST   [3T]  -> (a,b,c)
+    TRIANGLE_STRIP  [N]   -> (i, i+1, i+2) with odd-triangle winding flip
+    TRIANGLE_FAN    [N]   -> (0, i+1, i+2)
+    """
+    from renderer_rs_tpu.rhi.pipeline import PrimitiveTopology as T
+
+    idx = np.asarray(indices, np.int32).reshape(-1)
+    n = idx.shape[0]
+    if topology == T.POINT_LIST:
+        return np.stack([idx, idx, idx], axis=-1)
+    if topology == T.LINE_LIST:
+        pairs = idx.reshape(-1, 2)
+        return np.stack([pairs[:, 0], pairs[:, 1], pairs[:, 1]], axis=-1)
+    if topology == T.LINE_STRIP:
+        return np.stack([idx[:-1], idx[1:], idx[1:]], axis=-1)
+    if topology == T.TRIANGLE_LIST:
+        return idx.reshape(-1, 3)
+    if topology == T.TRIANGLE_STRIP:
+        tris = np.stack([idx[: n - 2], idx[1 : n - 1], idx[2:]], axis=-1)
+        flip = np.arange(tris.shape[0]) % 2 == 1  # odd triangles swap winding
+        tris[flip] = tris[flip][:, [1, 0, 2]]
+        return tris
+    if topology == T.TRIANGLE_FAN:
+        return np.stack(
+            [np.full(n - 2, idx[0], np.int32), idx[1 : n - 1], idx[2:]], axis=-1
+        )
+    raise ValueError(f"unknown topology {topology}")
 
 
 @struct.dataclass
