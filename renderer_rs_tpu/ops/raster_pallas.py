@@ -385,10 +385,16 @@ def rasterize_binned_pallas(
     vary_bary: jnp.ndarray | None = None,
     flat_varyings: jnp.ndarray | None = None,
     z_floor: jnp.ndarray | None = None,
+    ids: jnp.ndarray | None = None,
 ):
     """Binned rasterization with per-tile dynamic trip counts (see module
     docstring). Returns VisibilityBuffer, or just the depth array when
     depth_only.
+
+    ids: optional [T] int32 payload written to vis.tri_id instead of the
+    raster-slot index (values must stay < 2^24 — they ride a f32 lane).
+    Passing the near-clip source map here folds the post-raster
+    `clip_src[slot]` per-pixel gather into the kernel for free.
 
     varyings: optional [Tv, 3, K] per-triangle-vertex attributes (K <= 33).
     When given, the kernel interpolates the winner's attributes
@@ -440,7 +446,7 @@ def rasterize_binned_pallas(
     cols += [
         inv_area,
         setup.valid.astype(jnp.float32),
-        jnp.arange(t, dtype=jnp.float32),
+        ids.astype(jnp.float32) if ids is not None else jnp.arange(t, dtype=jnp.float32),
     ]
     n_vary = 0
     if varyings is not None and not depth_only:

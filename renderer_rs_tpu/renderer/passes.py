@@ -530,9 +530,11 @@ def _alpha_peeled_raster(
     overlap depth of FAILING fragments is < `peels` (tests assert). This
     replaces the O(T)-sequential scan a single MASK material used to force.
 
-    Returns (vis, vary_img or None); vary_img present on the fused Pallas
-    path with flat channels [alpha_tex_id, material bank(11)] appended —
-    materials last, matching the _shade_pixels fused contract.
+    Returns (vis, vary_img or None, ids_are_source); vary_img present on the
+    fused Pallas path with flat channels [alpha_tex_id, material bank(11)]
+    appended — materials last, matching the _shade_pixels fused contract.
+    ids_are_source is True when vis.tri_id already holds SOURCE triangle ids
+    (the Pallas kernel's ids payload), so the caller skips the slot remap.
     """
     from renderer_rs_tpu.ops.sampling import sample_array_bilinear
 
@@ -562,8 +564,10 @@ def _alpha_peeled_raster(
             return rasterize_binned_pallas(
                 setup, height, width, pipeline, cap=cap,
                 varyings=tri_attr_src, vary_src=clip_src, vary_bary=clip_bary,
-                flat_varyings=flat, z_floor=z_floor,
+                flat_varyings=flat, z_floor=z_floor, ids=clip_src,
             )
+
+        ids_are_source = True
 
         def alpha_ok(vis_l, vary_l):
             nv = vary_l.shape[-1]
@@ -575,6 +579,8 @@ def _alpha_peeled_raster(
 
     else:
         tri_uv = scene.uvs[scene.tris]  # [Tsrc,3,2]
+
+        ids_are_source = False
 
         def raster(z_floor):
             return (
@@ -617,7 +623,7 @@ def _alpha_peeled_raster(
         tri_id=jnp.where(fail, -1, vis.tri_id),
         depth=jnp.where(fail, 1.0, vis.depth),
     )
-    return vis, vary
+    return vis, vary, ids_are_source
 
 
 def forward_frame(
@@ -781,8 +787,9 @@ def forward_frame(
         and supports_binned(pipeline, n_raster_tris)
         and _use_pallas()
     )
+    ids_are_source = False
     if peel:
-        vis, varying_img = _alpha_peeled_raster(
+        vis, varying_img, ids_are_source = _alpha_peeled_raster(
             scene, layout, setup, clip_src, clip_bary, vs, height, width,
             pipeline, n_raster_tris,
         )
@@ -813,10 +820,12 @@ def forward_frame(
             vary_src=clip_src,
             vary_bary=clip_bary,
             flat_varyings=mat_flat,
+            ids=clip_src,  # kernel writes SOURCE ids: no clip_src[slot] gather
         )
         out_h = height
         y_offset = 0
         bary3 = None  # unused: varyings are already interpolated
+        ids_are_source = True
     elif band is None and coverage_fn is None:
         vis = _rasterize_dispatch(setup, height, width, pipeline, n_raster_tris)
         out_h = height
@@ -834,10 +843,13 @@ def forward_frame(
         bary3 = jnp.einsum("hwv,hwvk->hwk", bary3, clip_bary[slot])
     else:
         bary3 = None  # varyings already interpolated in-kernel
+    if not ids_are_source:
+        # slot -> source-triangle remap (the fused kernel already wrote
+        # source ids via its `ids` payload lane, skipping this gather)
         slot = jnp.maximum(vis.tri_id, 0)
-    vis = vis.replace(
-        tri_id=jnp.where(vis.tri_id >= 0, clip_src[slot], vis.tri_id)
-    )
+        vis = vis.replace(
+            tri_id=jnp.where(vis.tri_id >= 0, clip_src[slot], vis.tri_id)
+        )
 
     # Fast-ambient environments: hand the per-pixel sky rays to the shading
     # stage so the skybox sample merges into the specular-IBL atlas fetch.

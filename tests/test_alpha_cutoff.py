@@ -123,3 +123,31 @@ def test_peel_budget_overflow_resolves_to_background():
     pipe = _pipe()
     img = np.asarray(forward_frame(scene, layout, pipe, ShadingModel.PBR, W, H))
     assert np.isfinite(img).all()
+
+
+def test_peeled_pallas_branch_matches_xla_branch(monkeypatch):
+    """The Pallas depth-peel branch (fused varyings + flat material lanes +
+    SOURCE-id payload) matches the XLA peel branch (interpret mode)."""
+    import renderer_rs_tpu.ops.raster_pallas as rp
+    import renderer_rs_tpu.renderer.passes as passes_mod
+    from jax.experimental import pallas as pl
+
+    scene, layout = _mask_scene(layers=3)
+    pipe = _pipe()
+    xla = np.asarray(forward_frame(scene, layout, pipe, ShadingModel.PBR, W, H))
+
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(rp.pl, "pallas_call", interp)
+    monkeypatch.setattr(passes_mod, "_use_pallas", lambda: True)
+    pallas = np.asarray(forward_frame(scene, layout, pipe, ShadingModel.PBR, W, H))
+    assert np.isfinite(pallas).all()
+    # fused in-kernel varying interpolation vs the XLA branch's deferred
+    # interpolation are different fp arithmetic: covered pixels agree to
+    # tolerance, not bit-exactly; only cutoff-boundary texels may flip
+    mismatch = np.mean(np.any(np.abs(pallas - xla) > 2e-3, axis=-1))
+    assert mismatch < 0.005, f"pallas vs xla peel mismatch frac {mismatch:.4f}"
