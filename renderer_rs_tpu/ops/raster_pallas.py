@@ -386,6 +386,7 @@ def rasterize_binned_pallas(
     flat_varyings: jnp.ndarray | None = None,
     z_floor: jnp.ndarray | None = None,
     ids: jnp.ndarray | None = None,
+    return_tiles: bool = False,
 ):
     """Binned rasterization with per-tile dynamic trip counts (see module
     docstring). Returns VisibilityBuffer, or just the depth array when
@@ -605,6 +606,11 @@ def rasterize_binned_pallas(
         depth_t, tid_t, b0_t, b1_t, vary_t = outs
     else:
         depth_t, tid_t, b0_t, b1_t = outs
+    if return_tiles:
+        # TILE-MAJOR outputs for the fused shade kernel (ops/shade_pallas):
+        # skipping the K-channel stitch entirely
+        assert n_vary or n_flat, "return_tiles implies fused varyings"
+        return depth_t, tid_t, vary_t, nty, ntx
     vis = VisibilityBuffer(
         tri_id=stitch(tid_t),
         depth=stitch(depth_t),

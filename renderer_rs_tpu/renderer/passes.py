@@ -270,7 +270,9 @@ def _shade_pixels(
         varying = interpolate(vis, tris, jnp.concatenate(packed, axis=-1), bary3)
     world_pos = varying[..., 0:3]
     normal = normalize(varying[..., 3:6])
-    uv = varying[..., 6:8]
+    # uv lanes at 6:8 exist only when a sampler reads them (untextured
+    # fused varyings pack just wp+normal before the material lanes)
+    uv = varying[..., 6:8] if layout.has_textures else None
 
     tid = jnp.maximum(vis.tri_id, 0)
     mats = scene.materials
@@ -787,12 +789,40 @@ def forward_frame(
         and supports_binned(pipeline, n_raster_tris)
         and _use_pallas()
     )
+    # Fully-fused TPU fast path: raster kernel -> gathers-only XLA -> shade
+    # kernel (ops/shade_pallas), never materializing [H,W,C] intermediates.
+    # Covers the flagship fast-ambient PBR_IBL frame (untextured, single
+    # sun shadow map); everything else uses the deferred shade below.
+    import os as _os
+
+    # default OFF: measured 24 ms slower than the deferred shade at 1080p
+    # (see ROADMAP "fused shade kernel"); flip on with RENDERER_FUSED_SHADE=1
+    # while optimizing it.
+    fuse_shade = (
+        fuse
+        and _os.environ.get("RENDERER_FUSED_SHADE", "0") == "1"
+        and shading == ShadingModel.PBR_IBL
+        and layout.has_environment
+        and scene.environment is not None
+        and scene.environment.irradiance_mips is not None
+        and scene.environment.atlas is not None
+        and not layout.has_textures
+        and not layout.has_csm
+        and scene.lights.point_position.shape[0] == 0
+        and scene.lights.spot_position.shape[0] == 0
+        and tonemap in ("aces", "reinhard", "none")
+    )
+
     ids_are_source = False
+    fused_materials = False
     if peel:
         vis, varying_img, ids_are_source = _alpha_peeled_raster(
             scene, layout, setup, clip_src, clip_bary, vs, height, width,
             pipeline, n_raster_tris,
         )
+        # only the Pallas peel branch carries the flat material lanes; the
+        # XLA branch returns no varyings (deferred materials)
+        fused_materials = varying_img is not None
         out_h = height
         y_offset = 0
     elif fuse:
@@ -801,18 +831,38 @@ def forward_frame(
         # the per-pixel attribute gathers and the perspective_bary pass.
         from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
 
-        packed = [vs.world_pos, vs.world_normal, scene.uvs]
-        if layout.texture_slots[1]:
-            packed.append(vs.world_tangent)
+        packed = [vs.world_pos, vs.world_normal]
+        if layout.has_textures:
+            # uv (and tangent) lanes only when a sampler will read them
+            packed.append(scene.uvs)
+            if layout.texture_slots[1]:
+                packed.append(vs.world_tangent)
         attr = jnp.concatenate(packed, axis=-1)  # [V,K]
         tri_attr_src = attr[scene.tris]  # [T,3,K] — composition with the
         # clip frame happens per column inside the kernel prep (vary_bary).
         # Material parameters ride as flat (per-triangle constant) channels:
-        # 11 masked chunk-sums in-kernel replace TWO chained [H,W] row
-        # gathers (tri_material[tid] then bank[...]) that cost ~20 ms at
-        # 1080p — per-pixel gathers are the TPU's weak spot, kernel VPU
-        # sums are not.
+        # 11 masked chunk-sums in-kernel beat the [H,W] bank-row gather by
+        # ~19 ms/frame at 1080p/100k (measured r2 both ways — per-pixel
+        # gathers are the TPU's weak spot, kernel VPU sums are not).
         mat_flat = _material_bank(scene.materials)[scene.tri_material]  # [T,11]
+        if fuse_shade:
+            from renderer_rs_tpu.ops.shade_pallas import shade_tiles_fast_ambient
+
+            depth_t, tid_t, vary_t, nty, ntx = rasterize_binned_pallas(
+                setup, height, width, pipeline,
+                cap=_binned_cap(n_raster_tris, height, width),
+                varyings=tri_attr_src,
+                vary_src=clip_src,
+                vary_bary=clip_bary,
+                flat_varyings=mat_flat,
+                ids=clip_src,
+                return_tiles=True,
+            )
+            return shade_tiles_fast_ambient(
+                depth_t, tid_t, vary_t, scene, shadow_map, shadow_params,
+                nty, ntx, height, width, tonemap, clear_color,
+                return_depth=return_depth,
+            )
         vis, varying_img = rasterize_binned_pallas(
             setup, height, width, pipeline,
             cap=_binned_cap(n_raster_tris, height, width),
@@ -826,6 +876,7 @@ def forward_frame(
         y_offset = 0
         bary3 = None  # unused: varyings are already interpolated
         ids_are_source = True
+        fused_materials = True
     elif band is None and coverage_fn is None:
         vis = _rasterize_dispatch(setup, height, width, pipeline, n_raster_tris)
         out_h = height
@@ -869,7 +920,7 @@ def forward_frame(
     color, sky_rgb = _shade_pixels(
         scene, layout, shading, vis, vs, bary3, shadow_map, shadow_params,
         varying=varying_img,
-        fused_materials=varying_img is not None,
+        fused_materials=fused_materials,
         sky_dirs=sky_dirs,
     )
 
