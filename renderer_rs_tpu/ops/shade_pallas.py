@@ -62,31 +62,44 @@ def _pow5(x):
 
 # --- the kernel --------------------------------------------------------------
 
-def _make_shade_kernel(k_total: int, mat_base: int, tonemap: str, clear_color, th: int, tw: int):
+def _make_shade_kernel(k_total: int, mat_consts, tonemap: str, clear_color, th: int, tw: int):
     """Fast-ambient fragment program over one tile (see module docstring).
 
     vary channel layout (fused raster contract): 0:3 world_pos, 3:6 normal,
-    6:8 uv, [mat_base:mat_base+11] material bank
-    (base_color4, metallic, roughness, ao, emissive3, normal_scale).
+    then only the per-material-VARYING bank columns (mat_consts[k] is None);
+    scene-constant columns fold in as immediates. Bank order:
+    base_color4, metallic, roughness, ao, emissive3, normal_scale.
     params (SMEM f32): 0:3 cam_pos, 3:6 sun_dir (surface->light, normalized),
     6:9 sun_radiance, 9:36 SH9 coeffs row-major [9,3].
     """
     cr, cg, cb, ca = (float(c) for c in clear_color)
+    n_lanes = sum(1 for c in mat_consts if c is None)
+    mat_base = k_total - n_lanes
+    lane_of = {}
+    li = mat_base
+    for k in range(11):
+        if mat_consts[k] is None:
+            lane_of[k] = li
+            li += 1
 
     def kernel(params_ref, depth_ref, tid_ref, vary_ref, shadow_ref, spec_ref, out_ref):
         def p(i):
             return params_ref[i]
 
+        def mat(k):
+            c = mat_consts[k]
+            return vary_ref[lane_of[k]] if c is None else c
+
         depth = depth_ref[...]
         covered = tid_ref[...] >= 0
         wp = (vary_ref[0], vary_ref[1], vary_ref[2])
         n = _normalize3((vary_ref[3], vary_ref[4], vary_ref[5]))
-        alb = (vary_ref[mat_base + 0], vary_ref[mat_base + 1], vary_ref[mat_base + 2])
-        alpha = vary_ref[mat_base + 3]
-        metallic = vary_ref[mat_base + 4]
-        rough = jnp.maximum(vary_ref[mat_base + 5], 0.04)  # clamp_roughness
-        ao = vary_ref[mat_base + 6]
-        emis = (vary_ref[mat_base + 7], vary_ref[mat_base + 8], vary_ref[mat_base + 9])
+        alb = (mat(0), mat(1), mat(2))
+        alpha = mat(3)
+        metallic = mat(4)
+        rough = jnp.maximum(mat(5), 0.04)  # clamp_roughness
+        ao = mat(6)
+        emis = (mat(7), mat(8), mat(9))
         shadow = shadow_ref[...]
         spec_sky = (spec_ref[0], spec_ref[1], spec_ref[2])
 
@@ -169,7 +182,10 @@ def _make_shade_kernel(k_total: int, mat_base: int, tonemap: str, clear_color, t
             jnp.where(far, spec_sky[0], jnp.where(covered, rgb[0], cr)),
             jnp.where(far, spec_sky[1], jnp.where(covered, rgb[1], cg)),
             jnp.where(far, spec_sky[2], jnp.where(covered, rgb[2], cb)),
-            jnp.where(far, 1.0, jnp.where(covered, alpha, ca)),
+            jnp.where(
+                far, 1.0,
+                jnp.where(covered, jnp.broadcast_to(alpha, depth.shape), ca),
+            ),
         ]
         if tonemap == "aces":
             for c in range(3):
@@ -357,6 +373,7 @@ def shade_tiles_fast_ambient(
     width: int,
     tonemap: str,
     clear_color,
+    material_constants: tuple = (None,) * 11,
     return_depth: bool = False,
 ):
     """Shade raster tiles through the fused kernel; returns [H,W,4] (and the
@@ -365,14 +382,25 @@ def shade_tiles_fast_ambient(
     from renderer_rs_tpu.mathx.vec import normalize as _nrm
 
     n_tiles, k_total, th, tw = vary_t.shape
-    mat_base = k_total - 11
+    n_lanes = sum(1 for c in material_constants if c is None)
+    mat_base = k_total - n_lanes
     env = scene.environment
 
     wp = (vary_t[:, 0], vary_t[:, 1], vary_t[:, 2])
     n = _normalize3((vary_t[:, 3], vary_t[:, 4], vary_t[:, 5]))
     cam = scene.camera.camera_position
     v = _normalize3((cam[0] - wp[0], cam[1] - wp[1], cam[2] - wp[2]))
-    rough = jnp.maximum(vary_t[:, mat_base + 5], 0.04)
+    rough_lane = None
+    li = mat_base
+    for k in range(11):
+        if material_constants[k] is None:
+            if k == 5:
+                rough_lane = li
+            li += 1
+    if rough_lane is not None:
+        rough = jnp.maximum(vary_t[:, rough_lane], 0.04)
+    else:
+        rough = jnp.full_like(depth_t, max(material_constants[5], 0.04))
 
     sun_dir = _nrm(-scene.lights.sun_direction)
     if shadow_map is not None:
@@ -396,7 +424,9 @@ def shade_tiles_fast_ambient(
         ]
     )  # [36]
 
-    kernel = _make_shade_kernel(k_total, mat_base, tonemap, clear_color, th, tw)
+    kernel = _make_shade_kernel(
+        k_total, material_constants, tonemap, clear_color, th, tw
+    )
 
     def wrapped(params_ref, depth_ref, tid_ref, vary_ref, shadow_ref, spec_ref, out_ref):
         kernel(

@@ -247,6 +247,7 @@ def _shade_pixels(
     shadow_params: ShadowParams,
     varying: jnp.ndarray | None = None,
     fused_materials: bool = False,
+    fused_material_constants: tuple | None = None,
     sky_dirs: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     """The fragment stage over the visibility buffer. Returns (linear HDR
@@ -276,21 +277,44 @@ def _shade_pixels(
 
     tid = jnp.maximum(vis.tri_id, 0)
     mats = scene.materials
-    if fused_materials:
-        # material params rode the raster kernel's fused-varying lanes
-        # (constant per triangle -> exact under the persp weights)
-        nv = varying.shape[-1]
-        mat_px = varying[..., nv - 11 :]
+    if fused_materials and fused_material_constants is not None:
+        # compressed bank: only per-material-VARYING columns rode kernel
+        # lanes; scene-constant columns rebuild as broadcast scalars
+        # (layout.material_constants — static, exact)
+        consts = fused_material_constants
+        n_lanes = sum(1 for c in consts if c is None)
+        li = varying.shape[-1] - n_lanes
+        cols = []
+        for k in range(11):
+            if consts[k] is None:
+                cols.append(varying[..., li])
+                li += 1
+            else:
+                cols.append(
+                    jnp.full(varying.shape[:-1], consts[k], jnp.float32)
+                )
+        base_color = jnp.stack(cols[0:4], axis=-1)
+        metallic = cols[4]
+        roughness = cols[5]
+        ao = cols[6]
+        emissive = jnp.stack(cols[7:10], axis=-1)
+        ns_col = cols[10][..., None]
     else:
-        # per-pixel material params via ONE packed bank gather (tri-major
-        # pre-gather; see ops/raster.interpolate for the rationale)
-        bank = _material_bank(mats)
-        mat_px = bank[scene.tri_material][tid]  # [H,W,11]
-    base_color = mat_px[..., 0:4]
-    metallic = mat_px[..., 4]
-    roughness = mat_px[..., 5]
-    ao = mat_px[..., 6]
-    emissive = mat_px[..., 7:10]
+        if fused_materials:
+            # full bank on the kernel lanes (the alpha-peel contract)
+            nv = varying.shape[-1]
+            mat_px = varying[..., nv - 11 :]
+        else:
+            # per-pixel material params via ONE packed bank gather (tri-major
+            # pre-gather; see ops/raster.interpolate for the rationale)
+            bank = _material_bank(mats)
+            mat_px = bank[scene.tri_material][tid]  # [H,W,11]
+        base_color = mat_px[..., 0:4]
+        metallic = mat_px[..., 4]
+        roughness = mat_px[..., 5]
+        ao = mat_px[..., 6]
+        emissive = mat_px[..., 7:10]
+        ns_col = mat_px[..., 10:11]
     tex_ids = (
         mats.tex_ids[scene.tri_material][tid] if layout.has_textures else None
     )  # [H,W,5]
@@ -332,7 +356,7 @@ def _shade_pixels(
             t3 = normalize(t4[..., :3])
             b3 = jnp.cross(normal, t3) * t4[..., 3:4]  # bitangent w/ handedness
             n_ts = nrm_s[..., :3] * 2.0 - 1.0
-            ns = mat_px[..., 10:11]
+            ns = ns_col
             n_ts = jnp.concatenate([n_ts[..., :2] * ns, n_ts[..., 2:3]], axis=-1)
             mapped = normalize(
                 t3 * n_ts[..., 0:1] + b3 * n_ts[..., 1:2] + normal * n_ts[..., 2:3]
@@ -844,7 +868,13 @@ def forward_frame(
         # 11 masked chunk-sums in-kernel beat the [H,W] bank-row gather by
         # ~19 ms/frame at 1080p/100k (measured r2 both ways — per-pixel
         # gathers are the TPU's weak spot, kernel VPU sums are not).
-        mat_flat = _material_bank(scene.materials)[scene.tri_material]  # [T,11]
+        # Columns constant across the whole scene (layout.material_constants)
+        # skip their lane entirely and rebuild as broadcast scalars.
+        mat_full = _material_bank(scene.materials)[scene.tri_material]  # [T,11]
+        var_cols = [
+            k for k in range(11) if layout.material_constants[k] is None
+        ]
+        mat_flat = mat_full[:, jnp.asarray(var_cols, jnp.int32)] if var_cols else None
         if fuse_shade:
             from renderer_rs_tpu.ops.shade_pallas import shade_tiles_fast_ambient
 
@@ -861,6 +891,7 @@ def forward_frame(
             return shade_tiles_fast_ambient(
                 depth_t, tid_t, vary_t, scene, shadow_map, shadow_params,
                 nty, ntx, height, width, tonemap, clear_color,
+                material_constants=layout.material_constants,
                 return_depth=return_depth,
             )
         vis, varying_img = rasterize_binned_pallas(
@@ -921,6 +952,9 @@ def forward_frame(
         scene, layout, shading, vis, vs, bary3, shadow_map, shadow_params,
         varying=varying_img,
         fused_materials=fused_materials,
+        fused_material_constants=(
+            layout.material_constants if fuse and not peel else None
+        ),
         sky_dirs=sky_dirs,
     )
 

@@ -146,6 +146,13 @@ class SceneLayout:
     # actually uses — unused slots are never traced (the static form of the
     # hasXTexture flags, model_pbr.hlsl:57-63)
     texture_slots: tuple[bool, bool, bool, bool, bool] = (False,) * 5
+    # per-column constants of the packed 11-wide material bank (order of
+    # renderer/passes._material_bank: base_color4, metallic, roughness, ao,
+    # emissive3, normal_scale). A float means every scene material shares
+    # that exact value, so the fused raster kernel skips the lane and the
+    # shader rebuilds it as a broadcast scalar (~1.5 ms/lane at 1080p);
+    # None = genuinely per-material, rides a kernel lane.
+    material_constants: tuple = (None,) * 11
 
     @property
     def num_objects(self) -> int:
@@ -365,10 +372,30 @@ class SceneBuilder:
                 "emissive_texture",
             )
         )
+        # static per-column constants of the material bank (host-side, exact
+        # float compare; mirrors renderer/passes._material_bank order)
+        bank_rows = np.asarray(
+            [
+                list(np.asarray(m.base_color, np.float32))
+                + [
+                    np.float32(m.metallic),
+                    np.float32(m.roughness),
+                    np.float32(m.ao),
+                ]
+                + list(np.asarray(m.emissive, np.float32)[:3])
+                + [np.float32(m.normal_scale)]
+                for m in self._materials
+            ],
+            np.float32,
+        )
+        mat_consts = tuple(
+            float(col[0]) if np.all(col == col[0]) else None for col in bank_rows.T
+        )
         layout = SceneLayout(
             object_ranges=tuple(ranges),
             num_vertices=v_off,
             num_triangles=t_off,
+            material_constants=mat_consts,
             has_textures=self._textures is not None,
             has_environment=self._environment is not None,
             has_shadow=self._light_space_matrix is not None,
