@@ -387,6 +387,9 @@ def rasterize_binned_pallas(
     z_floor: jnp.ndarray | None = None,
     ids: jnp.ndarray | None = None,
     return_tiles: bool = False,
+    max_span_y: int = 2,
+    max_span_x: int = 2,
+    cap_big: int | None = None,
 ):
     """Binned rasterization with per-tile dynamic trip counts (see module
     docstring). Returns VisibilityBuffer, or just the depth array when
@@ -418,7 +421,8 @@ def rasterize_binned_pallas(
     cap = _cdiv(cap, chunk) * chunk
 
     tri_idx, counts, nty, ntx = bin_triangles(
-        setup, height, width, tile_h, tile_w, cap
+        setup, height, width, tile_h, tile_w, cap,
+        max_span_y=max_span_y, max_span_x=max_span_x, cap_big=cap_big,
     )
     n_tiles = nty * ntx
     counts = jnp.minimum(counts, cap)

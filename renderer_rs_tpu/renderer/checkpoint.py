@@ -61,6 +61,8 @@ def load_scene(path: str, reference_scene: GpuScene) -> tuple[GpuScene, SceneLay
     ld = meta["layout"]
     ld["object_ranges"] = tuple(tuple(r) for r in ld["object_ranges"])
     ld["texture_slots"] = tuple(ld["texture_slots"])
+    if "material_constants" in ld:
+        ld["material_constants"] = tuple(ld["material_constants"])
     layout = SceneLayout(**ld)
     log.info("scene checkpoint loaded: %s", path)
     return scene, layout
