@@ -448,3 +448,121 @@ def sample_array_textured_atlas(
     out_lo = _array_atlas_fetch(atlas, offsets, sizes, lo, tid, uv, c, sampler)
     out_hi = _array_atlas_fetch(atlas, offsets, sizes, hi, tid, uv, c, sampler)
     return out_lo * (1 - frac) + out_hi * frac
+
+
+# --- single-gather trilinear cube atlas (child 2x2 + parent 3x3 per row) -----
+
+def _cube_parent_window(child_s: int, parent: jnp.ndarray) -> jnp.ndarray:
+    """For each child texel (f,y,x) of a [6,S,S,C]-level's coordinate grid,
+    the PARENT level's 3x3 edge-clamped window anchored at
+    (y//2 - 1, x//2 - 1) -> [6*S*S, 9C]. Together with the child 2x2 window
+    this makes any trilinear footprint ONE row (see
+    build_cube_trilinear_atlas)."""
+    sp = parent.shape[1]
+    pad = jnp.pad(parent, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    ky = jnp.arange(child_s) // 2  # anchor-1+pad == ky + r for r in 0..2
+    kx = jnp.arange(child_s) // 2
+    planes = []
+    for r in range(3):
+        for c in range(3):
+            planes.append(pad[:, ky + r][:, :, kx + c])  # [6,S,S,C]
+    window = jnp.concatenate(planes, axis=-1)  # [6,S,S,9C]
+    return window.reshape(6 * child_s * child_s, 9 * parent.shape[3])
+
+
+def build_cube_trilinear_atlas(segments: list) -> jnp.ndarray:
+    """Extend the cube window atlas so implicit-LOD trilinear costs ONE
+    gather: row (level, face, y, x) = [child 2x2 window (4C) | parent-level
+    3x3 window (9C)]. `segments` = prefiltered levels + [skybox] (the
+    merged specular/skybox layout of finalize_environment). The last
+    prefiltered level and the sky segment store zero parent lanes — their
+    lerp fraction is exactly 0, so the parent half is never read.
+
+    Fetch contract (bit-identical to the lo/hi _cube_atlas_fetch pair —
+    tests assert): x0_hi = floor(u*S/2 - 0.5) lands in the stored 3x3
+    because x0_hi in {k-1, k} for k = x0_lo//2.
+    """
+    c = segments[0].shape[3]
+    rows = []
+    n_pref = len(segments) - 1
+    for li, seg in enumerate(segments):
+        child = _cube_window_flat(seg)
+        if li + 1 < n_pref:
+            parent = _cube_parent_window(seg.shape[1], segments[li + 1])
+        else:
+            parent = jnp.zeros((child.shape[0], 9 * c), child.dtype)
+        rows.append(jnp.concatenate([child, parent], axis=-1))
+    return jnp.concatenate(rows, axis=0)  # [R, 13C]
+
+
+def cube_trilinear_fetch(
+    atlas13, offsets, sizes, lo_level, frac, face, uv, c
+):
+    """Trilinear (or sky) fetch in ONE gather from the 13C-wide atlas.
+
+    lo_level/frac per pixel; frac==0 rows never read parent lanes'
+    meaning (zeros at the chain tail are safe). Matches
+    f_lo*(1-frac) + f_hi*frac of the two-gather path bit-for-bit.
+    """
+    s = sizes[lo_level].astype(jnp.float32)
+    si = sizes[lo_level]
+    x = uv[..., 0] * s - 0.5
+    y = uv[..., 1] * s - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
+    fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
+    x0c = jnp.clip(x0, 0, si - 1)
+    y0c = jnp.clip(y0, 0, si - 1)
+    idx = offsets[lo_level] + (face * si + y0c) * si + x0c
+    taps = atlas13[idx]  # [..., 13C]
+
+    t00 = taps[..., 0:c]
+    t10 = taps[..., c : 2 * c]
+    t01 = taps[..., 2 * c : 3 * c]
+    t11 = taps[..., 3 * c : 4 * c]
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    f_lo = top * (1 - fy) + bot * fy
+
+    # parent (hi level) bilinear from the stored 3x3 — same arithmetic as
+    # _cube_atlas_fetch at level+1
+    sh = sizes[jnp.minimum(lo_level + 1, sizes.shape[0] - 1)]
+    shf = sh.astype(jnp.float32)
+    xh = uv[..., 0] * shf - 0.5
+    yh = uv[..., 1] * shf - 0.5
+    x0h = jnp.floor(xh).astype(jnp.int32)
+    y0h = jnp.floor(yh).astype(jnp.int32)
+    fxh = (xh - x0h)[..., None]
+    fyh = (yh - y0h)[..., None]
+    fxh = jnp.where((x0h < 0)[..., None], 0.0, fxh)
+    fyh = jnp.where((y0h < 0)[..., None], 0.0, fyh)
+    kx = x0c // 2
+    ky = y0c // 2
+    jx = jnp.where(jnp.clip(x0h, 0, sh - 1) < kx, 0, 1)
+    jy = jnp.where(jnp.clip(y0h, 0, sh - 1) < ky, 0, 1)
+
+    def ptap(r_off, c_off):
+        # select p[jy+r_off][jx+c_off] from the row-major 3x3
+        out = 0.0
+        for r in range(3):
+            for cc in range(3):
+                sel = ((jy + r_off) == r) & ((jx + c_off) == cc)
+                lane0 = 4 * c + (r * 3 + cc) * c
+                out = out + jnp.where(
+                    sel[..., None], taps[..., lane0 : lane0 + c], 0.0
+                )
+        return out
+
+    p00 = ptap(0, 0)
+    p10 = ptap(0, 1)
+    p01 = ptap(1, 0)
+    p11 = ptap(1, 1)
+    ptop = p00 * (1 - fxh) + p10 * fxh
+    pbot = p01 * (1 - fxh) + p11 * fxh
+    f_hi = ptop * (1 - fyh) + pbot * fyh
+
+    fr = frac[..., None] if frac.ndim < f_lo.ndim else frac
+    return f_lo * (1.0 - fr) + f_hi * fr

@@ -499,18 +499,33 @@ def _shade_pixels(
                 far = vis.depth >= 1.0
                 dirs = jnp.where(far[..., None], sky_dirs, r)
                 lod = jnp.where(far, float(n_pref), mat.roughness * max_lod)
-                face, uv = direction_to_cube_uv(dirs)
+                face, uv_c = direction_to_cube_uv(dirs)
                 lo_l = jnp.floor(lod).astype(jnp.int32)
-                hi_l = jnp.where(far, n_pref, jnp.minimum(lo_l + 1, n_pref - 1))
-                frac = (lod - lo_l.astype(lod.dtype))[..., None]
+                frac = lod - lo_l.astype(lod.dtype)
                 c = env.skybox_mips[0].shape[-1]
-                f_lo = _cube_atlas_fetch(
-                    env.atlas, env.atlas_offsets, env.atlas_sizes, lo_l, face, uv, c
-                )
-                f_hi = _cube_atlas_fetch(
-                    env.atlas, env.atlas_offsets, env.atlas_sizes, hi_l, face, uv, c
-                )
-                spec_sky = (f_lo * (1.0 - frac) + f_hi * frac)[..., :3]
+                if env.atlas_tri is not None:
+                    # ONE gather: child 2x2 + parent 3x3 ride the same row
+                    from renderer_rs_tpu.ops.sampling import cube_trilinear_fetch
+
+                    spec_sky = cube_trilinear_fetch(
+                        env.atlas_tri, env.atlas_offsets, env.atlas_sizes,
+                        lo_l, frac, face, uv_c, c,
+                    )[..., :3]
+                else:
+                    hi_l = jnp.where(
+                        far, n_pref, jnp.minimum(lo_l + 1, n_pref - 1)
+                    )
+                    f_lo = _cube_atlas_fetch(
+                        env.atlas, env.atlas_offsets, env.atlas_sizes, lo_l,
+                        face, uv_c, c,
+                    )
+                    f_hi = _cube_atlas_fetch(
+                        env.atlas, env.atlas_offsets, env.atlas_sizes, hi_l,
+                        face, uv_c, c,
+                    )
+                    spec_sky = (
+                        f_lo * (1.0 - frac[..., None]) + f_hi * frac[..., None]
+                    )[..., :3]
                 ambient = pbr_ops.calculate_ibl_fast(
                     normal, view_dir, mat, env.irradiance_sh, spec_sky
                 )

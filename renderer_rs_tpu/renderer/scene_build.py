@@ -63,6 +63,9 @@ class Environment:
     atlas: Any | None = None  # [R,4C] window atlas (prefiltered levels + skybox)
     atlas_offsets: Any | None = None  # [L+1] int32 row offsets
     atlas_sizes: Any | None = None  # [L+1] int32 face sizes
+    # [R,13C] trilinear atlas: child 2x2 + parent 3x3 per row, so the
+    # specular/skybox lookup is ONE gather (ops/sampling.cube_trilinear_fetch)
+    atlas_tri: Any | None = None
 
 
 def finalize_environment(env: Environment) -> Environment:
@@ -76,7 +79,10 @@ def finalize_environment(env: Environment) -> Environment:
     if env.irradiance_mips is None or env.prefiltered_mips is None:
         return env
     from renderer_rs_tpu.ops.ibl import sh9_project_cubemap
-    from renderer_rs_tpu.ops.sampling import _cube_window_flat
+    from renderer_rs_tpu.ops.sampling import (
+        _cube_window_flat,
+        build_cube_trilinear_atlas,
+    )
 
     sh = sh9_project_cubemap(env.irradiance_mips[0])
     segments = list(env.prefiltered_mips) + [env.skybox_mips[0]]
@@ -91,6 +97,7 @@ def finalize_environment(env: Environment) -> Environment:
         atlas=atlas,
         atlas_offsets=jnp.asarray(offsets, jnp.int32),
         atlas_sizes=jnp.asarray(sizes, jnp.int32),
+        atlas_tri=build_cube_trilinear_atlas(segments),
     )
 
 

@@ -192,3 +192,58 @@ def test_array_atlas_matches_per_level_sampler():
             )
         )
         np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+
+
+def test_cube_trilinear_single_gather_matches_pair():
+    """cube_trilinear_fetch (ONE gather: child 2x2 + parent 3x3 rows) is
+    bit-identical to the lo/hi _cube_atlas_fetch pair across levels, faces,
+    edges, and the frac==0 tail/sky rows."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from renderer_rs_tpu.ops.sampling import (
+        _cube_atlas_fetch,
+        _cube_window_flat,
+        build_cube_trilinear_atlas,
+        cube_trilinear_fetch,
+        direction_to_cube_uv,
+    )
+
+    rng = np.random.default_rng(5)
+    sizes_list = [16, 8, 4, 2]
+    segments = [
+        jnp.asarray(rng.random((6, s, s, 3)).astype(np.float32))
+        for s in sizes_list
+    ] + [jnp.asarray(rng.random((6, 32, 32, 3)).astype(np.float32))]  # sky
+    n_pref = 4
+    atlas = jnp.concatenate([_cube_window_flat(m) for m in segments], axis=0)
+    atlas13 = build_cube_trilinear_atlas(segments)
+    sizes, offsets, off = [], [], 0
+    for m in segments:
+        sizes.append(m.shape[1])
+        offsets.append(off)
+        off += 6 * m.shape[1] * m.shape[1]
+    sizes = jnp.asarray(sizes, jnp.int32)
+    offsets = jnp.asarray(offsets, jnp.int32)
+
+    d = rng.standard_normal((64, 64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    face, uv = direction_to_cube_uv(d)
+    # lod sweep incl. exact integers (frac==0), the top level, and the sky
+    lod = jnp.asarray(
+        rng.uniform(0.0, n_pref - 1, (64, 64)).astype(np.float32)
+    )
+    lod = lod.at[0, :8].set(0.0).at[1, :8].set(float(n_pref - 1))
+    far = jnp.zeros((64, 64), bool).at[2, :].set(True)
+    lod = jnp.where(far, float(n_pref), lod)
+
+    lo_l = jnp.floor(lod).astype(jnp.int32)
+    hi_l = jnp.where(far, n_pref, jnp.minimum(lo_l + 1, n_pref - 1))
+    frac = lod - lo_l.astype(lod.dtype)
+    f_lo = _cube_atlas_fetch(atlas, offsets, sizes, lo_l, face, uv, 3)
+    f_hi = _cube_atlas_fetch(atlas, offsets, sizes, hi_l, face, uv, 3)
+    ref = f_lo * (1.0 - frac[..., None]) + f_hi * frac[..., None]
+
+    got = cube_trilinear_fetch(atlas13, offsets, sizes, lo_l, frac, face, uv, 3)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
