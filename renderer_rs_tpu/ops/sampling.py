@@ -452,21 +452,24 @@ def sample_array_textured_atlas(
 
 # --- single-gather trilinear cube atlas (child 2x2 + parent 3x3 per row) -----
 
-def _cube_parent_window(child_s: int, parent: jnp.ndarray) -> jnp.ndarray:
+def _cube_parent_window(child_s: int, parent) -> "np.ndarray":
     """For each child texel (f,y,x) of a [6,S,S,C]-level's coordinate grid,
     the PARENT level's 3x3 edge-clamped window anchored at
     (y//2 - 1, x//2 - 1) -> [6*S*S, 9C]. Together with the child 2x2 window
     this makes any trilinear footprint ONE row (see
-    build_cube_trilinear_atlas)."""
-    sp = parent.shape[1]
-    pad = jnp.pad(parent, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    ky = jnp.arange(child_s) // 2  # anchor-1+pad == ky + r for r in 0..2
-    kx = jnp.arange(child_s) // 2
+    build_cube_trilinear_atlas). Host-side numpy: a one-time build step
+    (eager device ops would each pay the remote-compile hop)."""
+    import numpy as np
+
+    parent = np.asarray(parent)
+    pad = np.pad(parent, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    ky = np.arange(child_s) // 2  # anchor-1+pad == ky + r for r in 0..2
+    kx = np.arange(child_s) // 2
     planes = []
     for r in range(3):
         for c in range(3):
             planes.append(pad[:, ky + r][:, :, kx + c])  # [6,S,S,C]
-    window = jnp.concatenate(planes, axis=-1)  # [6,S,S,9C]
+    window = np.concatenate(planes, axis=-1)  # [6,S,S,9C]
     return window.reshape(6 * child_s * child_s, 9 * parent.shape[3])
 
 
@@ -482,17 +485,26 @@ def build_cube_trilinear_atlas(segments: list) -> jnp.ndarray:
     tests assert): x0_hi = floor(u*S/2 - 0.5) lands in the stored 3x3
     because x0_hi in {k-1, k} for k = x0_lo//2.
     """
+    import numpy as np
+
     c = segments[0].shape[3]
     rows = []
     n_pref = len(segments) - 1
     for li, seg in enumerate(segments):
-        child = _cube_window_flat(seg)
+        seg_np = np.asarray(seg)
+        right = np.concatenate([seg_np[:, :, 1:], seg_np[:, :, -1:]], axis=2)
+        down = np.concatenate([seg_np[:, 1:], seg_np[:, -1:]], axis=1)
+        downright = np.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+        s_ = seg_np.shape[1]
+        child = np.concatenate([seg_np, right, down, downright], -1).reshape(
+            6 * s_ * s_, 4 * c
+        )
         if li + 1 < n_pref:
-            parent = _cube_parent_window(seg.shape[1], segments[li + 1])
+            parent = _cube_parent_window(s_, segments[li + 1])
         else:
-            parent = jnp.zeros((child.shape[0], 9 * c), child.dtype)
-        rows.append(jnp.concatenate([child, parent], axis=-1))
-    return jnp.concatenate(rows, axis=0)  # [R, 13C]
+            parent = np.zeros((child.shape[0], 9 * c), child.dtype)
+        rows.append(np.concatenate([child, parent], axis=-1))
+    return jnp.asarray(np.concatenate(rows, axis=0))  # [R, 13C]
 
 
 def cube_trilinear_fetch(

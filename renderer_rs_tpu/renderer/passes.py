@@ -144,15 +144,17 @@ def _binned_cap(
 ) -> int:
     """Density-aware per-tile triangle budget.
 
-    cap ≈ 6x the average triangles-per-tile (floor 2048, ceiling 16384,
+    cap ≈ 6x the average triangles-per-tile (floor 1536, ceiling 16384,
     512-aligned) — covers the skewed tiles of the 100k-class flagship scene
     (peak ~1.3k vs avg ~380 at 1080p) and keeps low-res/dense cases (few
     tiles, thousands of triangles each) un-truncated. Memory/gather traffic
-    is n_tiles*cap ≈ 6T regardless of resolution. Tiles denser than the cap
-    keep the first `cap` triangles in submission order (raster_binned.py)."""
+    is n_tiles*cap ≈ 6T regardless of resolution; the 2048->1536 floor cut
+    the per-tile coefficient-slab gather by ~2 ms fwd + 3 ms shadow at
+    1080p (r2 sweep). Tiles denser than the cap keep the first `cap`
+    triangles in submission order (raster_binned.py)."""
     n_tiles = max(1, -(-height // tile_h) * -(-width // tile_w))
     avg = num_triangles / n_tiles
-    cap = max(2048, int(6 * avg))
+    cap = max(1536, int(6 * avg))
     cap = -(-cap // 512) * 512  # 512-align
     return min(max(num_triangles, 16), cap, 16384)
 
