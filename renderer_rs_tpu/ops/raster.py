@@ -413,18 +413,28 @@ def rasterize_stencil(
     stencil: rhi.rendering.StencilAttachment. Order: stencil test -> depth
     test; updates: fail_op on stencil fail, depth_fail_op on stencil pass +
     depth fail, pass_op on both passing — masked by write_mask (Vulkan
-    stencil semantics). Returns (VisibilityBuffer, stencil_buffer [H,W] i32).
+    stencil semantics). Two-sided: when stencil.back is set, back-facing
+    primitives use that state (≙ VkStencilOpState front/back); both face
+    paths are traced and selected per triangle by the facing rule.
+    Returns (VisibilityBuffer, stencil_buffer [H,W] i32).
     """
+    from renderer_rs_tpu.rhi.pipeline import FrontFace
+
     px, py = _pixel_centers(height, width)
     if depth_init is None:
         depth_init = jnp.ones((height, width), jnp.float32)
     if stencil_init is None:
         stencil_init = jnp.full((height, width), stencil.clear_stencil, jnp.int32)
 
-    ref = stencil.reference
-    rm = stencil.read_mask
-    wm = stencil.write_mask
-    s_op = CompareOp(stencil.compare)
+    front_fs = stencil.front_state if hasattr(stencil, "front_state") else stencil
+    back_fs = getattr(stencil, "back", None)
+    # facing per triangle (same rule as setup_triangles: front-for-CCW ⇔
+    # framebuffer cross2 < 0)
+    tri_front = jnp.where(
+        pipeline.front_face == FrontFace.COUNTER_CLOCKWISE,
+        setup.area2 < 0.0,
+        setup.area2 > 0.0,
+    )
 
     init = (
         jnp.full((height, width), -1, jnp.int32),
@@ -433,11 +443,13 @@ def rasterize_stencil(
         stencil_init,
     )
 
-    def body(state, t):
-        tri_id, depth, bary, sbuf = state
-        inside, z, b0, b1 = _coverage_one(setup, t, px, py, pipeline)
+    def face_step(fs, sbuf, inside, z, depth):
+        """One face state's test + masked updates -> (accept, new sbuf)."""
+        ref = fs.reference
+        rm = fs.read_mask
+        wm = fs.write_mask
         s_pass = depth_compare(
-            s_op,
+            CompareOp(fs.compare),
             jnp.full_like(sbuf, ref & rm).astype(jnp.float32),
             (sbuf & rm).astype(jnp.float32),
         )
@@ -455,9 +467,21 @@ def rasterize_stencil(
             merged = (buf & ~wm) | (newv & wm)
             return jnp.where(cond, merged, buf)
 
-        sbuf = masked_write(covered_fail, stencil.fail_op, sbuf)
-        sbuf = masked_write(depth_fail, stencil.depth_fail_op, sbuf)
-        sbuf = masked_write(accept, stencil.pass_op, sbuf)
+        sbuf = masked_write(covered_fail, fs.fail_op, sbuf)
+        sbuf = masked_write(depth_fail, fs.depth_fail_op, sbuf)
+        sbuf = masked_write(accept, fs.pass_op, sbuf)
+        return accept, sbuf
+
+    def body(state, t):
+        tri_id, depth, bary, sbuf = state
+        inside, z, b0, b1 = _coverage_one(setup, t, px, py, pipeline)
+        accept, sbuf_new = face_step(front_fs, sbuf, inside, z, depth)
+        if back_fs is not None:
+            accept_b, sbuf_b = face_step(back_fs, sbuf, inside, z, depth)
+            is_front = tri_front[t]
+            accept = jnp.where(is_front, accept, accept_b)
+            sbuf_new = jnp.where(is_front, sbuf_new, sbuf_b)
+        sbuf = sbuf_new
 
         if pipeline.depth_write_enable:
             depth = jnp.where(accept, z, depth)

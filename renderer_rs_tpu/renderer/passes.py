@@ -683,9 +683,16 @@ def forward_frame(
     band: tuple | None = None,
     return_depth: bool = False,
     shadow_map: jnp.ndarray | None = None,
+    stencil=None,
+    return_stencil: bool = False,
 ) -> jnp.ndarray:
     """The full frame: ≙ record_commands + queue_submit fused
     (renderer.rs:452-557). Returns linear [H,W,4] ready for sRGB encode.
+
+    stencil: optional rhi.rendering.StencilAttachment — routes the opaque
+    raster through the stencil test/update state machine (two-sided via
+    stencil.back); return_stencil appends the [H,W] i32 stencil buffer to
+    the outputs.
 
     band=(y_offset, band_height): render only a horizontal slice of the
     full `height`-row framebuffer — the unit of multi-chip row sharding
@@ -787,6 +794,7 @@ def forward_frame(
         pipeline.alpha_cutoff is not None
         and layout.has_textures
         and band is None
+        and stencil is None
         and shading != ShadingModel.FLAT
         and supports_binned(pipeline, n_raster_tris, allow_alpha_cutoff=True)
     )
@@ -824,6 +832,7 @@ def forward_frame(
     varying_img = None
     fuse = (
         band is None
+        and stencil is None
         and coverage_fn is None
         and not peel
         and shading != ShadingModel.FLAT
@@ -925,6 +934,16 @@ def forward_frame(
         bary3 = None  # unused: varyings are already interpolated
         ids_are_source = True
         fused_materials = True
+    elif stencil is not None:
+        # stencil test/update state machine (scan path; ≙ the
+        # StencilAttachment dynamic-rendering config, rendering.rs:537-648)
+        from renderer_rs_tpu.ops.raster import rasterize_stencil
+
+        vis, stencil_buf = rasterize_stencil(
+            setup, height, width, pipeline, stencil
+        )
+        out_h = height
+        y_offset = 0
     elif band is None and coverage_fn is None:
         vis = _rasterize_dispatch(setup, height, width, pipeline, n_raster_tris)
         out_h = height
@@ -999,9 +1018,12 @@ def forward_frame(
 
     if tonemap != "none":
         out = apply_tonemap(out, tonemap)
+    outs = (out,)
     if return_depth:
-        return out, vis.depth
-    return out
+        outs = outs + (vis.depth,)
+    if return_stencil:
+        outs = outs + (stencil_buf,)
+    return outs if len(outs) > 1 else out
 
 
 def transparent_pass(

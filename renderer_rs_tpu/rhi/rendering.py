@@ -65,12 +65,29 @@ class StencilOp(enum.Enum):
 
 
 @dataclasses.dataclass(frozen=True)
+class StencilFaceState:
+    """Per-face stencil state (≙ vk::StencilOpState; pipeline.rs exposes
+    independent front/back states)."""
+
+    reference: int = 1
+    read_mask: int = 0xFF
+    write_mask: int = 0xFF
+    compare: str = "always"  # CompareOp value names
+    fail_op: StencilOp = StencilOp.KEEP
+    depth_fail_op: StencilOp = StencilOp.KEEP
+    pass_op: StencilOp = StencilOp.REPLACE
+
+
+@dataclasses.dataclass(frozen=True)
 class StencilAttachment:
-    """≙ rendering.rs:537-648: stencil buffer config + per-face state
-    (single-face here; two-sided stencil is a later-round item).
+    """≙ rendering.rs:537-648: stencil buffer config + per-face state.
 
     The stencil test runs in the scan rasterizer (ops/raster.rasterize with
-    stencil=...): pass ⇔ (ref & read_mask) OP (stored & read_mask).
+    stencil=...): pass ⇔ (ref & read_mask) OP (stored & read_mask). The
+    inline fields are the FRONT face state; `back` (two-sided stencil,
+    ≙ VkPipelineDepthStencilStateCreateInfo front/back) optionally gives
+    back-facing primitives their own state — None means both faces share
+    the front state, matching single-sided pipelines.
     """
 
     load_op: AttachmentLoadOp = AttachmentLoadOp.CLEAR
@@ -83,6 +100,19 @@ class StencilAttachment:
     fail_op: StencilOp = StencilOp.KEEP
     depth_fail_op: StencilOp = StencilOp.KEEP
     pass_op: StencilOp = StencilOp.REPLACE
+    back: StencilFaceState | None = None
+
+    @property
+    def front_state(self) -> StencilFaceState:
+        return StencilFaceState(
+            reference=self.reference,
+            read_mask=self.read_mask,
+            write_mask=self.write_mask,
+            compare=self.compare,
+            fail_op=self.fail_op,
+            depth_fail_op=self.depth_fail_op,
+            pass_op=self.pass_op,
+        )
 
     def initial_array(self, h: int, w: int) -> jnp.ndarray:
         return jnp.full((h, w), self.clear_stencil, jnp.int32)
