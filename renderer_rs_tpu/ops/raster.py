@@ -145,15 +145,23 @@ def setup_triangles(
 
 
 def _pixel_centers(
-    height: int, width: int, y_offset=0, x_offset=0
+    height: int, width: int, y_offset=0, x_offset=0, y_stride: int = 1
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Framebuffer-space pixel centers px[H,W], py[H,W].
 
     Offsets render a band/tile of a larger framebuffer (the multi-chip
     row-sharding path, SURVEY.md §2.9: SP/CP analog over screen tiles) —
     offsets may be traced values (e.g. derived from a mesh axis index).
+    y_stride > 1 renders INTERLEAVED rows (y_offset, y_offset+stride, ...):
+    the load-balanced row sharding — each device gets a representative mix
+    of cheap sky rows and dense geometry rows instead of one contiguous
+    band.
     """
-    py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5 + y_offset
+    py = (
+        jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) * y_stride
+        + 0.5
+        + y_offset
+    )
     px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5 + x_offset
     return px, py
 
@@ -336,6 +344,7 @@ def rasterize(
     coverage_fn: Callable[..., jnp.ndarray] | None = None,
     y_offset=0,
     x_offset=0,
+    y_stride: int = 1,
 ) -> VisibilityBuffer:
     """Rasterize all triangles into a visibility buffer.
 
@@ -346,9 +355,10 @@ def rasterize(
     coverage_fn: optional per-triangle extra coverage mask (e.g. alpha cutoff
         computed from interpolated UVs) — mask applied *before* depth write.
     y_offset/x_offset: band origin when rendering a slice of a larger
-        framebuffer (multi-chip sharding).
+        framebuffer (multi-chip sharding); y_stride interleaves rows
+        (load-balanced sharding).
     """
-    px, py = _pixel_centers(height, width, y_offset, x_offset)
+    px, py = _pixel_centers(height, width, y_offset, x_offset, y_stride)
     t_count = setup.num_triangles
     if depth_init is None:
         depth_init = jnp.ones((height, width), jnp.float32)

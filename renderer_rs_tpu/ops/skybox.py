@@ -20,6 +20,7 @@ def pixel_ray_directions(
     width: int,
     y_offset=0,
     full_height: int | None = None,
+    y_stride: int = 1,
 ) -> jnp.ndarray:
     """World-space ray direction per pixel [H,W,3].
 
@@ -30,7 +31,11 @@ def pixel_ray_directions(
     unprojections so no camera position is needed.
     """
     fh = full_height if full_height is not None else height
-    y = (jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5 + y_offset) / fh
+    y = (
+        jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) * y_stride
+        + 0.5
+        + y_offset
+    ) / fh
     x = (jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5) / width
     ndc_x = x * 2.0 - 1.0
     ndc_y = y * 2.0 - 1.0
@@ -56,13 +61,14 @@ def skybox_pass(
     intensity: float = 1.0,
     y_offset=0,
     full_height: int | None = None,
+    y_stride: int = 1,
 ) -> jnp.ndarray:
     """Composite the skybox into pixels still at the far plane (depth >= 1,
     ≙ the skybox's z=1 + LESS_OR_EQUAL depth test trick)."""
     from renderer_rs_tpu.ops.sampling import sample_cubemap
 
     h, w = depth.shape
-    dirs = pixel_ray_directions(inv_view_proj, h, w, y_offset, full_height)
+    dirs = pixel_ray_directions(inv_view_proj, h, w, y_offset, full_height, y_stride)
     sky = sample_cubemap(cubemap_faces, dirs)[..., :3] * intensity
     sky_rgba = jnp.concatenate([sky, jnp.ones_like(sky[..., :1])], axis=-1)
     far_mask = depth >= 1.0

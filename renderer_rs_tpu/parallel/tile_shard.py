@@ -42,10 +42,19 @@ def render_frame_sharded(
     tonemap: str = "none",
     shadow_map_size: int = 256,
     shadow_params: ShadowParams = ShadowParams(),
+    interleaved: bool = False,
 ):
     """Render a batch of frames over the mesh. Returns [F, H, W, 4] sharded
     as P('frame', 'rows'). F must equal the mesh 'frame' axis size (one
     frame per frame-group; generalize by looping batches of F).
+
+    interleaved=True assigns each device rows (k, k+n, k+2n, ...) instead of
+    one contiguous band — the LOAD-BALANCED sharding: contiguous bands skew
+    badly (sky rows are cheap, geometry rows dense), interleaving gives every
+    device a representative row mix. Per-row pixel math is anchored at
+    absolute row indices either way, so the stitched image is bit-identical
+    to the single-device render (tests assert); use unshard_rows() to
+    de-interleave the output.
     """
     n_frames = mesh.shape["frame"]
     n_rows = mesh.shape["rows"]
@@ -63,6 +72,7 @@ def render_frame_sharded(
         # scene_b leaves have leading dim F/n_frames == 1 on this shard
         scene = jax.tree.map(lambda x: x[0], scene_b)
         row = jax.lax.axis_index("rows")
+        spec = (row, band_h, n_rows) if interleaved else (row * band_h, band_h)
         band = forward_frame(
             scene,
             layout,
@@ -74,7 +84,7 @@ def render_frame_sharded(
             tonemap=tonemap,
             shadow_map_size=shadow_map_size,
             shadow_params=shadow_params,
-            band=(row * band_h, band_h),
+            band=spec,
         )
         return band[None]  # [1, band_h, W, 4] -> F and rows axes concatenate
 
@@ -91,3 +101,21 @@ def shard_scene_batch(stacked_scene: GpuScene, mesh: Mesh) -> GpuScene:
     (device_put with NamedSharding) so rendering starts from sharded inputs."""
     sharding = NamedSharding(mesh, P("frame"))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), stacked_scene)
+
+
+def unshard_rows(frames: jnp.ndarray, n_rows: int, interleaved: bool) -> jnp.ndarray:
+    """Reassemble [F, H, W, 4] from the sharded output's row order.
+
+    Contiguous bands concatenate in place (identity); interleaved bands put
+    device k's band rows at absolute rows k, k+n, ... — de-interleave by a
+    [n, H/n] -> [H/n, n] transpose of the row axis.
+    """
+    if not interleaved:
+        return frames
+    f, h, w, c = frames.shape
+    band_h = h // n_rows
+    return (
+        frames.reshape(f, n_rows, band_h, w, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(f, h, w, c)
+    )

@@ -949,10 +949,17 @@ def forward_frame(
         out_h = height
         y_offset = 0
     else:
-        y_offset, out_h = band if band is not None else (0, height)
+        if band is not None:
+            # (y_offset, band_h) contiguous; (y_offset, band_h, stride)
+            # interleaved rows — the load-balanced multi-chip sharding
+            y_offset, out_h = band[0], band[1]
+            y_stride = band[2] if len(band) > 2 else 1
+        else:
+            y_offset, out_h, y_stride = 0, height, 1
         # exact scan rasterizer: pixel-row offsets and coverage callbacks
         vis = rasterize(
-            setup, out_h, width, pipeline, y_offset=y_offset, coverage_fn=coverage_fn
+            setup, out_h, width, pipeline, y_offset=y_offset,
+            coverage_fn=coverage_fn, y_stride=y_stride,
         )
     if varying_img is None:
         bary3 = perspective_bary(vis, setup)
@@ -982,7 +989,10 @@ def forward_frame(
         from renderer_rs_tpu.ops.skybox import pixel_ray_directions
 
         inv_vp = jnp.linalg.inv(scene.camera.view_projection)
-        sky_dirs = pixel_ray_directions(inv_vp, out_h, width, y_offset, height)
+        sky_dirs = pixel_ray_directions(
+            inv_vp, out_h, width, y_offset, height,
+            y_stride if band is not None else 1,
+        )
 
     color, sky_rgb = _shade_pixels(
         scene, layout, shading, vis, vs, bary3, shadow_map, shadow_params,
@@ -1014,6 +1024,7 @@ def forward_frame(
             scene.environment.skybox_mips[0],
             y_offset=y_offset,
             full_height=height,
+            y_stride=y_stride if band is not None else 1,
         )
 
     if tonemap != "none":

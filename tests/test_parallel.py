@@ -100,3 +100,26 @@ def test_band_rendering_matches_full():
         for y0 in range(0, H, H // 4)
     ]
     np.testing.assert_array_equal(np.concatenate(bands, axis=0), full)
+
+
+def test_interleaved_rows_match_single_device(small_scene):
+    """Load-balanced (interleaved-row) sharding: de-interleaved output is
+    bit-identical to the single-device frame — per-row pixel math anchors at
+    absolute rows, so only the row ASSIGNMENT changes."""
+    from renderer_rs_tpu.parallel.tile_shard import unshard_rows
+
+    scene, layout = small_scene
+    pipe = GraphicsPipelineBuilder().build()
+    ref = np.asarray(
+        forward_frame(scene, layout, pipe, ShadingModel.BLINN_PHONG, W, H)
+    )
+    mesh = make_device_mesh(8)  # frame=2, rows=4
+    stacked = stack_scenes([scene, scene])
+    out = render_frame_sharded(
+        stacked, layout, pipe, ShadingModel.BLINN_PHONG, W, H, mesh,
+        interleaved=True,
+    )
+    out = np.asarray(unshard_rows(jnp.asarray(out), 4, True))
+    assert out.shape == (2, H, W, 4)
+    np.testing.assert_array_equal(out[0], ref)
+    np.testing.assert_array_equal(out[1], ref)
