@@ -3,10 +3,11 @@
 The reference delegates to the Rust ``gltf`` crate (resources/src/model.rs:
 120-124); here the format is parsed directly: GLB chunk framing, buffers
 (external .bin / data: URIs / GLB BIN chunk), bufferViews with strides, and
-typed accessors decoded straight into numpy arrays — which is precisely the
-SoA layout the TPU vertex stage wants (SURVEY.md §3.4).
+typed accessors (including sparse, glTF 2.0 §3.6.2.3) decoded straight into
+numpy arrays — which is precisely the SoA layout the TPU vertex stage wants
+(SURVEY.md §3.4).
 
-Unsupported (raise GltfLoadError): sparse accessors, Draco compression.
+Unsupported (raise GltfLoadError): Draco compression.
 """
 
 from __future__ import annotations
@@ -113,20 +114,14 @@ class GltfDocument:
                     buffers.append(f.read())
         return buffers
 
-    def read_accessor(self, index: int) -> np.ndarray:
-        """Decode accessor `index` to an [count, components] numpy array."""
-        acc = self.doc["accessors"][index]
-        if "sparse" in acc:
-            raise GltfLoadError("sparse accessors are not supported")
-        count = acc["count"]
-        ncomp = _TYPE_COUNTS[acc["type"]]
-        dtype = _COMPONENT_DTYPES[acc["componentType"]]
+    def _read_view(
+        self, view_index: int, byte_offset: int, count: int, ncomp: int, dtype
+    ) -> np.ndarray:
+        """Decode `count` elements of `ncomp`x`dtype` from a bufferView."""
         itemsize = np.dtype(dtype).itemsize
-        if "bufferView" not in acc:
-            return np.zeros((count, ncomp), dtype)
-        view = self.doc["bufferViews"][acc["bufferView"]]
+        view = self.doc["bufferViews"][view_index]
         buf = self.buffers[view["buffer"]]
-        start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        start = view.get("byteOffset", 0) + byte_offset
         stride = view.get("byteStride") or ncomp * itemsize
         if stride == ncomp * itemsize:
             arr = np.frombuffer(buf, dtype, count * ncomp, start).reshape(count, ncomp)
@@ -135,7 +130,42 @@ class GltfDocument:
                 buf, np.uint8, count * stride, start
             ).reshape(count, stride)
             arr = raw[:, : ncomp * itemsize].copy().view(dtype).reshape(count, ncomp)
-        out = np.array(arr)
+        return np.array(arr)
+
+    def read_accessor(self, index: int) -> np.ndarray:
+        """Decode accessor `index` to an [count, components] numpy array.
+
+        Supports sparse accessors (glTF 2.0 §3.6.2.3): the base array (the
+        referenced bufferView, or zeros when absent) is patched with
+        sparse.values at sparse.indices.
+        """
+        acc = self.doc["accessors"][index]
+        count = acc["count"]
+        ncomp = _TYPE_COUNTS[acc["type"]]
+        dtype = _COMPONENT_DTYPES[acc["componentType"]]
+        if "bufferView" not in acc:
+            out = np.zeros((count, ncomp), dtype)
+        else:
+            out = self._read_view(
+                acc["bufferView"], acc.get("byteOffset", 0), count, ncomp, dtype
+            )
+        sparse = acc.get("sparse")
+        if sparse:
+            s_count = sparse["count"]
+            sidx = sparse["indices"]
+            sval = sparse["values"]
+            idx = self._read_view(
+                sidx["bufferView"],
+                sidx.get("byteOffset", 0),
+                s_count,
+                1,
+                _COMPONENT_DTYPES[sidx["componentType"]],
+            )[:, 0].astype(np.int64)
+            vals = self._read_view(
+                sval["bufferView"], sval.get("byteOffset", 0), s_count, ncomp, dtype
+            )
+            out = out.copy()
+            out[idx] = vals
         if acc.get("normalized") and dtype != np.float32:
             info = np.iinfo(dtype)
             out = out.astype(np.float32) / float(info.max)

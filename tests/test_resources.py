@@ -301,3 +301,66 @@ def test_sampler_presets():
     assert s.mag_filter.value == "nearest"
     assert Sampler() != s
     assert hash(Sampler()) == hash(Sampler())
+
+
+def test_gltf_sparse_accessor():
+    """Sparse accessors (glTF 2.0 §3.6.2.3): base array patched with
+    sparse.values at sparse.indices; zero base when bufferView absent."""
+    import base64
+    import json
+
+    import numpy as np
+
+    from renderer_rs_tpu.resources.gltf import GltfDocument
+
+    base = np.arange(12, dtype=np.float32).reshape(4, 3)
+    sparse_idx = np.asarray([1, 3], np.uint16)
+    sparse_val = np.asarray([[9, 9, 9], [7, 7, 7]], np.float32)
+    blob = base.tobytes() + sparse_idx.tobytes() + sparse_val.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "buffers": [
+            {
+                "uri": "data:application/octet-stream;base64,"
+                + base64.b64encode(blob).decode(),
+                "byteLength": len(blob),
+            }
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 48, "byteLength": 4},
+            {"buffer": 0, "byteOffset": 52, "byteLength": 24},
+        ],
+        "accessors": [
+            {
+                "bufferView": 0,
+                "componentType": 5126,
+                "count": 4,
+                "type": "VEC3",
+                "sparse": {
+                    "count": 2,
+                    "indices": {"bufferView": 1, "componentType": 5123},
+                    "values": {"bufferView": 2},
+                },
+            },
+            {  # zero-base sparse (no bufferView)
+                "componentType": 5126,
+                "count": 4,
+                "type": "VEC3",
+                "sparse": {
+                    "count": 2,
+                    "indices": {"bufferView": 1, "componentType": 5123},
+                    "values": {"bufferView": 2},
+                },
+            },
+        ],
+    }
+    g = GltfDocument(doc, [blob], ".")
+    out = g.read_accessor(0)
+    expect = base.copy()
+    expect[[1, 3]] = sparse_val
+    np.testing.assert_array_equal(out, expect)
+    out0 = g.read_accessor(1)
+    expect0 = np.zeros((4, 3), np.float32)
+    expect0[[1, 3]] = sparse_val
+    np.testing.assert_array_equal(out0, expect0)
