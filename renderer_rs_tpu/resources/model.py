@@ -61,6 +61,67 @@ class Mesh:
         return self.indices.shape[0] // 3
 
 
+def _quat_matrix(r) -> np.ndarray:
+    """glTF [x,y,z,w] quaternion -> 3x3 rotation."""
+    x, y, z, w = (float(v) for v in r)
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ],
+        np.float32,
+    )
+
+
+def _node_local_matrix(nd: dict) -> np.ndarray:
+    """Node local transform: `matrix` (column-major) or TRS compose."""
+    if "matrix" in nd:
+        return np.asarray(nd["matrix"], np.float32).reshape(4, 4).T
+    m = np.eye(4, dtype=np.float32)
+    rot = np.eye(4, dtype=np.float32)
+    rot[:3, :3] = _quat_matrix(nd.get("rotation", (0.0, 0.0, 0.0, 1.0)))
+    scale = np.diag(list(nd.get("scale", (1.0, 1.0, 1.0))) + [1.0]).astype(np.float32)
+    m[:3, 3] = np.asarray(nd.get("translation", (0.0, 0.0, 0.0)), np.float32)
+    return m @ rot @ scale
+
+
+def _mesh_instances(doc) -> list[tuple[int, np.ndarray]]:
+    """(mesh index, world matrix) per scene-graph mesh instance.
+
+    Walks the default scene's node hierarchy (glTF 2.0 §3.5; the reference
+    flattens and IGNORES node transforms, model.rs:135-236 — baking them in
+    is an upgrade). Assets without nodes fall back to every mesh at
+    identity, preserving the reference behavior.
+    """
+    d = doc.doc
+    nodes = d.get("nodes", [])
+    n_meshes = len(d.get("meshes", []))
+    if not nodes:
+        return [(i, np.eye(4, dtype=np.float32)) for i in range(n_meshes)]
+    scenes = d.get("scenes", [])
+    roots = (
+        scenes[d.get("scene", 0)].get("nodes", [])
+        if scenes
+        else list(range(len(nodes)))
+    )
+    out: list[tuple[int, np.ndarray]] = []
+
+    def walk(i: int, parent: np.ndarray) -> None:
+        nd = nodes[i]
+        world = parent @ _node_local_matrix(nd)
+        if "mesh" in nd:
+            out.append((nd["mesh"], world))
+        for ch in nd.get("children", []):
+            walk(ch, world)
+
+    for r in roots:
+        walk(r, np.eye(4, dtype=np.float32))
+    if not out:  # nodes reference no meshes: reference-flat fallback
+        return [(i, np.eye(4, dtype=np.float32)) for i in range(n_meshes)]
+    return out
+
+
 @dataclasses.dataclass
 class Model:
     """≙ resources::Model (model.rs:66-345).
@@ -98,7 +159,14 @@ class Model:
         aabb_min = np.full(3, np.inf, np.float32)
         aabb_max = np.full(3, -np.inf, np.float32)
 
-        for mesh_def in doc.doc.get("meshes", []):
+        mesh_defs = doc.doc.get("meshes", [])
+        for mesh_idx, world in _mesh_instances(doc):
+            mesh_def = mesh_defs[mesh_idx]
+            identity = np.allclose(world, np.eye(4))
+            if not identity:
+                nmat = np.linalg.inv(world[:3, :3]).T if abs(
+                    np.linalg.det(world[:3, :3])
+                ) > 1e-12 else np.eye(3, dtype=np.float32)
             for prim in mesh_def.get("primitives", []):
                 attrs = prim.get("attributes", {})
                 if "POSITION" not in attrs:
@@ -140,6 +208,20 @@ class Model:
                     tangents = compute_tangents(pos, normals, uv, indices)
                 else:  # default +X, w=1 (model.rs:187-197)
                     tangents = np.tile(np.array([[1, 0, 0, 1]], np.float32), (n, 1))
+
+                if not identity:
+                    # bake the node's world transform (glTF 2.0 §3.5)
+                    pos = pos @ world[:3, :3].T + world[:3, 3]
+                    normals = normals @ nmat.T
+                    ln = np.linalg.norm(normals, axis=-1, keepdims=True)
+                    normals = normals / np.maximum(ln, 1e-12)
+                    t3 = tangents[:, :3] @ world[:3, :3].T
+                    lt = np.linalg.norm(t3, axis=-1, keepdims=True)
+                    tangents = np.concatenate(
+                        [t3 / np.maximum(lt, 1e-12), tangents[:, 3:4]], axis=-1
+                    ).astype(np.float32)
+                    pos = pos.astype(np.float32)
+                    normals = normals.astype(np.float32)
 
                 aabb_min = np.minimum(aabb_min, pos.min(axis=0))
                 aabb_max = np.maximum(aabb_max, pos.max(axis=0))

@@ -364,3 +364,63 @@ def test_gltf_sparse_accessor():
     expect0 = np.zeros((4, 3), np.float32)
     expect0[[1, 3]] = sparse_val
     np.testing.assert_array_equal(out0, expect0)
+
+
+def test_gltf_node_transforms_baked(tmp_path):
+    """Scene-graph node transforms bake into mesh vertices at load (upgrade
+    over the reference's flatten-and-ignore, model.rs:135-236): a translated+
+    scaled node moves its mesh; two nodes sharing one mesh instance it."""
+    import base64
+    import json
+
+    import numpy as np
+
+    from renderer_rs_tpu.resources.model import Model
+
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.array([0, 1, 2], np.uint16)
+    blob = pos.tobytes() + idx.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0, 1]}],
+        "nodes": [
+            {"mesh": 0, "translation": [5, 0, 0], "scale": [2, 2, 2]},
+            {"mesh": 0},  # second instance at identity
+        ],
+        "meshes": [
+            {
+                "primitives": [
+                    {"attributes": {"POSITION": 0}, "indices": 1}
+                ]
+            }
+        ],
+        "buffers": [
+            {
+                "uri": "data:application/octet-stream;base64,"
+                + base64.b64encode(blob).decode(),
+                "byteLength": len(blob),
+            }
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 6},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 3, "type": "SCALAR"},
+        ],
+    }
+    p = tmp_path / "node.gltf"
+    p.write_text(json.dumps(doc))
+    model = Model.load(str(p))
+    assert len(model.meshes) == 2  # two instances of the one mesh
+    np.testing.assert_allclose(
+        model.meshes[0].positions,
+        pos * 2.0 + np.array([5, 0, 0], np.float32),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(model.meshes[1].positions, pos, atol=1e-6)
+    # AABB spans both instances
+    np.testing.assert_allclose(model.aabb_min, [0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(model.aabb_max, [7, 2, 0], atol=1e-6)
