@@ -36,13 +36,63 @@ def framebuffer_to_u8(fb, srgb_encode: bool = True) -> np.ndarray:
     return np.asarray(jnp.round(out * 255.0).astype(jnp.uint8))
 
 
+def _native_png():
+    """ctypes handle to native/libimageio.so's encode_png, or None."""
+    global _PNG_LIB
+    if _PNG_LIB is not False:
+        return _PNG_LIB
+    import ctypes
+    import os
+
+    lib_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+        "libimageio.so",
+    )
+    try:
+        lib = ctypes.CDLL(lib_path)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.encode_png.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            u8p, ctypes.c_int64,
+        ]
+        lib.encode_png.restype = ctypes.c_int64
+        _PNG_LIB = lib
+    except OSError:
+        _PNG_LIB = None
+    return _PNG_LIB
+
+
+_PNG_LIB: object = False  # False = not probed yet; None = unavailable
+
+
 def write_png(path: str, img_u8: np.ndarray) -> None:
-    """Write an [H,W,3|4] uint8 array as PNG."""
+    """Write an [H,W,3|4] uint8 array as PNG.
+
+    Uses the native encoder (native/imageio.cpp via ctypes — the present
+    path stays PIL-free, ≙ the reference's fully-native present); falls
+    back to PIL when the library isn't built."""
+    img = np.ascontiguousarray(np.asarray(img_u8))
+    lib = _native_png()
+    if lib is not None and img.ndim == 3 and img.shape[-1] in (3, 4):
+        import ctypes
+
+        h, w, c = img.shape
+        cap = img.nbytes + img.nbytes // 2 + 4096
+        out = np.empty(cap, np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        n = lib.encode_png(
+            img.ctypes.data_as(u8p), h, w, c, out.ctypes.data_as(u8p), cap
+        )
+        if n > 0:
+            with open(path, "wb") as f:
+                f.write(out[:n].tobytes())
+            return
     try:
         from PIL import Image
     except ImportError as e:  # pragma: no cover - PIL is baked into the image
         raise ImageError(f"PIL unavailable: {e}") from e
-    Image.fromarray(np.asarray(img_u8)).save(path)
+    Image.fromarray(img).save(path)
 
 
 def read_image(path: str, dtype=np.float32, srgb_decode: bool = False) -> np.ndarray:

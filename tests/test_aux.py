@@ -173,3 +173,23 @@ def test_frame_manager_present_order():
     assert float(fm.present_oldest()) == 1.0
     assert float(fm.present_oldest()) == 2.0
     assert fm.present_oldest() is None
+
+
+def test_native_png_roundtrip(tmp_path):
+    """The native PNG encoder's output decodes (via PIL) to the exact
+    input pixels, for RGB and RGBA."""
+    import numpy as np
+    from PIL import Image
+
+    from renderer_rs_tpu.utils.image_io import _native_png, write_png
+
+    assert _native_png() is not None, "libimageio.so not built (make -C native)"
+    rng = np.random.default_rng(7)
+    for c in (3, 4):
+        img = rng.integers(0, 256, (33, 57, c), np.uint8)
+        p = str(tmp_path / f"t{c}.png")
+        write_png(p, img)
+        with open(p, "rb") as f:
+            assert f.read(4) == b"\x89PNG"
+        back = np.asarray(Image.open(p))
+        np.testing.assert_array_equal(back, img)
