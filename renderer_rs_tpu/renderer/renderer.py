@@ -81,6 +81,7 @@ class Renderer:
         self._framebuffer_resized = False
         self._frame_fn = None  # compiled specialization (≙ the pipeline object)
         self._shadow_fn = None  # separate jit: resize does NOT recompile it
+        self._shadow_cache = None  # (shadow-inputs identity key, shadow map)
         # compiled-specialization cache keyed by (w, h): resizing back to a
         # previously-seen extent (e.g. the shape_buckets) is recompile-free,
         # the way Vulkan keeps pipeline objects alive across swapchain
@@ -107,6 +108,7 @@ class Renderer:
         if layout != self._layout:
             self._frame_fn = None
             self._shadow_fn = None
+            self._shadow_cache = None
             self._fn_cache.clear()
         self._scene = scene
         self._layout = layout
@@ -261,11 +263,26 @@ class Renderer:
                 self._fn_cache[key] = self._build_frame_fn()
             self._frame_fn = self._fn_cache[key]
 
+    def _shadow_inputs_key(self, scene: GpuScene) -> tuple:
+        """Identity key over everything the shadow pass reads: geometry,
+        object transforms, and the light matrices. Camera/material/light-
+        color updates don't appear here, so camera-only frames (the orbit
+        and fly demos) reuse the cached map."""
+        return (
+            id(scene.positions), id(scene.tris), id(scene.models),
+            id(scene.light_space_matrix), id(scene.csm_matrices),
+        )
+
     def _run_frame(self, scene: GpuScene):
         """The per-frame dispatch: shadow jit feeds the forward jit (both
-        async; XLA orders them by dataflow)."""
+        async; XLA orders them by dataflow). The shadow map re-renders only
+        when its inputs changed (geometry/transforms/light) — the static-
+        scene shadow cache every production engine keeps."""
         if self._needs_shadow():
-            return self._frame_fn(scene, self._shadow_fn(scene))
+            key = self._shadow_inputs_key(scene)
+            if self._shadow_cache is None or self._shadow_cache[0] != key:
+                self._shadow_cache = (key, self._shadow_fn(scene))
+            return self._frame_fn(scene, self._shadow_cache[1])
         return self._frame_fn(scene)
 
     def precompile_buckets(self) -> None:

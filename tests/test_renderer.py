@@ -192,3 +192,40 @@ def test_frame_manager_uses_fences():
     assert out is not None
     assert fence.is_signaled()
     r.wait_idle()
+
+
+def test_shadow_map_cached_across_camera_updates():
+    """The shadow map re-renders only when its inputs (geometry/transforms/
+    light) change — camera-only updates reuse the cached map; an object
+    transform update invalidates it."""
+    from renderer_rs_tpu.app.scenes import full_scene
+    from renderer_rs_tpu.platform.window import Window
+    from renderer_rs_tpu.renderer.renderer import Renderer
+    from renderer_rs_tpu.scene.camera import Camera, Projection
+    import math
+
+    w, h = 64, 48
+    scene, layout, kwargs, _ = full_scene(w, h, tri_budget=200, ibl=False)
+    cam = kwargs.pop("camera")
+    kwargs["shadow_map_size"] = 64
+    window = Window(w, h, "test")
+    r = Renderer(window, RendererConfig(width=w, height=h, backend="cpu"), **kwargs)
+    r.set_scene(scene, layout)
+    r.render_frame(present=False)
+    cache0 = r._shadow_cache
+    assert cache0 is not None
+
+    # camera-only update: cache reused (same object identity)
+    cam.position = np.array([1.0, 3.0, 4.0], np.float32)
+    cam.look_at([0.0, 0.0, 0.0])
+    r.camera = cam
+    r.update_camera(cam)
+    r.render_frame(present=False)
+    assert r._shadow_cache is cache0
+
+    # transform update: shadow inputs changed -> re-render
+    s2 = r._scene.replace(models=r._scene.models * 1.0)  # new array identity
+    r.update_scene(s2)
+    r.render_frame(present=False)
+    assert r._shadow_cache is not cache0
+    r.wait_idle()
