@@ -345,24 +345,29 @@ def sample_cubemap_lod(mips: tuple, d: jnp.ndarray, lod: jnp.ndarray) -> jnp.nda
 
 # --- texture-array window atlas (implicit-LOD trilinear in TWO gathers) --------
 
-def _array_window_flat(level: jnp.ndarray, wrap_u: WrapMode, wrap_v: WrapMode):
+def _array_window_flat(level, wrap_u: WrapMode, wrap_v: WrapMode):
     """Pack one texture-array level [N,H,W,C] into a flat [N*H*W, 4C]
     2x2-window table honoring the wrap mode (REPEAT rolls, CLAMP repeats the
-    edge), so any bilinear footprint is ONE row."""
+    edge), so any bilinear footprint is ONE row. Host-side numpy: a one-time
+    build step (eager device ops would each pay the remote-compile hop)."""
+    import numpy as np
+
+    level = np.asarray(level)
+
     def shift_w(a):
         if wrap_u == WrapMode.REPEAT:
-            return jnp.roll(a, -1, axis=2)
-        return jnp.concatenate([a[:, :, 1:], a[:, :, -1:]], axis=2)
+            return np.roll(a, -1, axis=2)
+        return np.concatenate([a[:, :, 1:], a[:, :, -1:]], axis=2)
 
     def shift_h(a):
         if wrap_v == WrapMode.REPEAT:
-            return jnp.roll(a, -1, axis=1)
-        return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+            return np.roll(a, -1, axis=1)
+        return np.concatenate([a[:, 1:], a[:, -1:]], axis=1)
 
     right = shift_w(level)
     down = shift_h(level)
     downright = shift_w(down)
-    window = jnp.concatenate([level, right, down, downright], axis=-1)
+    window = np.concatenate([level, right, down, downright], axis=-1)
     n, h, w, c4 = window.shape
     return window.reshape(n * h * w, c4)
 
@@ -374,6 +379,8 @@ def build_array_atlas(
     texture-array levels. Done once at scene build — keeps the window
     packing out of the per-frame jit (mirrors the cubemap mip atlas,
     ops/sampling.sample_cubemap_lod)."""
+    import numpy as np
+
     tables = [_array_window_flat(m, sampler.wrap_u, sampler.wrap_v) for m in mips]
     sizes, offsets, off = [], [], 0
     for m in mips:
@@ -381,7 +388,7 @@ def build_array_atlas(
         offsets.append(off)
         off += m.shape[0] * m.shape[1] * m.shape[2]
     return (
-        jnp.concatenate(tables, axis=0),
+        jnp.asarray(np.concatenate(tables, axis=0)),
         jnp.asarray(offsets, jnp.int32),
         jnp.asarray(sizes, jnp.int32),
     )

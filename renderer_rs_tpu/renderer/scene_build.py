@@ -261,22 +261,24 @@ class SceneBuilder:
             if img.shape[0] != size or img.shape[1] != size:
                 img = _resize_bilinear(img, size, size)
             arrs.append(img)
-        stack = jnp.asarray(np.stack(arrs))  # [N,S,S,4]
-        # per-level mips of the whole array
-        mips = [stack]
-        while mips[-1].shape[1] > 1:
-            lvl = mips[-1]
+        stack = np.stack(arrs).astype(np.float32)  # [N,S,S,4]
+        # per-level mips of the whole array — host numpy (a one-time build
+        # step; eager device ops would each pay the remote-compile hop)
+        mips_np = [stack]
+        while mips_np[-1].shape[1] > 1:
+            lvl = mips_np[-1]
             h, w = lvl.shape[1] & ~1, lvl.shape[2] & ~1
             lvl = lvl[:, :h, :w]
-            mips.append(
+            mips_np.append(
                 (lvl[:, 0::2, 0::2] + lvl[:, 1::2, 0::2] + lvl[:, 0::2, 1::2] + lvl[:, 1::2, 1::2])
                 * 0.25
             )
         from renderer_rs_tpu.ops.sampling import build_array_atlas
 
-        atlas, offsets, sizes = build_array_atlas(tuple(mips))
+        atlas, offsets, sizes = build_array_atlas(tuple(mips_np))
+        mips = tuple(jnp.asarray(m) for m in mips_np)
         self._textures = TextureArrays(
-            mips=tuple(mips), atlas=atlas, atlas_offsets=offsets, atlas_sizes=sizes
+            mips=mips, atlas=atlas, atlas_offsets=offsets, atlas_sizes=sizes
         )
         return self
 
