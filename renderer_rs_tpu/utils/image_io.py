@@ -17,23 +17,24 @@ def framebuffer_to_u8(fb, srgb_encode: bool = True) -> np.ndarray:
     """Convert a linear [H,W,3|4] float framebuffer to uint8.
 
     srgb_encode applies the exact IEC transfer curve — what the hardware does
-    on store to an _SRGB attachment.
+    on store to an _SRGB attachment. Host-side numpy (this IS the readback
+    boundary): the same formula as ops/srgb.linear_to_srgb, without paying
+    per-op device dispatch on the present path.
     """
-    import jax.numpy as jnp
-
-    from renderer_rs_tpu.ops.srgb import linear_to_srgb
-
-    fb = jnp.asarray(fb)
+    fb = np.asarray(fb, np.float32)
     rgb = fb[..., :3]
     if srgb_encode:
-        rgb = linear_to_srgb(rgb)
-    rgb = jnp.clip(rgb, 0.0, 1.0)
+        lin = np.clip(rgb, 0.0, 1.0)
+        lo = lin * 12.92
+        hi = 1.055 * np.power(lin, np.float32(1.0 / 2.4)) - 0.055
+        rgb = np.where(lin <= 0.0031308, lo, hi).astype(np.float32)
+    rgb = np.clip(rgb, 0.0, 1.0)
     if fb.shape[-1] == 4:
-        a = jnp.clip(fb[..., 3:4], 0.0, 1.0)
-        out = jnp.concatenate([rgb, a], axis=-1)
+        a = np.clip(fb[..., 3:4], 0.0, 1.0)
+        out = np.concatenate([rgb, a], axis=-1)
     else:
         out = rgb
-    return np.asarray(jnp.round(out * 255.0).astype(jnp.uint8))
+    return np.round(out * 255.0).astype(np.uint8)
 
 
 def _native_png():
