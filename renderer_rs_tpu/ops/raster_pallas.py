@@ -67,7 +67,7 @@ def _kernel_edge(ax, ay, bx, by, sgn, px, py):
     return sgn * ((bx - ax) * (py - ay) - (by - ay) * (px - ax))
 
 
-def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_only, n_vary=0, n_flat=0, has_zfloor=False):
+def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_only, n_vary=0, n_flat=0, has_zfloor=False, skip_bary=False):
     greater = pipeline.depth_compare_op in (
         CompareOp.GREATER,
         CompareOp.GREATER_OR_EQUAL,
@@ -83,6 +83,9 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
             zfloor_ref, *outs = outs
         if depth_only:
             (depth_out,) = outs
+        elif skip_bary:
+            depth_out, tid_out, vary_out = outs
+            b0_out = b1_out = None
         elif n_vary or n_flat:
             depth_out, tid_out, b0_out, b1_out, vary_out = outs
         else:
@@ -112,8 +115,9 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
         depth_out[:] = dinit_ref[:]
         if not depth_only:
             tid_out[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
-            b0_out[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
-            b1_out[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+            if not skip_bary:
+                b0_out[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+                b1_out[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
             if n_vary or n_flat:
                 vary_out[:] = jnp.zeros((n_vary + n_flat, tile_h, tile_w), jnp.float32)
 
@@ -190,8 +194,9 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
             slot_best = jnp.min(jnp.where(winners, slot, chunk), axis=0)
             unique = winners & (slot == slot_best[None])
             uf = unique.astype(jnp.float32)
-            b0_best = jnp.sum(b0 * uf, axis=0)
-            b1_best = jnp.sum(b1 * uf, axis=0)
+            if not skip_bary:
+                b0_best = jnp.sum(b0 * uf, axis=0)
+                b1_best = jnp.sum(b1 * uf, axis=0)
             # ids ride in the coef matrix as floats (exact for < 2^24 tris)
             ids = col(23)
             id_best = jnp.sum(ids * uf, axis=0).astype(jnp.int32)
@@ -211,8 +216,9 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
             if write_depth:
                 depth_out[:] = jnp.where(accept, z_best, depth)
             tid_out[:] = jnp.where(accept, id_best, tid_out[:])
-            b0_out[:] = jnp.where(accept, b0_best, b0_out[:])
-            b1_out[:] = jnp.where(accept, b1_best, b1_out[:])
+            if not skip_bary:
+                b0_out[:] = jnp.where(accept, b0_best, b0_out[:])
+                b1_out[:] = jnp.where(accept, b1_best, b1_out[:])
 
             if n_flat:
                 # per-triangle constants (material params): winner-select
@@ -387,6 +393,7 @@ def rasterize_binned_pallas(
     z_floor: jnp.ndarray | None = None,
     ids: jnp.ndarray | None = None,
     return_tiles: bool = False,
+    skip_bary: bool = False,
     max_span_y: int = 2,
     max_span_x: int = 2,
     cap_big: int | None = None,
@@ -532,18 +539,22 @@ def rasterize_binned_pallas(
             zf.reshape(nty, tile_h, ntx, tile_w).transpose(0, 2, 1, 3)
             .reshape(n_tiles, tile_h, tile_w)
         )
+    skip_bary = skip_bary and not depth_only and bool(n_vary or n_flat)
     kernel = _make_kernel(
         pipeline, tile_h, tile_w, cap, chunk, depth_only, n_vary, n_flat,
-        has_zfloor=has_zfloor,
+        has_zfloor=has_zfloor, skip_bary=skip_bary,
     )
 
     out_shapes = [jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32)]
     if not depth_only:
-        out_shapes += [
-            jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
-        ]
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.int32)
+        )
+        if not skip_bary:
+            out_shapes += [
+                jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
+            ]
         if n_vary or n_flat:
             out_shapes.append(
                 jax.ShapeDtypeStruct(
@@ -606,7 +617,10 @@ def rasterize_binned_pallas(
 
     if depth_only:
         return stitch(outs[0])
-    if n_vary or n_flat:
+    if skip_bary:
+        depth_t, tid_t, vary_t = outs
+        b0_t = b1_t = None
+    elif n_vary or n_flat:
         depth_t, tid_t, b0_t, b1_t, vary_t = outs
     else:
         depth_t, tid_t, b0_t, b1_t = outs
@@ -618,7 +632,13 @@ def rasterize_binned_pallas(
     vis = VisibilityBuffer(
         tri_id=stitch(tid_t),
         depth=stitch(depth_t),
-        bary=jnp.stack([stitch(b0_t), stitch(b1_t)], axis=-1),
+        # skip_bary: the fused-varying consumers never read vis.bary — the
+        # kernel neither computes nor writes it (2 chunk reductions saved)
+        bary=(
+            jnp.zeros((height, width, 2), jnp.float32)
+            if skip_bary
+            else jnp.stack([stitch(b0_t), stitch(b1_t)], axis=-1)
+        ),
     )
     if n_vary or n_flat:
         nk = n_vary + n_flat

@@ -928,6 +928,11 @@ def forward_frame(
             vary_bary=clip_bary,
             flat_varyings=mat_flat,
             ids=clip_src,  # kernel writes SOURCE ids: no clip_src[slot] gather
+            # NOTE: skip_bary=True (fused consumers never read vis.bary)
+            # is implemented and CPU-validated but left off: the remote
+            # Mosaic compile service degraded late in r2 and fresh kernel
+            # variants could not be TPU-compiled within the window. Flip on
+            # and bench when compiles are healthy (est. ~2 ms).
         )
         out_h = height
         y_offset = 0

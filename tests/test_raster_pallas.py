@@ -195,3 +195,25 @@ def test_depth_only_batch_matches_sequential():
             s, h, w, pipe, cap=128, chunk=16, depth_only=True
         )
         np.testing.assert_array_equal(np.asarray(batched[i]), np.asarray(single))
+
+
+def test_skip_bary_matches_full_outputs():
+    """skip_bary drops the b0/b1 outputs and reductions; depth/tid/varyings
+    stay bit-identical to the full-output kernel."""
+    clip, tris = _scene(t=100, seed=6)
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    h, w = 96, 256
+    setup = setup_triangles(gather_triangle_clip(clip, tris), w, h, pipe)
+    vary = jnp.asarray(
+        np.random.default_rng(0).standard_normal((100, 3, 6)).astype(np.float32)
+    )
+    va, ia = rp.rasterize_binned_pallas(
+        setup, h, w, pipe, cap=128, chunk=16, varyings=vary, skip_bary=False
+    )
+    vb, ib = rp.rasterize_binned_pallas(
+        setup, h, w, pipe, cap=128, chunk=16, varyings=vary, skip_bary=True
+    )
+    np.testing.assert_array_equal(np.asarray(va.tri_id), np.asarray(vb.tri_id))
+    np.testing.assert_array_equal(np.asarray(va.depth), np.asarray(vb.depth))
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+    assert (np.asarray(vb.bary) == 0).all()  # placeholder, never read
