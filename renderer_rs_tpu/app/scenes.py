@@ -264,18 +264,35 @@ def full_scene(
         builder.set_shadow_matrix(
             directional_light_matrix(jnp.asarray(sun_dir), jnp.zeros(3), 7.0)
         )
-    sky = procedural_sky_cubemap(64, sun_direction=tuple(sun_dir))
+    import jax as _jax
+
     if ibl:
-        # one-time jitted precompute programs (≙ the reference's compute
-        # shader dispatches, SURVEY.md §2.8)
-        sky_mips = CubeMap.from_faces(sky, generate_mips=True).mips
+        # the one-time precompute chain (≙ the reference's compute shader
+        # dispatches, SURVEY.md §2.8) as ONE jitted program: eager op-by-op
+        # execution pays the remote-compile hop per op on the TPU backend
+        # (CLAUDE.md gotchas) — a single cached executable does not.
+        @_jax.jit
+        def _build_env():
+            sky = procedural_sky_cubemap(64, sun_direction=tuple(sun_dir))
+            sky_mips = CubeMap.from_faces(sky, generate_mips=True).mips
+            return (
+                sky,
+                irradiance_map(sky, size=16),
+                prefilter_map(sky_mips, base_size=32, levels=5, samples=32),
+                brdf_lut(64, samples=256, chunk=64),
+            )
+
+        sky, irr, pref, lut = _build_env()
         env = Environment(
             skybox_mips=(sky,),
-            irradiance_mips=(irradiance_map(sky, size=16),),
-            prefiltered_mips=prefilter_map(sky_mips, base_size=32, levels=5, samples=32),
-            brdf_lut=brdf_lut(64, samples=256, chunk=64),
+            irradiance_mips=(irr,),
+            prefiltered_mips=pref,
+            brdf_lut=lut,
         )
     else:
+        sky = _jax.jit(
+            lambda: procedural_sky_cubemap(64, sun_direction=tuple(sun_dir))
+        )()
         env = Environment(skybox_mips=(sky,))
     builder.set_environment(env)
     scene, layout, pipeline = cb.build_scene(builder)

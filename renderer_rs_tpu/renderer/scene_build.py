@@ -78,15 +78,26 @@ def finalize_environment(env: Environment) -> Environment:
     """
     if env.irradiance_mips is None or env.prefiltered_mips is None:
         return env
+    import jax
+
     from renderer_rs_tpu.ops.ibl import sh9_project_cubemap
     from renderer_rs_tpu.ops.sampling import (
         _cube_window_flat,
         build_cube_trilinear_atlas,
     )
 
-    sh = sh9_project_cubemap(env.irradiance_mips[0])
     segments = list(env.prefiltered_mips) + [env.skybox_mips[0]]
-    atlas = jnp.concatenate([_cube_window_flat(m) for m in segments], axis=0)
+
+    # one jitted program for the device-side finalize work (eager ops pay
+    # the remote-compile hop per op on the TPU backend)
+    @jax.jit
+    def _fin(irr0, segs):
+        return (
+            sh9_project_cubemap(irr0),
+            jnp.concatenate([_cube_window_flat(m) for m in segs], axis=0),
+        )
+
+    sh, atlas = _fin(env.irradiance_mips[0], tuple(segments))
     sizes, offsets, off = [], [], 0
     for m in segments:
         sizes.append(m.shape[1])
