@@ -131,7 +131,7 @@ def bin_triangles(
     = 64x256 px at the default tile shape, which covers everything but
     floors/skyquads) expand into (tile, tri) pairs and are sorted into
     per-tile segments; larger triangles go through a dense side list of up
-    to cap_big entries (default scales as max(64, T/32)) that is merged per
+    to cap_big entries (default scales as max(64, T/256)) that is merged per
     tile. Lists stay sorted by triangle id, so results are identical to
     bin_triangles_dense (same membership, same order) — asserted by tests.
 

@@ -302,6 +302,10 @@ def rasterize_depth_only_batch(
     """
     n_batch = len(setups)
     t = setups[0].num_triangles
+    assert all(s.num_triangles == t for s in setups), (
+        "rasterize_depth_only_batch: all setups must share a triangle count "
+        "(the per-slot coefficient tables and bin padding are sized by it)"
+    )
     cap = min(cap, max(t, chunk))
     cap = _cdiv(cap, chunk) * chunk
 

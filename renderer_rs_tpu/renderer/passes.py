@@ -863,6 +863,12 @@ def forward_frame(
         and tonemap in ("aces", "reinhard", "none")
     )
 
+    if stencil is not None and band is not None:
+        raise ValueError(
+            "forward_frame: stencil and band sharding cannot combine (the "
+            "stencil state machine runs on the full-frame scan path)"
+        )
+    y_stride = 1  # overwritten by the band branch; read by sky/env paths
     ids_are_source = False
     fused_materials = False
     if peel:

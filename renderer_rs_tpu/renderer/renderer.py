@@ -267,10 +267,15 @@ class Renderer:
         """Identity key over everything the shadow pass reads: geometry,
         object transforms, and the light matrices. Camera/material/light-
         color updates don't appear here, so camera-only frames (the orbit
-        and fly demos) reuse the cached map."""
+        and fly demos) reuse the cached map.
+
+        The key holds the array OBJECTS (compared with `is`), not id()s:
+        the cache keeping the references alive is what makes the identity
+        test sound — a freed array's id() can be reused by a new allocation
+        after two scene swaps, which would serve a stale shadow map."""
         return (
-            id(scene.positions), id(scene.tris), id(scene.models),
-            id(scene.light_space_matrix), id(scene.csm_matrices),
+            scene.positions, scene.tris, scene.models,
+            scene.light_space_matrix, scene.csm_matrices,
         )
 
     def _run_frame(self, scene: GpuScene):
@@ -280,7 +285,9 @@ class Renderer:
         scene shadow cache every production engine keeps."""
         if self._needs_shadow():
             key = self._shadow_inputs_key(scene)
-            if self._shadow_cache is None or self._shadow_cache[0] != key:
+            if self._shadow_cache is None or not all(
+                a is b for a, b in zip(self._shadow_cache[0], key)
+            ):
                 self._shadow_cache = (key, self._shadow_fn(scene))
             return self._frame_fn(scene, self._shadow_cache[1])
         return self._frame_fn(scene)

@@ -229,3 +229,46 @@ def test_shadow_map_cached_across_camera_updates():
     r.render_frame(present=False)
     assert r._shadow_cache is not cache0
     r.wait_idle()
+
+
+def test_shadow_cache_survives_reallocation_races():
+    """The cache key must hold the scene arrays themselves (compared by
+    `is`), not their id()s: after TWO scene swaps between renders the first
+    replacement is garbage-collected and CPython may hand a new array the
+    same id(), which an id()-tuple key would mis-read as a cache hit
+    (ADVICE r2). Holding the references makes id reuse impossible; this
+    exercises that path and asserts both invalidation and reuse still work."""
+    import gc
+
+    from renderer_rs_tpu.app.scenes import full_scene
+    from renderer_rs_tpu.platform.window import Window
+    from renderer_rs_tpu.renderer.renderer import Renderer
+
+    w, h = 64, 48
+    scene, layout, kwargs, _ = full_scene(w, h, tri_budget=200, ibl=False)
+    kwargs.pop("camera", None)
+    kwargs["shadow_map_size"] = 64
+    window = Window(w, h, "test")
+    r = Renderer(window, RendererConfig(width=w, height=h, backend="cpu"), **kwargs)
+    r.set_scene(scene, layout)
+    r.render_frame(present=False)
+    cache0 = r._shadow_cache
+    assert cache0 is not None
+    map0 = np.asarray(cache0[1])
+
+    # two geometry swaps between renders: the intermediate dies unseen
+    r.update_scene(r._scene.replace(models=r._scene.models + 0.5))
+    gc.collect()
+    moved = r._scene.models + 0.5  # net +1.0 vs the cached render
+    r.update_scene(r._scene.replace(models=moved))
+    gc.collect()
+    r.render_frame(present=False)
+    r.wait_idle()
+    assert r._shadow_cache is not cache0
+    assert not np.allclose(np.asarray(r._shadow_cache[1]), map0)
+
+    # unchanged inputs across a further frame: still a cache hit
+    cache1 = r._shadow_cache
+    r.render_frame(present=False)
+    assert r._shadow_cache is cache1
+    r.wait_idle()
