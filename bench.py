@@ -1,8 +1,20 @@
 """Benchmark: the BASELINE.json headline metric on one chip.
 
-Renders the full-frame config (shadow-mapped sun + PBR + skybox + ACES
-tonemap, ~100k triangles) at 1080p on the default backend (the real TPU
-under the driver) and reports FPS / Mtri/s / Mpix/s.
+Renders the full-frame config at 1080p/100k tris on the default backend
+(the real TPU under the driver) and reports FPS / Mtri/s / Mpix/s.
+
+The HEADLINE number is the TEXTURED scene — BASELINE.json configs[4] and
+the north star name a "textured PBR glTF scene" (5-slot 256² PBR maps,
+app/scenes.full_scene(textured=True)); the untextured variant rides along
+as a secondary field. Also reported (VERDICT r2 items 8-9):
+
+- truncated_bins: raster bins whose triangle list exceeded the density cap
+  on the forward + shadow passes (silent-geometry-dropout telemetry; must
+  be 0 on the flagship scenes).
+- checksum drift guard: mean |linear HDR| of the textured frame vs the
+  committed reference in bench_ref.json (catches Mosaic/remote-compile
+  numeric drift the run it happens). Regenerate intentionally with
+  BENCH_REGEN_REF=1 after visual-affecting changes.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the north
 star is 60 FPS at this workload, so vs_baseline = fps / 60.
@@ -19,69 +31,149 @@ import sys
 import time
 
 
+def _bench_frame(frame, scene, frames):
+    out = frame(scene)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        out = frame(scene)
+    out.block_until_ready()
+    return frames / (time.perf_counter() - t0), out
+
+
 def main() -> int:
     width, height = (1920, 1080)
     tri_budget = 100_000
     frames = int(os.environ.get("BENCH_FRAMES", "16"))
-    if os.environ.get("BENCH_SMALL"):  # quick CPU smoke
+    small = bool(os.environ.get("BENCH_SMALL"))
+    if small:  # quick CPU smoke
         width, height, tri_budget, frames = 320, 240, 5_000, 4
 
     import jax
 
-    if os.environ.get("BENCH_SMALL"):
+    if small:
         # force the CPU backend (the axon sitecustomize overrides
         # JAX_PLATFORMS, so the env var alone does not stick)
         jax.config.update("jax_platforms", "cpu")
     # persistent compile cache: repeated bench/profile runs skip the
     # 50-80s remote-compile hop for unchanged programs
+    repo = os.path.dirname(os.path.abspath(__file__))
     jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
+        "jax_compilation_cache_dir", os.path.join(repo, ".jax_cache_tpu")
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    import jax.numpy as jnp
+
     from renderer_rs_tpu.app.scenes import full_scene
-    from renderer_rs_tpu.renderer.passes import forward_frame
+    from renderer_rs_tpu.ops.clip import clip_triangles_near
+    from renderer_rs_tpu.ops.raster import gather_triangle_clip, setup_triangles
+    from renderer_rs_tpu.renderer.passes import (
+        _binned_cap,
+        forward_frame,
+        shadow_vertex_stage,
+        vertex_stage,
+    )
     from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
 
-    scene, layout, kwargs, _ = full_scene(width, height, tri_budget=tri_budget)
     pipeline = GraphicsPipelineBuilder().build()
-    shading = kwargs["shading"]
+    result = {}
+    fps_by_kind = {}
+    out_tex = None
+    scene_tex = layout_tex = kwargs_tex = None
+    for kind, textured in (("textured", True), ("untextured", False)):
+        scene, layout, kwargs, _ = full_scene(
+            width, height, tri_budget=tri_budget, textured=textured
+        )
+        shading = kwargs["shading"]
+
+        def frame(s, layout=layout, kwargs=kwargs, shading=shading):
+            return forward_frame(
+                s, layout, pipeline, shading, width, height,
+                tonemap=kwargs.get("tonemap", "aces"),
+                shadow_map_size=kwargs.get("shadow_map_size", 1024),
+                shadow_params=kwargs.get("shadow_params"),
+            )
+
+        t0 = time.perf_counter()
+        fps, out = _bench_frame(jax.jit(frame), scene, frames)
+        fps_by_kind[kind] = fps
+        if textured:
+            result["compile_s"] = round(time.perf_counter() - t0, 2)
+            out_tex = out
+            scene_tex, layout_tex, kwargs_tex = scene, layout, kwargs
+
+    # --- deviation telemetry: density-cap truncation on both passes --------
+    sm = kwargs_tex.get("shadow_map_size", 1024)
 
     @jax.jit
-    def frame(s):
-        return forward_frame(
-            s, layout, pipeline, shading, width, height,
-            tonemap=kwargs.get("tonemap", "aces"),
-            shadow_map_size=kwargs.get("shadow_map_size", 1024),
+    def truncation(s):
+        from renderer_rs_tpu.ops.raster_pallas import _bin_sub
+
+        vs = vertex_stage(s, layout_tex)
+        tri_clip = gather_triangle_clip(vs.clip, s.tris)
+        tri_clip, clip_valid, _, _ = clip_triangles_near(tri_clip)
+        setup = setup_triangles(
+            tri_clip, width, height, pipeline, tri_valid=clip_valid
+        )
+        cap_f = _binned_cap(2 * layout_tex.num_triangles, height, width, tile_h=8)
+        _, counts_f, _, _ = _bin_sub(setup, height, width, 32, 128, 8, cap_f)
+        sclip = shadow_vertex_stage(s, layout_tex)
+        ssetup = setup_triangles(
+            gather_triangle_clip(sclip, s.tris), sm, sm, pipeline
+        )
+        cap_s = _binned_cap(layout_tex.num_triangles, sm, sm, tile_h=8)
+        _, counts_s, _, _ = _bin_sub(ssetup, sm, sm, 32, 128, 8, cap_s)
+        return (
+            jnp.sum((counts_f > cap_f).astype(jnp.int32)),
+            jnp.max(counts_f),
+            jnp.sum((counts_s > cap_s).astype(jnp.int32)),
+            jnp.max(counts_s),
         )
 
-    t0 = time.perf_counter()
-    out = frame(scene)
-    out.block_until_ready()
-    compile_s = time.perf_counter() - t0
+    tf, mf, ts, ms = (int(x) for x in truncation(scene_tex))
 
-    # timed run: async submit all, block on the last (the frame-manager
-    # pipelining pattern, ≙ frames-in-flight)
-    t0 = time.perf_counter()
-    for _ in range(frames):
-        out = frame(scene)
-    out.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    # --- numeric drift guard -----------------------------------------------
+    check = float(jnp.mean(jnp.abs(out_tex)))
+    ref_path = os.path.join(repo, "bench_ref.json")
+    checksum_status = "no_reference"
+    if small:
+        checksum_status = "skipped_small"
+    elif os.environ.get("BENCH_REGEN_REF") or not os.path.exists(ref_path):
+        with open(ref_path, "w") as f:
+            json.dump({"mean_abs_textured_1080p": check}, f)
+        checksum_status = "reference_written"
+    else:
+        ref = json.load(open(ref_path))["mean_abs_textured_1080p"]
+        drift = abs(check - ref) / max(abs(ref), 1e-9)
+        checksum_status = "ok" if drift < 5e-3 else f"DRIFT {drift:.4f} vs {ref:.6f}"
 
-    fps = frames / elapsed
-    tris = layout.num_triangles
-    result = {
-        "metric": "full_frame_fps",
-        "value": round(fps, 3),
-        "unit": f"frames/sec @ {width}x{height}, {tris} tris, shadow+PBR+sky+ACES",
-        "vs_baseline": round(fps / 60.0, 4),
-        "mtri_per_s": round(fps * tris / 1e6, 3),
-        "mpix_per_s": round(fps * width * height / 1e6, 2),
-        "frame_ms": round(1000.0 / fps, 2),
-        "compile_s": round(compile_s, 2),
-        "device": str(jax.devices()[0]),
-    }
+    fps = fps_by_kind["textured"]
+    tris = layout_tex.num_triangles
+    result.update(
+        {
+            "metric": "full_frame_fps_textured",
+            "value": round(fps, 3),
+            "unit": (
+                f"frames/sec @ {width}x{height}, {tris} tris, 5-slot 256^2 "
+                "PBR textures, shadow+PBR+IBL+sky+ACES"
+            ),
+            "vs_baseline": round(fps / 60.0, 4),
+            "untextured_fps": round(fps_by_kind["untextured"], 3),
+            "mtri_per_s": round(fps * tris / 1e6, 3),
+            "mpix_per_s": round(fps * width * height / 1e6, 2),
+            "frame_ms": round(1000.0 / fps, 2),
+            "truncated_bins": {
+                "forward": tf,
+                "forward_max_count": mf,
+                "shadow": ts,
+                "shadow_max_count": ms,
+            },
+            "checksum": round(check, 6),
+            "checksum_status": checksum_status,
+            "device": str(jax.devices()[0]),
+        }
+    )
     print(json.dumps(result))
     return 0
 

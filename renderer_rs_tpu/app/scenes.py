@@ -206,11 +206,17 @@ def full_scene(
     tri_budget: int = 100_000,
     ibl: bool = True,
     csm: bool = False,
+    textured: bool = False,
 ):
     """Config 4: shadow-mapped sun + HDR environment IBL + skybox + ACES
     tonemap at a given triangle budget (default 100k, the north-star
     workload). ibl=True runs the one-time IBL precompute chain (irradiance
-    convolution, GGX prefilter, BRDF LUT) over the procedural HDR sky."""
+    convolution, GGX prefilter, BRDF LUT) over the procedural HDR sky.
+
+    textured=True binds a full 5-slot 256² PBR texture set (procedural
+    base/normal/MR/AO/emissive, meshgen.procedural_pbr_textures) to every
+    material — the BASELINE.json configs[4] "textured PBR glTF scene"
+    workload the headline bench must measure (VERDICT r2 item 2)."""
     from renderer_rs_tpu.ops.ibl import (
         brdf_lut,
         irradiance_map,
@@ -229,12 +235,32 @@ def full_scene(
     pipeline = GraphicsPipelineBuilder().build()
     cb = CommandBuffer().begin().bind_pipeline(pipeline).set_viewport(width, height)
     builder = SceneBuilder()
+    tex_kw = {}
+    if textured:
+        # one shared 5-slot set; per-material FACTORS still vary across the
+        # grid (texture x factor, model_pbr.hlsl:205-245 semantics)
+        maps = meshgen.procedural_pbr_textures(256)
+        builder.set_textures(
+            [
+                maps["base_color"], maps["normal"], maps["metallic_roughness"],
+                maps["occlusion"], maps["emissive"],
+            ]
+        )
+        tex_kw = dict(
+            base_color_texture=0,
+            normal_texture=1,
+            metallic_roughness_texture=2,
+            occlusion_texture=3,
+            emissive_texture=4,
+            emissive=(1.0, 1.0, 1.0, 0.0),  # emissive factor gates the map
+        )
     for i in range(n):
         for j in range(n):
             mat = Material(
                 base_color=(0.85, 0.3, 0.2, 1.0),
                 metallic=i / max(n - 1, 1),
                 roughness=max(j / max(n - 1, 1), 0.08),
+                **tex_kw,
             )
             tr = (
                 Transform()
@@ -245,7 +271,7 @@ def full_scene(
     cb.draw_mesh(
         meshgen.plane_mesh(12.0),
         Transform(),
-        Material(base_color=(0.55, 0.55, 0.6, 1.0), roughness=0.85),
+        Material(base_color=(0.55, 0.55, 0.6, 1.0), roughness=0.85, **tex_kw),
     )
     cb.end()
     cam = _orbit_camera(width, height, distance=5.0, height_y=3.0, fov=50.0)

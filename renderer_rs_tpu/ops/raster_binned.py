@@ -57,19 +57,40 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _tile_ranges(setup, height, width, tile_h, tile_w, nty, ntx):
-    """Per-triangle inclusive tile AABB ranges + liveness."""
+def _is_banded(y_offset, y_stride) -> bool:
+    """Whether band addressing is active (y_offset may be traced)."""
+    return y_stride != 1 or not (isinstance(y_offset, int) and y_offset == 0)
+
+
+def _tile_ranges(setup, height, width, tile_h, tile_w, nty, ntx,
+                 y_offset=0, y_stride=1):
+    """Per-triangle inclusive tile AABB ranges + liveness.
+
+    Band mode (y_offset/y_stride, multi-chip row sharding): `height` is the
+    BAND height and tiles live in band-row space — band row k covers the
+    physical pixel row y_offset + k*y_stride (_pixel_centers). The mapping
+    uses conservative fractional bounds, so band tile lists are supersets of
+    the covering triangles; coverage math culls exactly. The non-band path
+    keeps the original integer formula (bit-identical membership)."""
     xs = setup.xy[..., 0]  # [T,3]
     ys = setup.xy[..., 1]
     tx0 = jnp.clip(jnp.floor(jnp.min(xs, -1) / tile_w).astype(jnp.int32), 0, ntx - 1)
     tx1 = jnp.clip(jnp.floor(jnp.max(xs, -1) / tile_w).astype(jnp.int32), 0, ntx - 1)
-    ty0 = jnp.clip(jnp.floor(jnp.min(ys, -1) / tile_h).astype(jnp.int32), 0, nty - 1)
-    ty1 = jnp.clip(jnp.floor(jnp.max(ys, -1) / tile_h).astype(jnp.int32), 0, nty - 1)
+    if _is_banded(y_offset, y_stride):
+        yo = jnp.asarray(y_offset, jnp.float32)
+        ky0 = (jnp.min(ys, -1) - 0.5 - yo) / y_stride  # fractional band rows
+        ky1 = (jnp.max(ys, -1) - 0.5 - yo) / y_stride
+        ty0 = jnp.clip(jnp.floor(ky0 / tile_h).astype(jnp.int32), 0, nty - 1)
+        ty1 = jnp.clip(jnp.floor(ky1 / tile_h).astype(jnp.int32), 0, nty - 1)
+        y_on = (ky1 >= 0.0) & (ky0 <= height)
+    else:
+        ty0 = jnp.clip(jnp.floor(jnp.min(ys, -1) / tile_h).astype(jnp.int32), 0, nty - 1)
+        ty1 = jnp.clip(jnp.floor(jnp.max(ys, -1) / tile_h).astype(jnp.int32), 0, nty - 1)
+        y_on = (jnp.max(ys, -1) >= 0.0) & (jnp.min(ys, -1) <= height)
     onscreen = (
         (jnp.max(xs, -1) >= 0.0)
         & (jnp.min(xs, -1) <= width)
-        & (jnp.max(ys, -1) >= 0.0)
-        & (jnp.min(ys, -1) <= height)
+        & y_on
     )
     alive = setup.valid & onscreen
     return tx0, tx1, ty0, ty1, alive
@@ -82,6 +103,8 @@ def bin_triangles_dense(
     tile_h: int,
     tile_w: int,
     cap: int,
+    y_offset=0,
+    y_stride: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray, int, int]:
     """Dense-overlap binning (reference implementation, O(n_tiles*T)).
 
@@ -92,7 +115,7 @@ def bin_triangles_dense(
     t = setup.num_triangles
     nty, ntx = _cdiv(height, tile_h), _cdiv(width, tile_w)
     tx0, tx1, ty0, ty1, alive = _tile_ranges(
-        setup, height, width, tile_h, tile_w, nty, ntx
+        setup, height, width, tile_h, tile_w, nty, ntx, y_offset, y_stride
     )
 
     tile_y = jnp.arange(nty, dtype=jnp.int32)
@@ -124,6 +147,8 @@ def bin_triangles(
     max_span_y: int = 2,
     max_span_x: int = 2,
     cap_big: int | None = None,
+    y_offset=0,
+    y_stride: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray, int, int]:
     """Sort-based binning — O(T·slots·logT) instead of O(n_tiles·T).
 
@@ -149,7 +174,7 @@ def bin_triangles(
         # stay small: the per-tile merge sorts [cap + cap_big] rows
         cap_big = max(64, t // 256)
     tx0, tx1, ty0, ty1, alive = _tile_ranges(
-        setup, height, width, tile_h, tile_w, nty, ntx
+        setup, height, width, tile_h, tile_w, nty, ntx, y_offset, y_stride
     )
 
     span_ok = ((tx1 - tx0) < max_span_x) & ((ty1 - ty0) < max_span_y)
@@ -211,16 +236,18 @@ def bin_triangles(
     # --- merge (both ascending by id; sort of cap+kb keeps global order) ----
     merged = jnp.sort(jnp.concatenate([idx_small, idx_big], axis=-1), axis=-1)
     sorted_idx = merged[:, :cap]
-    sorted_counts = jnp.minimum(
-        counts_small + jnp.sum(big_overlap, axis=-1).astype(jnp.int32), cap
-    )
+    # counts are RAW (uncapped): consumers clamp to cap; the excess is the
+    # truncation telemetry bench.py reports (VERDICT r2 item 9)
+    sorted_counts = counts_small + jnp.sum(big_overlap, axis=-1).astype(jnp.int32)
 
     # --- overflow fallback: side list full -> exact dense binning -----------
     n_big = jnp.sum(big.astype(jnp.int32))
     tri_idx, counts = jax.lax.cond(
         n_big <= kb,
         lambda: (sorted_idx, sorted_counts),
-        lambda: bin_triangles_dense(setup, height, width, tile_h, tile_w, cap)[:2],
+        lambda: bin_triangles_dense(
+            setup, height, width, tile_h, tile_w, cap, y_offset, y_stride
+        )[:2],
     )
     return tri_idx, counts, nty, ntx
 
@@ -284,19 +311,29 @@ def rasterize_binned(
     cap: int = 512,
     chunk: int = 32,
     z_floor: jnp.ndarray | None = None,
+    y_offset=0,
+    y_stride: int = 1,
 ) -> VisibilityBuffer:
     """Binned visibility-buffer rasterization (see module docstring).
 
     z_floor: optional [H,W] per-pixel strict lower bound on candidate depth
     (coverage requires zc > z_floor). The depth-peeling primitive behind
     alpha-cutoff on the fast path (renderer/passes): pass the previously
-    rejected winner's depth to raster the NEXT-nearest layer."""
+    rejected winner's depth to raster the NEXT-nearest layer.
+
+    y_offset/y_stride: band addressing (multi-chip row sharding) — `height`
+    is then the BAND height, band row k shades physical row
+    y_offset + k*y_stride; pixel centers match ops/raster._pixel_centers
+    bit-exactly, so stitched bands equal the full-frame render."""
     assert pipeline.depth_compare_op in BINNED_COMPARE_OPS or not pipeline.depth_test_enable
     t = setup.num_triangles
     cap = min(cap, max(t, chunk))
     cap = _cdiv(cap, chunk) * chunk
 
-    tri_idx, _, nty, ntx = bin_triangles(setup, height, width, tile_h, tile_w, cap)
+    tri_idx, _, nty, ntx = bin_triangles(
+        setup, height, width, tile_h, tile_w, cap,
+        y_offset=y_offset, y_stride=y_stride,
+    )
     n_tiles = nty * ntx
 
     # gather per-tile triangle data [n_tiles, cap, ...]
@@ -345,10 +382,14 @@ def rasterize_binned(
     local_py = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0) + 0.5
     local_px = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1) + 0.5
 
+    yo_f = jnp.asarray(y_offset, jnp.float32)
+
     def tile_fn(tri_ids, xy, z, valid, s, inv_area, d_init, zf_t, ty_i, tx_i):
         # GLOBAL pixel coordinates — bit-identical edge values vs scan path
+        # (band rows remap through y_offset + row*stride; all quantities are
+        # integers < 2^24 so f32 arithmetic order cannot change the value)
         px = local_px + (tx_i * tile_w).astype(jnp.float32)
-        py = local_py + (ty_i * tile_h).astype(jnp.float32)
+        py = (local_py - 0.5 + (ty_i * tile_h).astype(jnp.float32)) * y_stride + 0.5 + yo_f
 
         def body(carry, chunk_slice):
             c_ids, c_xy, c_z, c_valid, c_s, c_inv = chunk_slice

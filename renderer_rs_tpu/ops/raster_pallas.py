@@ -67,7 +67,20 @@ def _kernel_edge(ax, ay, bx, by, sgn, px, py):
     return sgn * ((bx - ax) * (py - ay) - (by - ay) * (px - ax))
 
 
-def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_only, n_vary=0, n_flat=0, has_zfloor=False, skip_bary=False):
+def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_only, n_vary=0, n_flat=0, has_zfloor=False, skip_bary=False, sub_h=None, y_stride=1):
+    """Build the per-tile kernel body.
+
+    Two-level binning (VERDICT r2 item 1): the grid step still covers a
+    [tile_h, tile_w] output tile, but candidates are binned at [sub_h,
+    tile_w] granularity (sub_h rows, default 8 = the f32 sublane tile).
+    The kernel statically unrolls the tile's sub-bins and runs each one's
+    dynamic chunk loop over a [chunk, sub_h, tile_w] slab — candidate x
+    pixel work shrinks ~(tile_h/sub_h)x for small triangles while the
+    per-grid-step fixed costs (output init, stitching) stay amortized over
+    the full tile (binning at tile_h=8 outright was measured SLOWER, r2).
+    `cap` is the per-SUB-BIN candidate budget; slab rows are laid out
+    tile-major, sub-bin-minor so bin b of grid step i sits at
+    (i*n_sub + b) * cap."""
     greater = pipeline.depth_compare_op in (
         CompareOp.GREATER,
         CompareOp.GREATER_OR_EQUAL,
@@ -76,8 +89,12 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
     use_depth_test = pipeline.depth_test_enable
     write_depth = pipeline.depth_write_enable
     big = float("-inf") if greater else float("inf")  # python scalar: no capture
+    if sub_h is None:
+        sub_h = tile_h
+    assert tile_h % sub_h == 0
+    n_sub = tile_h // sub_h
 
-    def kernel(counts_ref, tilepos_ref, coef_hbm, dinit_ref, *outs_and_scratch):
+    def kernel(counts_ref, tilepos_ref, yoff_ref, coef_hbm, dinit_ref, *outs_and_scratch):
         *outs, coef_ref, dma_sem = outs_and_scratch
         if has_zfloor:
             zfloor_ref, *outs = outs
@@ -91,170 +108,203 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
         else:
             depth_out, tid_out, b0_out, b1_out = outs
         i = pl.program_id(0)
-        count = counts_ref[i]
         ty = tilepos_ref[2 * i]
         tx = tilepos_ref[2 * i + 1]
 
-        # Coefficients live in HBM as a flat [n_tiles*cap, 128] matrix
+        # Coefficients live in HBM as a flat [n_bins*cap, 128] matrix
         # (width padded to one lane tile — narrower HBM slices trip Mosaic).
         # Each loop iteration DMAs just its [chunk, 128] slab, so HBM traffic
-        # is proportional to the tile's actual triangle count.
+        # is proportional to the bin's actual triangle count.
 
         # Mosaic iota must be integer-typed; cast to f32 after
-        py = (
-            jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
-            + 0.5
-            + (ty * tile_h).astype(jnp.float32)
+        sub_py = jax.lax.broadcasted_iota(jnp.int32, (sub_h, tile_w), 0).astype(
+            jnp.float32
         )
+        yo_f = yoff_ref[0].astype(jnp.float32)  # band origin (0 full-frame)
         px = (
-            jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+            jax.lax.broadcasted_iota(jnp.int32, (sub_h, tile_w), 1).astype(jnp.float32)
             + 0.5
             + (tx * tile_w).astype(jnp.float32)
         )
 
-        depth_out[:] = dinit_ref[:]
-        if not depth_only:
-            tid_out[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
-            if not skip_bary:
-                b0_out[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
-                b1_out[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
-            if n_vary or n_flat:
-                vary_out[:] = jnp.zeros((n_vary + n_flat, tile_h, tile_w), jnp.float32)
-
-        n_chunks = (count + chunk - 1) // chunk
-
-        def get_dma(slot, j):
-            row0 = i * cap + j * chunk
+        def get_dma(slot, bin_id, j):
+            row0 = bin_id * cap + j * chunk
             return pltpu.make_async_copy(
                 coef_hbm.at[pl.ds(row0, chunk), :],
                 coef_ref.at[slot],
                 dma_sem.at[slot],
             )
 
-        # warm-up: start the first slab
-        @pl.when(n_chunks > 0)
-        def _():
-            get_dma(0, 0).start()
+        for q in range(n_sub):  # static unroll over the tile's sub-bins
+            bin_id = i * n_sub + q
+            count = counts_ref[bin_id]
+            r0, r1 = q * sub_h, (q + 1) * sub_h
+            # band row -> physical row: y_offset + row*stride (+0.5 center);
+            # integers < 2^24, so f32 op order matches _pixel_centers exactly
+            py = (
+                (sub_py + (ty * tile_h + q * sub_h).astype(jnp.float32)) * y_stride
+                + 0.5
+                + yo_f
+            )
+            zf_q = zfloor_ref[r0:r1, :] if has_zfloor else None
 
-        def body(j, _):
-            slot = jax.lax.rem(j, 2)
-            # prefetch the next slab while this one computes (double buffer)
-            @pl.when(j + 1 < n_chunks)
+            n_chunks = (count + chunk - 1) // chunk
+
+            # warm-up: start the sub-bin's first slab
+            @pl.when(n_chunks > 0)
             def _():
-                get_dma(1 - slot, j + 1).start()
+                get_dma(0, bin_id, 0).start()
 
-            get_dma(slot, j).wait()
-            base = j * chunk
-            coefs = coef_ref[slot]  # [chunk, 128], first 24 cols used
+            # The chunk loop carries the sub-bin's accumulators as VALUES
+            # (register-resident); output refs are written ONCE per sub-bin
+            # after the loop. Read-modify-writing ref subviews inside the
+            # loop measured ~13x slower (Mosaic round-trips the view).
+            def body(j, carry, bin_id=bin_id, count=count, n_chunks=n_chunks,
+                     py=py, zf_q=zf_q):
+                slot = jax.lax.rem(j, 2)
+                # prefetch the next slab while this one computes
+                @pl.when(j + 1 < n_chunks)
+                def _():
+                    get_dma(1 - slot, bin_id, j + 1).start()
 
-            def col(k):
-                return coefs[:, k : k + 1].reshape(chunk, 1, 1)
+                get_dma(slot, bin_id, j).wait()
+                base = j * chunk
+                coefs = coef_ref[slot]  # [chunk, 128], first 24 cols used
 
-            shape = (chunk, tile_h, tile_w)
+                def col(k):
+                    return coefs[:, k : k + 1].reshape(chunk, 1, 1)
 
-            def edge_cov(k0):
-                # columns: ax, ay, bx, by, sgn, tl
-                e = _kernel_edge(
-                    col(k0), col(k0 + 1), col(k0 + 2), col(k0 + 3), col(k0 + 4),
-                    px[None], py[None],
-                )
-                tl = jnp.broadcast_to(col(k0 + 5), shape)
-                cov_e = (e > 0.0) | ((e == 0.0) & (tl > 0.5))
-                return e, cov_e
+                shape = (chunk, sub_h, tile_w)
 
-            e0, c0 = edge_cov(0)
-            e1, c1 = edge_cov(6)
-            e2, c2 = edge_cov(12)
-            validf = jnp.broadcast_to(col(22), shape)
-            cov = c0 & c1 & c2 & (validf > 0.5)
-            inv = col(21)
-            b0 = e0 * inv
-            b1 = e1 * inv
-            b2 = 1.0 - b0 - b1
-            zc = b0 * col(18) + b1 * col(19) + b2 * col(20)
-            cov = cov & (zc >= 0.0) & (zc <= 1.0)
-            if has_zfloor:
-                # depth-peeling constraint: only fragments strictly beyond
-                # the previously rejected winner are candidates
-                cov = cov & (zc > zfloor_ref[:][None])
-            # mask candidates beyond the tile's actual count
-            slot = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-            cov = cov & ((base + slot[:, :1, :1]) < count)
-
-            key = jnp.where(cov, zc, big)
-            z_best = jnp.max(key, axis=0) if greater else jnp.min(key, axis=0)
-            depth = depth_out[:]
-            if depth_only:
-                depth_out[:] = (
-                    jnp.maximum(depth, z_best) if greater else jnp.minimum(depth, z_best)
-                )
-                return 0
-            winners = cov & (zc == z_best[None])
-            cov_best = jnp.any(winners, axis=0)
-            slot_best = jnp.min(jnp.where(winners, slot, chunk), axis=0)
-            unique = winners & (slot == slot_best[None])
-            uf = unique.astype(jnp.float32)
-            if not skip_bary:
-                b0_best = jnp.sum(b0 * uf, axis=0)
-                b1_best = jnp.sum(b1 * uf, axis=0)
-            # ids ride in the coef matrix as floats (exact for < 2^24 tris)
-            ids = col(23)
-            id_best = jnp.sum(ids * uf, axis=0).astype(jnp.int32)
-
-            if use_depth_test:
-                if op == CompareOp.LESS:
-                    pass_d = z_best < depth
-                elif op == CompareOp.LESS_OR_EQUAL:
-                    pass_d = z_best <= depth
-                elif op == CompareOp.GREATER:
-                    pass_d = z_best > depth
-                else:
-                    pass_d = z_best >= depth
-                accept = cov_best & pass_d
-            else:
-                accept = cov_best
-            if write_depth:
-                depth_out[:] = jnp.where(accept, z_best, depth)
-            tid_out[:] = jnp.where(accept, id_best, tid_out[:])
-            if not skip_bary:
-                b0_out[:] = jnp.where(accept, b0_best, b0_out[:])
-                b1_out[:] = jnp.where(accept, b1_best, b1_out[:])
-
-            if n_flat:
-                # per-triangle constants (material params): winner-select
-                # only. Column base matches the host packing: inv_w cols
-                # 24..26 and the 3K vary columns exist only when n_vary>0.
-                flat_base = 24 + (3 + 3 * n_vary if n_vary else 0)
-                for k in range(n_flat):
-                    f = jnp.sum(col(flat_base + k) * uf, axis=0)
-                    vary_out[n_vary + k, :, :] = jnp.where(
-                        accept, f, vary_out[n_vary + k, :, :]
+                def edge_cov(k0):
+                    # columns: ax, ay, bx, by, sgn, tl
+                    e = _kernel_edge(
+                        col(k0), col(k0 + 1), col(k0 + 2), col(k0 + 3), col(k0 + 4),
+                        px[None], py[None],
                     )
-            if n_vary:
-                # Fused perspective-correct varyings: interpolate the
-                # winner's attributes in-kernel (they ride the free pad
-                # lanes of the coef slab — zero extra DMA traffic).
-                # columns: 24..26 = inv_w0..2; 27.. = A[vertex v][k]
+                    tl = jnp.broadcast_to(col(k0 + 5), shape)
+                    cov_e = (e > 0.0) | ((e == 0.0) & (tl > 0.5))
+                    return e, cov_e
+
+                e0, c0 = edge_cov(0)
+                e1, c1 = edge_cov(6)
+                e2, c2 = edge_cov(12)
+                validf = jnp.broadcast_to(col(22), shape)
+                cov = c0 & c1 & c2 & (validf > 0.5)
+                inv = col(21)
+                b0 = e0 * inv
+                b1 = e1 * inv
                 b2 = 1.0 - b0 - b1
-                wb0 = b0 * col(24)
-                wb1 = b1 * col(25)
-                wb2 = b2 * col(26)
-                denom = wb0 + wb1 + wb2
-                inv_d = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
-                aw0 = jnp.sum(wb0 * inv_d * uf, axis=0)  # winner's weights
-                aw1 = jnp.sum(wb1 * inv_d * uf, axis=0)
-                aw2 = jnp.sum(wb2 * inv_d * uf, axis=0)
-                for k in range(n_vary):
-                    a0 = jnp.sum(col(27 + 3 * k) * uf, axis=0)
-                    a1 = jnp.sum(col(27 + 3 * k + 1) * uf, axis=0)
-                    a2 = jnp.sum(col(27 + 3 * k + 2) * uf, axis=0)
-                    vk = aw0 * a0 + aw1 * a1 + aw2 * a2
-                    vary_out[k, :, :] = jnp.where(
-                        accept, vk, vary_out[k, :, :]
-                    )
-            return 0
+                zc = b0 * col(18) + b1 * col(19) + b2 * col(20)
+                cov = cov & (zc >= 0.0) & (zc <= 1.0)
+                if has_zfloor:
+                    # depth-peeling constraint: only fragments strictly
+                    # beyond the previously rejected winner are candidates
+                    cov = cov & (zc > zf_q[None])
+                # mask candidates beyond the bin's actual count
+                slot_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                cov = cov & ((base + slot_i[:, :1, :1]) < count)
 
-        jax.lax.fori_loop(0, n_chunks, body, 0)
+                key = jnp.where(cov, zc, big)
+                z_best = jnp.max(key, axis=0) if greater else jnp.min(key, axis=0)
+                if depth_only:
+                    depth = carry
+                    return (
+                        jnp.maximum(depth, z_best)
+                        if greater
+                        else jnp.minimum(depth, z_best)
+                    )
+                depth, tid, b0c, b1c, vary = carry
+                winners = cov & (zc == z_best[None])
+                cov_best = jnp.any(winners, axis=0)
+                slot_best = jnp.min(jnp.where(winners, slot_i, chunk), axis=0)
+                unique = winners & (slot_i == slot_best[None])
+                uf = unique.astype(jnp.float32)
+                if not skip_bary:
+                    b0_best = jnp.sum(b0 * uf, axis=0)
+                    b1_best = jnp.sum(b1 * uf, axis=0)
+                # ids ride in the coef matrix as floats (exact below 2^24)
+                ids = col(23)
+                id_best = jnp.sum(ids * uf, axis=0).astype(jnp.int32)
+
+                if use_depth_test:
+                    if op == CompareOp.LESS:
+                        pass_d = z_best < depth
+                    elif op == CompareOp.LESS_OR_EQUAL:
+                        pass_d = z_best <= depth
+                    elif op == CompareOp.GREATER:
+                        pass_d = z_best > depth
+                    else:
+                        pass_d = z_best >= depth
+                    accept = cov_best & pass_d
+                else:
+                    accept = cov_best
+                if write_depth:
+                    depth = jnp.where(accept, z_best, depth)
+                tid = jnp.where(accept, id_best, tid)
+                if not skip_bary:
+                    b0c = jnp.where(accept, b0_best, b0c)
+                    b1c = jnp.where(accept, b1_best, b1c)
+
+                if n_flat:
+                    # per-triangle constants (material params): winner-
+                    # select only. Column base matches the host packing:
+                    # inv_w cols 24..26 and the 3K vary columns exist only
+                    # when n_vary>0.
+                    flat_base = 24 + (3 + 3 * n_vary if n_vary else 0)
+                    for k in range(n_flat):
+                        f = jnp.sum(col(flat_base + k) * uf, axis=0)
+                        vary = vary.at[n_vary + k].set(
+                            jnp.where(accept, f, vary[n_vary + k])
+                        )
+                if n_vary:
+                    # Fused perspective-correct varyings: interpolate the
+                    # winner's attributes in-kernel (they ride the free pad
+                    # lanes of the coef slab — zero extra DMA traffic).
+                    # columns: 24..26 = inv_w0..2; 27.. = A[vertex v][k]
+                    b2 = 1.0 - b0 - b1
+                    wb0 = b0 * col(24)
+                    wb1 = b1 * col(25)
+                    wb2 = b2 * col(26)
+                    denom = wb0 + wb1 + wb2
+                    inv_d = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
+                    aw0 = jnp.sum(wb0 * inv_d * uf, axis=0)  # winner's weights
+                    aw1 = jnp.sum(wb1 * inv_d * uf, axis=0)
+                    aw2 = jnp.sum(wb2 * inv_d * uf, axis=0)
+                    for k in range(n_vary):
+                        a0 = jnp.sum(col(27 + 3 * k) * uf, axis=0)
+                        a1 = jnp.sum(col(27 + 3 * k + 1) * uf, axis=0)
+                        a2 = jnp.sum(col(27 + 3 * k + 2) * uf, axis=0)
+                        vk = aw0 * a0 + aw1 * a1 + aw2 * a2
+                        vary = vary.at[k].set(jnp.where(accept, vk, vary[k]))
+                return depth, tid, b0c, b1c, vary
+
+            if depth_only:
+                init = dinit_ref[r0:r1, :]
+                depth_out[r0:r1, :] = jax.lax.fori_loop(0, n_chunks, body, init)
+            else:
+                zero = jnp.zeros((sub_h, tile_w), jnp.float32)
+                init = (
+                    dinit_ref[r0:r1, :],
+                    jnp.full((sub_h, tile_w), -1, jnp.int32),
+                    zero,
+                    zero,
+                    (
+                        jnp.zeros((n_vary + n_flat, sub_h, tile_w), jnp.float32)
+                        if (n_vary or n_flat)
+                        else zero[:1]
+                    ),
+                )
+                depth, tid, b0c, b1c, vary = jax.lax.fori_loop(
+                    0, n_chunks, body, init
+                )
+                depth_out[r0:r1, :] = depth
+                tid_out[r0:r1, :] = tid
+                if not skip_bary:
+                    b0_out[r0:r1, :] = b0c
+                    b1_out[r0:r1, :] = b1c
+                if n_vary or n_flat:
+                    vary_out[:, r0:r1, :] = vary
 
     return kernel
 
@@ -280,6 +330,32 @@ def _depth_coef_table(setup: TriangleSetup, t: int) -> jnp.ndarray:
     return jnp.pad(table, ((0, 1), (0, 128 - table.shape[-1])))
 
 
+def _bin_sub(setup, height, width, tile_h, tile_w, sub_h, cap,
+             y_offset=0, y_stride=1, **bin_kw):
+    """Two-level binning front end: bin at [sub_h, tile_w] granularity over
+    the PADDED tile extent, then reorder lists/counts to tile-major,
+    sub-bin-minor order (the kernel's slab contract: bin q of grid step i is
+    row block (i*n_sub + q)). Returns (tri_idx [n_bins, cap], counts raw
+    [n_bins], nty, ntx) with nty/ntx the KERNEL tile grid."""
+    nty, ntx = _cdiv(height, tile_h), _cdiv(width, tile_w)
+    n_sub = tile_h // sub_h
+    # pad to the tile grid so sub-bin rows tile it exactly
+    hp, wp = nty * tile_h, ntx * tile_w
+    tri_idx, counts, nby, nbx = bin_triangles(
+        setup, hp, wp, sub_h, tile_w, cap,
+        y_offset=y_offset, y_stride=y_stride, **bin_kw
+    )
+    assert (nby, nbx) == (nty * n_sub, ntx)
+    # (ty*n_sub + q, tx) row-major -> (ty, tx, q)
+    tri_idx = (
+        tri_idx.reshape(nty, n_sub, ntx, cap)
+        .transpose(0, 2, 1, 3)
+        .reshape(nty * ntx * n_sub, cap)
+    )
+    counts = counts.reshape(nty, n_sub, ntx).transpose(0, 2, 1).reshape(-1)
+    return tri_idx, counts, nty, ntx
+
+
 def rasterize_depth_only_batch(
     setups: list[TriangleSetup],
     height: int,
@@ -289,6 +365,7 @@ def rasterize_depth_only_batch(
     tile_w: int = 128,
     cap: int = 2048,
     chunk: int = 64,
+    sub_h: int = 8,
 ) -> jnp.ndarray:
     """Depth-only rasterization of N independent triangle sets (the CSM
     cascades) in ONE Pallas launch: per-cascade binning feeds a grid of
@@ -312,15 +389,15 @@ def rasterize_depth_only_batch(
     all_counts, all_coef = [], []
     nty = ntx = None
     for b, setup in enumerate(setups):
-        tri_idx, counts, nty, ntx = bin_triangles(
-            setup, height, width, tile_h, tile_w, cap
+        tri_idx, counts, nty, ntx = _bin_sub(
+            setup, height, width, tile_h, tile_w, sub_h, cap
         )
         table = _depth_coef_table(setup, t)
         all_counts.append(jnp.minimum(counts, cap))
         all_coef.append(table[tri_idx.reshape(-1)])
     n_tiles = nty * ntx
     counts = jnp.concatenate(all_counts)
-    coef = jnp.concatenate(all_coef, axis=0)  # [N*n_tiles*cap, 128]
+    coef = jnp.concatenate(all_coef, axis=0)  # [N*n_tiles*n_sub*cap, 128]
 
     greater = pipeline.depth_compare_op in (
         CompareOp.GREATER,
@@ -342,12 +419,12 @@ def rasterize_depth_only_batch(
     ).reshape(-1)
     tilepos = jnp.tile(tilepos, n_batch)
 
-    kernel = _make_kernel(pipeline, tile_h, tile_w, cap, chunk, True)
+    kernel = _make_kernel(pipeline, tile_h, tile_w, cap, chunk, True, sub_h=sub_h)
     out_shapes = [
         jax.ShapeDtypeStruct((n_batch * n_tiles, tile_h, tile_w), jnp.float32)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_batch * n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -366,14 +443,14 @@ def rasterize_depth_only_batch(
         ],
     )
 
-    def wrapped_kernel(counts_ref, tilepos_ref, coef_hbm, dinit_ref, out_ref, *scratch):
-        kernel(counts_ref, tilepos_ref, coef_hbm, dinit_ref.at[0], out_ref.at[0], *scratch)
+    def wrapped_kernel(counts_ref, tilepos_ref, yoff_ref, coef_hbm, dinit_ref, out_ref, *scratch):
+        kernel(counts_ref, tilepos_ref, yoff_ref, coef_hbm, dinit_ref.at[0], out_ref.at[0], *scratch)
 
     (depth_t,) = pl.pallas_call(
         wrapped_kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-    )(counts, tilepos, coef, depth_tiles)
+    )(counts, tilepos, jnp.zeros((1,), jnp.int32), coef, depth_tiles)
 
     full = depth_t.reshape(n_batch, nty, ntx, tile_h, tile_w).transpose(0, 1, 3, 2, 4)
     return full.reshape(n_batch, hp, wp)[:, :height, :width]
@@ -401,6 +478,9 @@ def rasterize_binned_pallas(
     max_span_y: int = 2,
     max_span_x: int = 2,
     cap_big: int | None = None,
+    sub_h: int = 8,
+    y_offset=0,
+    y_stride: int = 1,
 ):
     """Binned rasterization with per-tile dynamic trip counts (see module
     docstring). Returns VisibilityBuffer, or just the depth array when
@@ -431,8 +511,9 @@ def rasterize_binned_pallas(
     cap = min(cap, max(t, chunk))
     cap = _cdiv(cap, chunk) * chunk
 
-    tri_idx, counts, nty, ntx = bin_triangles(
-        setup, height, width, tile_h, tile_w, cap,
+    tri_idx, counts, nty, ntx = _bin_sub(
+        setup, height, width, tile_h, tile_w, sub_h, cap,
+        y_offset=y_offset, y_stride=y_stride,
         max_span_y=max_span_y, max_span_x=max_span_x, cap_big=cap_big,
     )
     n_tiles = nty * ntx
@@ -546,7 +627,8 @@ def rasterize_binned_pallas(
     skip_bary = skip_bary and not depth_only and bool(n_vary or n_flat)
     kernel = _make_kernel(
         pipeline, tile_h, tile_w, cap, chunk, depth_only, n_vary, n_flat,
-        has_zfloor=has_zfloor, skip_bary=skip_bary,
+        has_zfloor=has_zfloor, skip_bary=skip_bary, sub_h=sub_h,
+        y_stride=y_stride,
     )
 
     out_shapes = [jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32)]
@@ -570,7 +652,7 @@ def rasterize_binned_pallas(
         (1, tile_h, tile_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # counts, tilepos
+        num_scalar_prefetch=3,  # counts, tilepos, band y-offset
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # coef stays in HBM
@@ -595,18 +677,20 @@ def rasterize_binned_pallas(
         ],
     )
 
-    def wrapped_kernel(counts_ref, tilepos_ref, coef_hbm, dinit_ref, *rest):
+    def wrapped_kernel(counts_ref, tilepos_ref, yoff_ref, coef_hbm, dinit_ref, *rest):
         # blocks carry a leading singleton tile dim; squeeze via views
         kernel(
             counts_ref,
             tilepos_ref,
+            yoff_ref,
             coef_hbm,
             dinit_ref.at[0],
             *(r.at[0] for r in rest[: len(rest) - 2]),
             *rest[len(rest) - 2 :],
         )
 
-    call_args = [counts, tilepos, coef, depth_tiles]
+    yoff = jnp.asarray(y_offset, jnp.int32).reshape(1)
+    call_args = [counts, tilepos, yoff, coef, depth_tiles]
     if has_zfloor:
         call_args.append(zfloor_tiles)
     outs = pl.pallas_call(

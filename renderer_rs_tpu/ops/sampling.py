@@ -457,6 +457,69 @@ def sample_array_textured_atlas(
     return out_lo * (1 - frac) + out_hi * frac
 
 
+# --- per-MATERIAL packed window atlas (all texture slots in one gather) -------
+
+# channel fill for a material slot with no texture bound, chosen so the
+# shader can apply every slot unconditionally: multiplying by 1 is exact for
+# base/MR/AO/emissive, and (0.5, 0.5, 1) decodes to the flat tangent-space
+# normal (TBN-mapping it reproduces the geometric normal).
+_NEUTRAL_SLOT = {
+    0: (1.0, 1.0, 1.0, 1.0),  # base color (+alpha)
+    1: (0.5, 0.5, 1.0, 1.0),  # normal map (encoded +Z)
+    2: (1.0, 1.0, 1.0, 1.0),  # metallic-roughness (G/B multipliers)
+    3: (1.0, 1.0, 1.0, 1.0),  # ambient occlusion (R)
+    4: (1.0, 1.0, 1.0, 1.0),  # emissive
+}
+
+
+def build_material_atlas(
+    mips: tuple,
+    tex_ids,
+    slots: tuple[int, ...],
+    sampler: Sampler = Sampler(),
+):
+    """Pack ALL of each material's texture slots into one window atlas so a
+    textured fragment costs TWO gathers total (trilinear lo+hi), not two per
+    slot (the reference's five Texture2D.Sample calls,
+    model_pbr.hlsl:205-245, are independent texture units; a TPU gather is
+    latency-bound, so slots must ride the SAME row).
+
+    mips: the per-texture mip chain (tuple of [N,S,S,4]) — every texture
+    already shares the S×S base resolution (SceneBuilder.set_textures).
+    tex_ids: [M,5] int per-material texture ids (-1 = unbound -> neutral
+    fill, see _NEUTRAL_SLOT). slots: which slot indices participate
+    (statically-unused slots are excluded; SceneLayout.texture_slots).
+
+    Returns (atlas [R, 4*C], offsets [L], sizes [L,2]) with C = 4*len(slots)
+    channels per texel — drop-in for sample_array_textured_atlas with the
+    material index as the per-pixel "texture id".
+    """
+    import numpy as np
+
+    tex_ids = np.asarray(tex_ids)
+    m = tex_ids.shape[0]
+    mat_mips = []
+    for level in np.arange(len(mips)):
+        lvl = np.asarray(mips[level])  # [N,S,S,4]
+        s_h, s_w = lvl.shape[1], lvl.shape[2]
+        chans = []
+        for slot in slots:
+            ids = tex_ids[:, slot]  # [M]
+            neutral = np.broadcast_to(
+                np.asarray(_NEUTRAL_SLOT[slot], np.float32),
+                (1, s_h, s_w, 4),
+            )
+            picked = np.where(
+                (ids >= 0)[:, None, None, None],
+                lvl[np.maximum(ids, 0)],
+                neutral,
+            )
+            chans.append(picked)
+        mat_mips.append(np.concatenate(chans, axis=-1))  # [M,S,S,4*len(slots)]
+    atlas, offsets, sizes = build_array_atlas(tuple(mat_mips), sampler)
+    return atlas, offsets, sizes
+
+
 # --- single-gather trilinear cube atlas (child 2x2 + parent 3x3 per row) -----
 
 def _cube_parent_window(child_s: int, parent) -> "np.ndarray":

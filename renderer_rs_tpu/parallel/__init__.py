@@ -12,5 +12,7 @@ The reference is single-GPU; its concurrency mechanisms map to:
 from renderer_rs_tpu.parallel.mesh import make_device_mesh  # noqa: F401
 from renderer_rs_tpu.parallel.tile_shard import (  # noqa: F401
     render_frame_sharded,
+    resolve_msaa,
     stack_scenes,
+    unshard_rows,
 )

@@ -58,9 +58,19 @@ def render_frame_sharded(
     """
     n_frames = mesh.shape["frame"]
     n_rows = mesh.shape["rows"]
-    if height % n_rows != 0:
-        raise ValueError(f"height {height} not divisible by rows axis {n_rows}")
-    band_h = height // n_rows
+    # MSAA composes with row sharding by sharding the SUPERSAMPLED frame:
+    # each device renders unresolved supersampled band rows (forward_frame's
+    # msaa+band contract) and the caller box-resolves after stitching with
+    # resolve_msaa() — bit-identical to the single-chip MSAA render.
+    _, s_y = (
+        {2: (2, 1), 4: (2, 2), 8: (4, 2)}[pipeline.msaa_samples]
+        if pipeline.msaa_samples > 1
+        else (1, 1)
+    )
+    shard_h = height * s_y
+    if shard_h % n_rows != 0:
+        raise ValueError(f"height {shard_h} not divisible by rows axis {n_rows}")
+    band_h = shard_h // n_rows
 
     @jax.shard_map(
         mesh=mesh,
@@ -101,6 +111,17 @@ def shard_scene_batch(stacked_scene: GpuScene, mesh: Mesh) -> GpuScene:
     (device_put with NamedSharding) so rendering starts from sharded inputs."""
     sharding = NamedSharding(mesh, P("frame"))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), stacked_scene)
+
+
+def resolve_msaa(frames: jnp.ndarray, msaa_samples: int) -> jnp.ndarray:
+    """Box-resolve un-sharded SUPERSAMPLED frames [F, H*sy, W*sx, 4] from a
+    render_frame_sharded run with an MSAA pipeline (≙ vkCmdResolveImage
+    after the sharded draws). Apply AFTER unshard_rows."""
+    if msaa_samples <= 1:
+        return frames
+    sx, sy = {2: (2, 1), 4: (2, 2), 8: (4, 2)}[msaa_samples]
+    f, hs, ws, c = frames.shape
+    return frames.reshape(f, hs // sy, sy, ws // sx, sx, c).mean(axis=(2, 4))
 
 
 def unshard_rows(frames: jnp.ndarray, n_rows: int, interleaved: bool) -> jnp.ndarray:

@@ -142,20 +142,23 @@ _SHADOW_PIPELINE = (
 def _binned_cap(
     num_triangles: int, height: int, width: int, tile_h: int = 32, tile_w: int = 128
 ) -> int:
-    """Density-aware per-tile triangle budget.
+    """Density-aware per-bin triangle budget.
 
-    cap ≈ 6x the average triangles-per-tile (floor 1536, ceiling 16384,
-    512-aligned) — covers the skewed tiles of the 100k-class flagship scene
-    (peak ~1.3k vs avg ~380 at 1080p) and keeps low-res/dense cases (few
-    tiles, thousands of triangles each) un-truncated. Memory/gather traffic
-    is n_tiles*cap ≈ 6T regardless of resolution; the 2048->1536 floor cut
-    the per-tile coefficient-slab gather by ~2 ms fwd + 3 ms shadow at
-    1080p (r2 sweep). Tiles denser than the cap keep the first `cap`
-    triangles in submission order (raster_binned.py)."""
+    cap ≈ 6x the average triangles-per-bin (floor/alignment scaled to the
+    bin area, ceiling 16384) — covers the skewed tiles of the 100k-class
+    flagship scene (peak ~1.3k vs avg ~380 per 32x128 tile at 1080p) and
+    keeps low-res/dense cases (few bins, thousands of triangles each)
+    un-truncated. For the Pallas two-level path pass tile_h=8: the same
+    formula then budgets the [8,128] sub-bins (floor 384). Memory/gather
+    traffic is n_bins*cap ≈ 6T regardless of resolution. Bins denser than
+    the cap keep the first `cap` triangles in submission order
+    (raster_binned.py); bench.py reports the truncation count."""
     n_tiles = max(1, -(-height // tile_h) * -(-width // tile_w))
     avg = num_triangles / n_tiles
-    cap = max(1536, int(6 * avg))
-    cap = -(-cap // 512) * 512  # 512-align
+    floor = max(256, 1536 * (tile_h * tile_w) // 4096)
+    align = 512 if tile_h >= 32 else 128
+    cap = max(floor, int(6 * avg))
+    cap = -(-cap // align) * align
     return min(max(num_triangles, 16), cap, 16384)
 
 
@@ -175,11 +178,12 @@ def _rasterize_dispatch(setup, height, width, pipeline, num_triangles):
     XLA binned path elsewhere, the exact sequential scan for small scenes /
     blending / exotic compare ops."""
     if supports_binned(pipeline, num_triangles):
-        cap = _binned_cap(num_triangles, height, width)
         if _use_pallas():
             from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
 
+            cap = _binned_cap(num_triangles, height, width, tile_h=8)
             return rasterize_binned_pallas(setup, height, width, pipeline, cap=cap)
+        cap = _binned_cap(num_triangles, height, width)
         return rasterize_binned(setup, height, width, pipeline, cap=cap)
     return rasterize(setup, height, width, pipeline)
 
@@ -193,13 +197,14 @@ def shadow_map_pass(
         gather_triangle_clip(clip, scene.tris), size, size, _SHADOW_PIPELINE
     )
     if supports_binned(_SHADOW_PIPELINE, layout.num_triangles):
-        cap = _binned_cap(layout.num_triangles, size, size)
         if _use_pallas():
             from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
 
+            cap = _binned_cap(layout.num_triangles, size, size, tile_h=8)
             return rasterize_binned_pallas(
                 setup, size, size, _SHADOW_PIPELINE, cap=cap, depth_only=True
             )
+        cap = _binned_cap(layout.num_triangles, size, size)
         return rasterize_depth_only_binned(setup, size, size, _SHADOW_PIPELINE, cap=cap)
     return rasterize_depth_only(setup, size, size, _SHADOW_PIPELINE)
 
@@ -226,7 +231,7 @@ def csm_shadow_pass(scene: GpuScene, layout: SceneLayout, size: int) -> jnp.ndar
                     _SHADOW_PIPELINE,
                 )
             )
-        cap = _binned_cap(layout.num_triangles, size, size)
+        cap = _binned_cap(layout.num_triangles, size, size, tile_h=8)
         return rasterize_depth_only_batch(
             setups, size, size, _SHADOW_PIPELINE, cap=cap
         )
@@ -317,17 +322,62 @@ def _shade_pixels(
         ao = mat_px[..., 6]
         emissive = mat_px[..., 7:10]
         ns_col = mat_px[..., 10:11]
-    tex_ids = (
-        mats.tex_ids[scene.tri_material][tid] if layout.has_textures else None
-    )  # [H,W,5]
-
     # --- texture fetches (model_pbr.hlsl:205-245, has-flags as selects) ------
-    if layout.has_textures and scene.textures is not None:
+    if (
+        layout.has_textures
+        and scene.textures is not None
+        and scene.textures.mat_atlas is not None
+    ):
+        # Packed per-material path: ONE trilinear lookup (2 gathers) fetches
+        # every used slot's window from the same row; unbound slots carry
+        # exact neutral texels, so each slot applies unconditionally
+        # (build_material_atlas). ≙ the five Texture2D.Sample calls of
+        # model_pbr.hlsl:205-245 collapsed into one memory transaction.
+        from renderer_rs_tpu.ops.sampling import sample_array_textured_atlas
+
+        tex = scene.textures
+        mips = tex.mips
+        used = [i for i, u in enumerate(layout.texture_slots) if u]
+        c_all = 4 * len(used)
+        pos = {slot: 4 * k for k, slot in enumerate(used)}
+        # texture-SET id per pixel: the [T]-sized table compose is traced
+        # host-of-jit (cheap), so the per-pixel cost stays ONE gather
+        mid = tex.mat_set[scene.tri_material][tid]  # [H,W] set id
+        samp = sample_array_textured_atlas(
+            tex.mat_atlas, tex.mat_offsets, tex.mat_sizes,
+            len(mips), (mips[0].shape[1], mips[0].shape[2]),
+            c_all, mid, uv,
+        )
+        if 0 in pos:
+            base_color = base_color * samp[..., pos[0] : pos[0] + 4]
+        if 1 in pos:
+            nrm_s = samp[..., pos[1] : pos[1] + 4]
+            # TBN normal mapping (model_pbr.hlsl:168-197); the neutral
+            # window decodes to (0,0,1) -> reproduces the geometric normal
+            t4 = varying[..., 8:12]
+            t3 = normalize(t4[..., :3])
+            b3 = jnp.cross(normal, t3) * t4[..., 3:4]
+            n_ts = nrm_s[..., :3] * 2.0 - 1.0
+            n_ts = jnp.concatenate(
+                [n_ts[..., :2] * ns_col, n_ts[..., 2:3]], axis=-1
+            )
+            normal = normalize(
+                t3 * n_ts[..., 0:1] + b3 * n_ts[..., 1:2] + normal * n_ts[..., 2:3]
+            )
+        if 2 in pos:
+            metallic = metallic * samp[..., pos[2] + 2]
+            roughness = roughness * samp[..., pos[2] + 1]
+        if 3 in pos:
+            ao = ao * samp[..., pos[3] + 0]
+        if 4 in pos:
+            emissive = emissive * samp[..., pos[4] : pos[4] + 3]
+    elif layout.has_textures and scene.textures is not None:
         from renderer_rs_tpu.ops.sampling import (
             sample_array_textured,
             sample_array_textured_atlas,
         )
 
+        tex_ids = mats.tex_ids[scene.tri_material][tid]  # [H,W,5]
         tex = scene.textures
         mips = tex.mips
 
@@ -582,7 +632,9 @@ def _alpha_peeled_raster(
     from renderer_rs_tpu.ops.sampling import sample_array_bilinear
 
     cutoff = pipeline.alpha_cutoff
-    cap = _binned_cap(n_raster_tris, height, width)
+    cap = _binned_cap(
+        n_raster_tris, height, width, tile_h=8 if _use_pallas() else 32
+    )
     base_mip = scene.textures.mips[0]
     tex_of_tri = scene.materials.tex_ids[scene.tri_material][:, 0]  # [Tsrc]
     afac_of_tri = scene.materials.base_color[scene.tri_material][:, 3]
@@ -608,6 +660,7 @@ def _alpha_peeled_raster(
                 setup, height, width, pipeline, cap=cap,
                 varyings=tri_attr_src, vary_src=clip_src, vary_bary=clip_bary,
                 flat_varyings=flat, z_floor=z_floor, ids=clip_src,
+                skip_bary=True,
             )
 
         ids_are_source = True
@@ -705,18 +758,23 @@ def forward_frame(
     supersamples shading (better than hardware MSAA).
     """
     if pipeline.msaa_samples > 1:
-        if band is not None:
-            # A row-sharded band rendered at 1x would silently diverge from
-            # the single-chip supersampled image; shard the supersampled
-            # frame instead (multiply band rows by sy outside).
-            raise NotImplementedError(
-                "msaa_samples > 1 with band sharding: render the supersampled "
-                "frame sharded and box-resolve after stitching"
-            )
         sx, sy = {2: (2, 1), 4: (2, 2), 8: (4, 2)}[pipeline.msaa_samples]
         import dataclasses as _dc
 
         sub = _dc.replace(pipeline, msaa_samples=1)
+        if band is not None:
+            # Band sharding composes with MSAA by sharding the SUPERSAMPLED
+            # frame: `band` is interpreted in supersampled row coordinates
+            # and the UNRESOLVED [band_h, width*sx, 4] rows are returned —
+            # the caller (parallel/tile_shard.render_frame_sharded)
+            # box-resolves after stitching (resolve needs sy adjacent rows,
+            # which one device does not own under interleaved sharding).
+            return forward_frame(
+                scene, layout, sub, shading, width * sx, height * sy,
+                clear_color=clear_color, tonemap=tonemap,
+                shadow_map_size=shadow_map_size, shadow_params=shadow_params,
+                band=band, return_depth=return_depth, shadow_map=shadow_map,
+            )
         hi = forward_frame(
             scene, layout, sub, shading, width * sx, height * sy,
             clear_color=clear_color, tonemap=tonemap,
@@ -912,7 +970,7 @@ def forward_frame(
 
             depth_t, tid_t, vary_t, nty, ntx = rasterize_binned_pallas(
                 setup, height, width, pipeline,
-                cap=_binned_cap(n_raster_tris, height, width),
+                cap=_binned_cap(n_raster_tris, height, width, tile_h=8),
                 varyings=tri_attr_src,
                 vary_src=clip_src,
                 vary_bary=clip_bary,
@@ -928,17 +986,13 @@ def forward_frame(
             )
         vis, varying_img = rasterize_binned_pallas(
             setup, height, width, pipeline,
-            cap=_binned_cap(n_raster_tris, height, width),
+            cap=_binned_cap(n_raster_tris, height, width, tile_h=8),
             varyings=tri_attr_src,
             vary_src=clip_src,
             vary_bary=clip_bary,
             flat_varyings=mat_flat,
             ids=clip_src,  # kernel writes SOURCE ids: no clip_src[slot] gather
-            # NOTE: skip_bary=True (fused consumers never read vis.bary)
-            # is implemented and CPU-validated but left off: the remote
-            # Mosaic compile service degraded late in r2 and fresh kernel
-            # variants could not be TPU-compiled within the window. Flip on
-            # and bench when compiles are healthy (est. ~2 ms).
+            skip_bary=True,  # fused consumers never read vis.bary
         )
         out_h = height
         y_offset = 0
@@ -967,11 +1021,37 @@ def forward_frame(
             y_stride = band[2] if len(band) > 2 else 1
         else:
             y_offset, out_h, y_stride = 0, height, 1
-        # exact scan rasterizer: pixel-row offsets and coverage callbacks
-        vis = rasterize(
-            setup, out_h, width, pipeline, y_offset=y_offset,
-            coverage_fn=coverage_fn, y_stride=y_stride,
-        )
+        if (
+            band is not None
+            and coverage_fn is None
+            and supports_binned(pipeline, n_raster_tris)
+        ):
+            # band rendering on the FAST rasterizer (VERDICT r2 item 3):
+            # bin only the band's rows (band-space tiles) and offset the
+            # kernel's pixel rows — multi-chip no longer pays the O(T)
+            # sequential scan per device
+            if _use_pallas():
+                from renderer_rs_tpu.ops.raster_pallas import (
+                    rasterize_binned_pallas,
+                )
+
+                vis = rasterize_binned_pallas(
+                    setup, out_h, width, pipeline,
+                    cap=_binned_cap(n_raster_tris, height, width, tile_h=8),
+                    y_offset=y_offset, y_stride=y_stride,
+                )
+            else:
+                vis = rasterize_binned(
+                    setup, out_h, width, pipeline,
+                    cap=_binned_cap(n_raster_tris, height, width),
+                    y_offset=y_offset, y_stride=y_stride,
+                )
+        else:
+            # exact scan rasterizer: pixel-row offsets and coverage callbacks
+            vis = rasterize(
+                setup, out_h, width, pipeline, y_offset=y_offset,
+                coverage_fn=coverage_fn, y_stride=y_stride,
+            )
     if varying_img is None:
         bary3 = perspective_bary(vis, setup)
         # map clipped winners back to source triangles + source barycentrics

@@ -41,6 +41,16 @@ class TextureArrays:
     atlas: Any | None = None  # [R, 16] window rows
     atlas_offsets: Any | None = None  # [L] int32
     atlas_sizes: Any | None = None  # [L,2] int32
+    # per-MATERIAL packed atlas: every used texture slot of a material rides
+    # the same window row (ops/sampling.build_material_atlas), so a fully
+    # textured fragment costs TWO gathers total instead of two per slot.
+    # Indexed by texture-SET id (materials sharing the same 5-slot binding
+    # share rows; mat_set maps material id -> set id); channel order =
+    # 4*position within the scene's used-slot tuple (SceneLayout.texture_slots).
+    mat_atlas: Any | None = None  # [R, 4*C]
+    mat_offsets: Any | None = None  # [L] int32
+    mat_sizes: Any | None = None  # [L,2] int32
+    mat_set: Any | None = None  # [M] int32 material -> atlas set id
 
 
 @struct.dataclass
@@ -411,6 +421,33 @@ class SceneBuilder:
         mat_consts = tuple(
             float(col[0]) if np.all(col == col[0]) else None for col in bank_rows.T
         )
+        if scene.textures is not None and any(slot_used):
+            # budget guard: L0 rows = M * S^2; skip the packed build for
+            # pathological material counts (falls back to per-slot atlas)
+            from renderer_rs_tpu.ops.sampling import build_material_atlas
+            from renderer_rs_tpu.resources.texture import Sampler
+
+            s0 = int(np.asarray(scene.textures.mips[0]).shape[1])
+            used = tuple(i for i, u in enumerate(slot_used) if u)
+            bank = MaterialBank.create(self._materials)
+            # dedupe: materials sharing the same 5-slot binding share rows
+            id_rows = np.asarray(bank.tex_ids)
+            uniq, mat_set = np.unique(id_rows, axis=0, return_inverse=True)
+            if uniq.shape[0] * s0 * s0 <= 16_000_000:
+                mat_atlas, mat_off, mat_sz = build_material_atlas(
+                    tuple(np.asarray(m) for m in scene.textures.mips),
+                    uniq,
+                    used,
+                    Sampler(),
+                )
+                scene = scene.replace(
+                    textures=scene.textures.replace(
+                        mat_atlas=mat_atlas,
+                        mat_offsets=mat_off,
+                        mat_sizes=mat_sz,
+                        mat_set=jnp.asarray(mat_set.reshape(-1), jnp.int32),
+                    )
+                )
         layout = SceneLayout(
             object_ranges=tuple(ranges),
             num_vertices=v_off,

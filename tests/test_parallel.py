@@ -102,6 +102,62 @@ def test_band_rendering_matches_full():
     np.testing.assert_array_equal(np.concatenate(bands, axis=0), full)
 
 
+def test_band_binned_matches_scan_path():
+    """The band fast path (binned rasterizer with y_offset/y_stride) is
+    bit-identical to the scan rasterizer's band output — contiguous AND
+    interleaved (VERDICT r2 item 3: multi-chip must not pay the O(T) scan)."""
+    from renderer_rs_tpu.ops.clip import clip_triangles_near
+    from renderer_rs_tpu.ops.raster import (
+        gather_triangle_clip,
+        rasterize,
+        setup_triangles,
+    )
+    from renderer_rs_tpu.ops.raster_binned import rasterize_binned
+    from renderer_rs_tpu.renderer.passes import vertex_stage
+
+    scene, layout, _, _ = blinnphong_scene(W, H, rings=6, sectors=8)
+    pipe = GraphicsPipelineBuilder().build()
+    vs = vertex_stage(scene, layout)
+    tri_clip = gather_triangle_clip(vs.clip, scene.tris)
+    tri_clip, clip_valid, _, _ = clip_triangles_near(tri_clip)
+    setup = setup_triangles(tri_clip, W, H, pipe, tri_valid=clip_valid)
+
+    for band in [(jnp.int32(12), 12), (jnp.int32(2), 12, 4), (0, H)]:
+        y0 = band[0]
+        bh = band[1]
+        stride = band[2] if len(band) > 2 else 1
+        ref = rasterize(setup, bh, W, pipe, y_offset=y0, y_stride=stride)
+        out = rasterize_binned(
+            setup, bh, W, pipe, cap=256, y_offset=y0, y_stride=stride
+        )
+        np.testing.assert_array_equal(np.asarray(out.tri_id), np.asarray(ref.tri_id))
+        np.testing.assert_array_equal(np.asarray(out.depth), np.asarray(ref.depth))
+        np.testing.assert_array_equal(np.asarray(out.bary), np.asarray(ref.bary))
+
+
+def test_msaa_sharded_matches_single_chip(small_scene):
+    """8-device MSAA render == single-chip MSAA bit-for-bit (VERDICT r2
+    item 7): supersampled bands render sharded, box-resolve after stitch."""
+    from renderer_rs_tpu.parallel import resolve_msaa, unshard_rows
+
+    scene, layout = small_scene
+    pipe = GraphicsPipelineBuilder().msaa_samples(4).build()
+    ref = np.asarray(
+        forward_frame(scene, layout, pipe, ShadingModel.BLINN_PHONG, W, H)
+    )
+    mesh = make_device_mesh(8)  # frame=2, rows=4
+    stacked = stack_scenes([scene, scene])
+    out = render_frame_sharded(
+        stacked, layout, pipe, ShadingModel.BLINN_PHONG, W, H, mesh,
+        interleaved=True,
+    )
+    assert out.shape == (2, H * 2, W * 2, 4)  # unresolved supersampled rows
+    resolved = np.asarray(resolve_msaa(unshard_rows(out, 4, True), 4))
+    assert resolved.shape == (2, H, W, 4)
+    np.testing.assert_array_equal(resolved[0], ref)
+    np.testing.assert_array_equal(resolved[1], ref)
+
+
 def test_interleaved_rows_match_single_device(small_scene):
     """Load-balanced (interleaved-row) sharding: de-interleaved output is
     bit-identical to the single-device frame — per-row pixel math anchors at
