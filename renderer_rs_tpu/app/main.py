@@ -72,7 +72,8 @@ def build(args):
         return gltf_pbr_scene(args.width, args.height, args.gltf)
     if args.scene == "full":
         return full_scene(
-            args.width, args.height, tri_budget=args.tris, csm=args.csm
+            args.width, args.height, tri_budget=args.tris, csm=args.csm,
+            textured=args.textured, hdr=args.hdr,
         )
     return SCENES[args.scene](args.width, args.height)
 
@@ -90,6 +91,10 @@ def main(argv=None) -> int:
                         help="triangle budget for the full scene")
     parser.add_argument("--csm", action="store_true",
                         help="cascaded shadow maps (full scene)")
+    parser.add_argument("--textured", action="store_true",
+                        help="bind the 5-slot procedural PBR texture set (full scene)")
+    parser.add_argument("--hdr", type=str, default=None,
+                        help="Radiance .hdr equirect environment for the full scene's IBL")
     parser.add_argument("--backend", type=str, default=None, help="jax platform override")
     parser.add_argument("--log", type=str, default=None, help="log filter (RUST_LOG style)")
     parser.add_argument("--orbit", action="store_true",

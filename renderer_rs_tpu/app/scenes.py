@@ -207,6 +207,7 @@ def full_scene(
     ibl: bool = True,
     csm: bool = False,
     textured: bool = False,
+    hdr: str | None = None,
 ):
     """Config 4: shadow-mapped sun + HDR environment IBL + skybox + ACES
     tonemap at a given triangle budget (default 100k, the north-star
@@ -297,9 +298,27 @@ def full_scene(
         # dispatches, SURVEY.md §2.8) as ONE jitted program: eager op-by-op
         # execution pays the remote-compile hop per op on the TPU backend
         # (CLAUDE.md gotchas) — a single cached executable does not.
+        # A real Radiance .hdr equirect (the reference's stripped
+        # brown_photostudio asset class, .MISSING_LARGE_BLOBS:1) feeds
+        # equirect_to_cubemap; otherwise the procedural sky stands in.
+        equirect = None
+        if hdr is not None:
+            from renderer_rs_tpu.resources.hdr import load_hdr
+
+            # load_hdr returns the standard orientation (row 0 = zenith);
+            # equirect_to_cubemap keeps the reference's exact UV math
+            # (equirect_to_cubemap.hlsl:59-76: up -> v=1 -> LAST row), so
+            # flip rows here to feed it the convention it samples.
+            equirect = jnp.asarray(load_hdr(hdr)[::-1])
+
         @_jax.jit
         def _build_env():
-            sky = procedural_sky_cubemap(64, sun_direction=tuple(sun_dir))
+            if equirect is not None:
+                from renderer_rs_tpu.ops.ibl import equirect_to_cubemap
+
+                sky = equirect_to_cubemap(equirect, 64)
+            else:
+                sky = procedural_sky_cubemap(64, sun_direction=tuple(sun_dir))
             sky_mips = CubeMap.from_faces(sky, generate_mips=True).mips
             return (
                 sky,
