@@ -215,6 +215,7 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
                         else jnp.minimum(depth, z_best)
                     )
                 depth, tid, b0c, b1c, vary = carry
+                vary = list(vary)
                 winners = cov & (zc == z_best[None])
                 cov_best = jnp.any(winners, axis=0)
                 slot_best = jnp.min(jnp.where(winners, slot_i, chunk), axis=0)
@@ -254,8 +255,8 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
                     flat_base = 24 + (3 + 3 * n_vary if n_vary else 0)
                     for k in range(n_flat):
                         f = jnp.sum(col(flat_base + k) * uf, axis=0)
-                        vary = vary.at[n_vary + k].set(
-                            jnp.where(accept, f, vary[n_vary + k])
+                        vary[n_vary + k] = jnp.where(
+                            accept, f, vary[n_vary + k]
                         )
                 if n_vary:
                     # Fused perspective-correct varyings: interpolate the
@@ -276,24 +277,23 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
                         a1 = jnp.sum(col(27 + 3 * k + 1) * uf, axis=0)
                         a2 = jnp.sum(col(27 + 3 * k + 2) * uf, axis=0)
                         vk = aw0 * a0 + aw1 * a1 + aw2 * a2
-                        vary = vary.at[k].set(jnp.where(accept, vk, vary[k]))
-                return depth, tid, b0c, b1c, vary
+                        vary[k] = jnp.where(accept, vk, vary[k])
+                return depth, tid, b0c, b1c, tuple(vary)
 
             if depth_only:
                 init = dinit_ref[r0:r1, :]
                 depth_out[r0:r1, :] = jax.lax.fori_loop(0, n_chunks, body, init)
             else:
                 zero = jnp.zeros((sub_h, tile_w), jnp.float32)
+                # vary channels carry as a TUPLE of [sub_h, tile_w] planes:
+                # a carried [K, sub_h, tile_w] array updated per channel
+                # lowers to an unsupported in-loop scatter on Mosaic
                 init = (
                     dinit_ref[r0:r1, :],
                     jnp.full((sub_h, tile_w), -1, jnp.int32),
                     zero,
                     zero,
-                    (
-                        jnp.zeros((n_vary + n_flat, sub_h, tile_w), jnp.float32)
-                        if (n_vary or n_flat)
-                        else zero[:1]
-                    ),
+                    tuple(zero for _ in range(n_vary + n_flat)),
                 )
                 depth, tid, b0c, b1c, vary = jax.lax.fori_loop(
                     0, n_chunks, body, init
@@ -303,8 +303,8 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
                 if not skip_bary:
                     b0_out[r0:r1, :] = b0c
                     b1_out[r0:r1, :] = b1c
-                if n_vary or n_flat:
-                    vary_out[:, r0:r1, :] = vary
+                for k in range(n_vary + n_flat):
+                    vary_out[k, r0:r1, :] = vary[k]
 
     return kernel
 

@@ -211,11 +211,25 @@ class Renderer:
         pipeline = self.pipeline
         shading = self.shading
         width, height = self.config.width, self.config.height
-        clear = self.clear_color
         tonemap = self.tonemap
         sm_size = self.shadow_map_size
         sp = self.shadow_params
         split_shadow = self._needs_shadow()
+        # the frame's attachment state (≙ cmd_begin_rendering's
+        # RenderingInfo, renderer.rs:479-501): clear color/depth flow from
+        # the attachment configs, not ad-hoc kwargs
+        from renderer_rs_tpu.rhi.rendering import (
+            ColorAttachment,
+            DepthAttachment,
+            RenderingConfig,
+        )
+
+        rc = RenderingConfig(
+            width=width,
+            height=height,
+            color=ColorAttachment(clear_color=tuple(self.clear_color)),
+            depth=DepthAttachment(),
+        )
 
         if split_shadow:
 
@@ -223,7 +237,7 @@ class Renderer:
             def frame(scene: GpuScene, shadow_map):
                 return forward_frame(
                     scene, layout, pipeline, shading, width, height,
-                    clear_color=clear, tonemap=tonemap,
+                    rendering=rc, tonemap=tonemap,
                     shadow_map_size=sm_size, shadow_params=sp,
                     shadow_map=shadow_map,
                 )
@@ -235,7 +249,7 @@ class Renderer:
             def frame(scene: GpuScene):
                 return forward_frame(
                     scene, layout, pipeline, shading, width, height,
-                    clear_color=clear, tonemap=tonemap,
+                    rendering=rc, tonemap=tonemap,
                     shadow_map_size=sm_size, shadow_params=sp,
                 )
 
