@@ -116,14 +116,14 @@ def main() -> int:
         setup = setup_triangles(
             tri_clip, width, height, pipeline, tri_valid=clip_valid
         )
-        cap_f = _binned_cap(2 * layout_tex.num_triangles, height, width, tile_h=8)
-        _, counts_f, _, _ = _bin_sub(setup, height, width, 32, 128, 8, cap_f)
+        cap_f = _binned_cap(2 * layout_tex.num_triangles, height, width, tile_h=16)
+        _, counts_f, _, _ = _bin_sub(setup, height, width, 32, 128, 16, cap_f)
         sclip = shadow_vertex_stage(s, layout_tex)
         ssetup = setup_triangles(
             gather_triangle_clip(sclip, s.tris), sm, sm, pipeline
         )
-        cap_s = _binned_cap(layout_tex.num_triangles, sm, sm, tile_h=8)
-        _, counts_s, _, _ = _bin_sub(ssetup, sm, sm, 32, 128, 8, cap_s)
+        cap_s = _binned_cap(layout_tex.num_triangles, sm, sm, tile_h=16)
+        _, counts_s, _, _ = _bin_sub(ssetup, sm, sm, 32, 128, 16, cap_s)
         return (
             jnp.sum((counts_f > cap_f).astype(jnp.int32)),
             jnp.max(counts_f),

@@ -149,8 +149,16 @@ def bin_triangles(
     cap_big: int | None = None,
     y_offset=0,
     y_stride: int = 1,
+    small_limit: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, int, int]:
     """Sort-based binning — O(T·slots·logT) instead of O(n_tiles·T).
+
+    small_limit: only slots < small_limit ride the expand+sort small path;
+    slots beyond it (the near-clip SECONDARY half, live for <1% of
+    triangles) route through the dense side list instead — halving the
+    sort size of clipped scenes. If live side-list candidates ever exceed
+    cap_big the lax.cond falls back to exact dense binning, so membership
+    is unchanged in all cases.
 
     Small triangles (tile span ≤ max_span_y × max_span_x — up to 2x2 tiles
     = 64x256 px at the default tile shape, which covers everything but
@@ -178,21 +186,28 @@ def bin_triangles(
     )
 
     span_ok = ((tx1 - tx0) < max_span_x) & ((ty1 - ty0) < max_span_y)
+    sl = t if small_limit is None else min(small_limit, t)
     small = alive & span_ok
     big = alive & ~span_ok
+    if sl < t:
+        in_small = jnp.arange(t, dtype=jnp.int32) < sl
+        big = alive & (~span_ok | ~in_small)
+        small = small & in_small
 
     # --- small path: expand -> sort -> segment extract ------------------
     sy = jnp.arange(max_span_y, dtype=jnp.int32)
     sx = jnp.arange(max_span_x, dtype=jnp.int32)
-    tys = ty0[:, None, None] + sy[None, :, None]  # [T, sy, 1]
-    txs = tx0[:, None, None] + sx[None, None, :]  # [T, 1, sx]
+    tys = ty0[:sl, None, None] + sy[None, :, None]  # [sl, sy, 1]
+    txs = tx0[:sl, None, None] + sx[None, None, :]  # [sl, 1, sx]
     slot_ok = (
-        small[:, None, None] & (tys <= ty1[:, None, None]) & (txs <= tx1[:, None, None])
-    )  # [T, sy, sx]
-    tile_ids = tys * ntx + txs  # broadcasts to [T, sy, sx]
+        small[:sl, None, None]
+        & (tys <= ty1[:sl, None, None])
+        & (txs <= tx1[:sl, None, None])
+    )  # [sl, sy, sx]
+    tile_ids = tys * ntx + txs  # broadcasts to [sl, sy, sx]
     tile_ids = jnp.broadcast_to(tile_ids, slot_ok.shape)
     tri_ids = jnp.broadcast_to(
-        jnp.arange(t, dtype=jnp.int32)[:, None, None], slot_ok.shape
+        jnp.arange(sl, dtype=jnp.int32)[:, None, None], slot_ok.shape
     )
     flat_tiles = jnp.where(slot_ok, tile_ids, n_tiles).reshape(-1)
     flat_tris = jnp.where(slot_ok, tri_ids, t).reshape(-1)
@@ -313,6 +328,7 @@ def rasterize_binned(
     z_floor: jnp.ndarray | None = None,
     y_offset=0,
     y_stride: int = 1,
+    small_limit: int | None = None,
 ) -> VisibilityBuffer:
     """Binned visibility-buffer rasterization (see module docstring).
 
@@ -332,7 +348,7 @@ def rasterize_binned(
 
     tri_idx, _, nty, ntx = bin_triangles(
         setup, height, width, tile_h, tile_w, cap,
-        y_offset=y_offset, y_stride=y_stride,
+        y_offset=y_offset, y_stride=y_stride, small_limit=small_limit,
     )
     n_tiles = nty * ntx
 

@@ -33,14 +33,28 @@ from renderer_rs_tpu.ops.raster_binned import (
 from renderer_rs_tpu.rhi.pipeline import CompareOp, GraphicsPipeline
 
 
-def _canonical_edges(xy, s):
-    """Precompute (outside the kernel) per-edge canonical endpoints, the
-    composed sign, and top-left flags, vectorized over [..., 3, 2] triangles.
+# Smallest positive NORMAL f32: the coverage threshold for non-top-left
+# edges. e >= MIN_NORMAL <=> e > 0 exactly on TPU hardware (subnormal
+# arithmetic results flush to zero, so no e value exists in (0, MIN_NORMAL));
+# in interpret mode a subnormal e would need cancellation to ~1e-38 of
+# coordinates that are themselves pixel-scale products — outside any real
+# input. Top-left edges use threshold 0 (e >= 0 <=> (e>0)|(e==0)).
+_COV_MIN_NORMAL = 1.1754943508222875e-38
 
-    Returns a list of 3 dicts of [...]-shaped arrays: ax, ay, bx, by,
-    sgn (= orientation sign x canonical-swap sign; multiplying the raw edge
-    value by sgn is an EXACT operation, so the kernel stays bit-identical to
-    the scan path's _edge), tl (top-left flag as 0/1 float).
+
+def _canonical_edges(xy, s, valid=None):
+    """Precompute (outside the kernel) per-edge canonical anchors,
+    SIGN-FOLDED deltas, and the coverage threshold, vectorized over
+    [..., 3, 2] triangles.
+
+    Returns a list of 3 dicts of [...]-shaped arrays: ax, ay (canonical
+    anchor), sdx, sdy (sgn * (b - a): folding the composed orientation x
+    canonical-swap sign into the deltas is EXACT — sign flips of products
+    and the symmetric rounding of X-Y vs Y-X keep the kernel bit-identical
+    to the scan path's sgn * _edge), and thresh (coverage test becomes ONE
+    compare e >= thresh: 0 for top-left edges, the smallest normal f32 for
+    strict edges, +inf for invalid/pad rows — folding the top-left rule AND
+    the valid mask into the compare).
     """
     edges = []
     # edge i is opposite vertex i: (1,2), (2,0), (0,1)
@@ -56,15 +70,18 @@ def _canonical_edges(xy, s):
         # top-left on the s-normalized LOGICAL direction d = s*(b-a)
         dx = s * (bx - ax)
         dy = s * (by - ay)
-        tl = ((dy < 0.0) | ((dy == 0.0) & (dx > 0.0))).astype(jnp.float32)
-        edges.append(dict(ax=cax, ay=cay, bx=cbx, by=cby, sgn=sgn, tl=tl))
+        tl = (dy < 0.0) | ((dy == 0.0) & (dx > 0.0))
+        thresh = jnp.where(tl, 0.0, _COV_MIN_NORMAL).astype(jnp.float32)
+        if valid is not None:
+            thresh = jnp.where(valid, thresh, jnp.inf)
+        edges.append(
+            dict(
+                ax=cax, ay=cay,
+                sdx=sgn * (cbx - cax), sdy=sgn * (cby - cay),
+                thresh=thresh,
+            )
+        )
     return edges
-
-
-def _kernel_edge(ax, ay, bx, by, sgn, px, py):
-    """Raw canonical edge value x composed sign — identical arithmetic to
-    raster.py's _edge (the sign multiply is exact)."""
-    return sgn * ((bx - ax) * (py - ay) - (by - ay) * (px - ax))
 
 
 def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_only, n_vary=0, n_flat=0, has_zfloor=False, skip_bary=False, sub_h=None, y_stride=1):
@@ -94,8 +111,8 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
     assert tile_h % sub_h == 0
     n_sub = tile_h // sub_h
 
-    def kernel(counts_ref, tilepos_ref, yoff_ref, coef_hbm, dinit_ref, *outs_and_scratch):
-        *outs, coef_ref, dma_sem = outs_and_scratch
+    def kernel(counts_ref, tilepos_ref, yoff_ref, slab_ref, dinit_ref, *outs):
+        outs = list(outs)
         if has_zfloor:
             zfloor_ref, *outs = outs
         if depth_only:
@@ -111,10 +128,14 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
         ty = tilepos_ref[2 * i]
         tx = tilepos_ref[2 * i + 1]
 
-        # Coefficients live in HBM as a flat [n_bins*cap, 128] matrix
-        # (width padded to one lane tile — narrower HBM slices trip Mosaic).
-        # Each loop iteration DMAs just its [chunk, 128] slab, so HBM traffic
-        # is proportional to the bin's actual triangle count.
+        # Coefficients arrive as a grid-pipelined BlockSpec input: the
+        # tile's whole [n_sub*cap, 128] slab sits in VMEM, prefetched by
+        # Pallas across grid steps (double-buffered automatically). The
+        # r2 manual per-chunk DMA machinery is gone: the full-cap slab is
+        # ~1 MB/tile = well under 1 ms of HBM traffic per frame, while the
+        # per-chunk start/wait pairs dominated the loop's fixed costs.
+        # Compute work remains proportional to the bin's actual count via
+        # the dynamic fori trip counts.
 
         # Mosaic iota must be integer-typed; cast to f32 after
         sub_py = jax.lax.broadcasted_iota(jnp.int32, (sub_h, tile_w), 0).astype(
@@ -126,14 +147,6 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
             + 0.5
             + (tx * tile_w).astype(jnp.float32)
         )
-
-        def get_dma(slot, bin_id, j):
-            row0 = bin_id * cap + j * chunk
-            return pltpu.make_async_copy(
-                coef_hbm.at[pl.ds(row0, chunk), :],
-                coef_ref.at[slot],
-                dma_sem.at[slot],
-            )
 
         for q in range(n_sub):  # static unroll over the tile's sub-bins
             bin_id = i * n_sub + q
@@ -150,26 +163,14 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
 
             n_chunks = (count + chunk - 1) // chunk
 
-            # warm-up: start the sub-bin's first slab
-            @pl.when(n_chunks > 0)
-            def _():
-                get_dma(0, bin_id, 0).start()
-
             # The chunk loop carries the sub-bin's accumulators as VALUES
             # (register-resident); output refs are written ONCE per sub-bin
             # after the loop. Read-modify-writing ref subviews inside the
             # loop measured ~13x slower (Mosaic round-trips the view).
-            def body(j, carry, bin_id=bin_id, count=count, n_chunks=n_chunks,
-                     py=py, zf_q=zf_q):
-                slot = jax.lax.rem(j, 2)
-                # prefetch the next slab while this one computes
-                @pl.when(j + 1 < n_chunks)
-                def _():
-                    get_dma(1 - slot, bin_id, j + 1).start()
-
-                get_dma(slot, bin_id, j).wait()
-                base = j * chunk
-                coefs = coef_ref[slot]  # [chunk, 128], first 24 cols used
+            def body(j, carry, q=q, py=py, zf_q=zf_q):
+                coefs = slab_ref[
+                    pl.ds(q * cap + j * chunk, chunk), :
+                ]  # [chunk, 128], first 24 cols used
 
                 def col(k):
                     return coefs[:, k : k + 1].reshape(chunk, 1, 1)
@@ -177,33 +178,33 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
                 shape = (chunk, sub_h, tile_w)
 
                 def edge_cov(k0):
-                    # columns: ax, ay, bx, by, sgn, tl
-                    e = _kernel_edge(
-                        col(k0), col(k0 + 1), col(k0 + 2), col(k0 + 3), col(k0 + 4),
-                        px[None], py[None],
+                    # columns: ax, ay, sdx, sdy, thresh — sign-folded edge
+                    # (exact vs sgn * _edge) + one-compare coverage that
+                    # folds the top-left rule AND the valid/pad mask
+                    e = col(k0 + 2) * (py[None] - col(k0 + 1)) - col(k0 + 3) * (
+                        px[None] - col(k0)
                     )
-                    tl = jnp.broadcast_to(col(k0 + 5), shape)
-                    cov_e = (e > 0.0) | ((e == 0.0) & (tl > 0.5))
-                    return e, cov_e
+                    return e, e >= col(k0 + 4)
 
                 e0, c0 = edge_cov(0)
-                e1, c1 = edge_cov(6)
-                e2, c2 = edge_cov(12)
-                validf = jnp.broadcast_to(col(22), shape)
-                cov = c0 & c1 & c2 & (validf > 0.5)
-                inv = col(21)
+                e1, c1 = edge_cov(5)
+                e2, c2 = edge_cov(10)
+                cov = c0 & c1 & c2
+                inv = col(18)
                 b0 = e0 * inv
                 b1 = e1 * inv
                 b2 = 1.0 - b0 - b1
-                zc = b0 * col(18) + b1 * col(19) + b2 * col(20)
-                cov = cov & (zc >= 0.0) & (zc <= 1.0)
+                zc = b0 * col(15) + b1 * col(16) + b2 * col(17)
+                # one-sided viewport-z bound: the other side is implied by
+                # the depth test against a clear value in [0, 1] (an
+                # out-of-range winner never passes; exact equivalence)
+                cov = cov & ((zc <= 1.0) if greater else (zc >= 0.0))
                 if has_zfloor:
                     # depth-peeling constraint: only fragments strictly
                     # beyond the previously rejected winner are candidates
                     cov = cov & (zc > zf_q[None])
-                # mask candidates beyond the bin's actual count
-                slot_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-                cov = cov & ((base + slot_i[:, :1, :1]) < count)
+                # no explicit count mask: rows past the bin's count hold the
+                # all-zero pad row (valid=0), so coverage is already false
 
                 key = jnp.where(cov, zc, big)
                 z_best = jnp.max(key, axis=0) if greater else jnp.min(key, axis=0)
@@ -218,6 +219,7 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
                 vary = list(vary)
                 winners = cov & (zc == z_best[None])
                 cov_best = jnp.any(winners, axis=0)
+                slot_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
                 slot_best = jnp.min(jnp.where(winners, slot_i, chunk), axis=0)
                 unique = winners & (slot_i == slot_best[None])
                 uf = unique.astype(jnp.float32)
@@ -225,7 +227,7 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
                     b0_best = jnp.sum(b0 * uf, axis=0)
                     b1_best = jnp.sum(b1 * uf, axis=0)
                 # ids ride in the coef matrix as floats (exact below 2^24)
-                ids = col(23)
+                ids = col(19)
                 id_best = jnp.sum(ids * uf, axis=0).astype(jnp.int32)
 
                 if use_depth_test:
@@ -252,7 +254,7 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
                     # select only. Column base matches the host packing:
                     # inv_w cols 24..26 and the 3K vary columns exist only
                     # when n_vary>0.
-                    flat_base = 24 + (3 + 3 * n_vary if n_vary else 0)
+                    flat_base = 20 + (3 + 3 * n_vary if n_vary else 0)
                     for k in range(n_flat):
                         f = jnp.sum(col(flat_base + k) * uf, axis=0)
                         vary[n_vary + k] = jnp.where(
@@ -262,20 +264,20 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
                     # Fused perspective-correct varyings: interpolate the
                     # winner's attributes in-kernel (they ride the free pad
                     # lanes of the coef slab — zero extra DMA traffic).
-                    # columns: 24..26 = inv_w0..2; 27.. = A[vertex v][k]
+                    # columns: 20..22 = inv_w0..2; 23.. = A[vertex v][k]
                     b2 = 1.0 - b0 - b1
-                    wb0 = b0 * col(24)
-                    wb1 = b1 * col(25)
-                    wb2 = b2 * col(26)
+                    wb0 = b0 * col(20)
+                    wb1 = b1 * col(21)
+                    wb2 = b2 * col(22)
                     denom = wb0 + wb1 + wb2
                     inv_d = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
                     aw0 = jnp.sum(wb0 * inv_d * uf, axis=0)  # winner's weights
                     aw1 = jnp.sum(wb1 * inv_d * uf, axis=0)
                     aw2 = jnp.sum(wb2 * inv_d * uf, axis=0)
                     for k in range(n_vary):
-                        a0 = jnp.sum(col(27 + 3 * k) * uf, axis=0)
-                        a1 = jnp.sum(col(27 + 3 * k + 1) * uf, axis=0)
-                        a2 = jnp.sum(col(27 + 3 * k + 2) * uf, axis=0)
+                        a0 = jnp.sum(col(23 + 3 * k) * uf, axis=0)
+                        a1 = jnp.sum(col(23 + 3 * k + 1) * uf, axis=0)
+                        a2 = jnp.sum(col(23 + 3 * k + 2) * uf, axis=0)
                         vk = aw0 * a0 + aw1 * a1 + aw2 * a2
                         vary[k] = jnp.where(accept, vk, vary[k])
                 return depth, tid, b0c, b1c, tuple(vary)
@@ -309,29 +311,34 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
     return kernel
 
 
+_THRESH_COLS = (4, 9, 14)  # per-edge coverage-threshold columns
+
+
 def _depth_coef_table(setup: TriangleSetup, t: int) -> jnp.ndarray:
-    """The 24-column per-slot coefficient table of the kernel contract
-    (edges/z/inv_area/valid/id — see rasterize_binned_pallas), lane-padded
-    to 128 with the all-zero pad row at index t."""
+    """The 20-column per-slot coefficient table of the kernel contract
+    (edges/z/inv_area/id — see rasterize_binned_pallas), lane-padded to 128
+    with the pad row at index t (whose thresholds are +inf -> never covers)."""
     s = jnp.sign(setup.area2)
     area_abs = jnp.abs(setup.area2)
     inv_area = jnp.where(area_abs > 0.0, 1.0 / jnp.maximum(area_abs, 1e-30), 0.0)
-    edges = _canonical_edges(setup.xy, s)
+    edges = _canonical_edges(setup.xy, s, valid=setup.valid)
     cols = []
     for e in edges:
-        cols += [e["ax"], e["ay"], e["bx"], e["by"], e["sgn"], e["tl"]]
+        cols += [e["ax"], e["ay"], e["sdx"], e["sdy"], e["thresh"]]
     cols += [setup.z[..., 0], setup.z[..., 1], setup.z[..., 2]]
     cols += [
         inv_area,
-        setup.valid.astype(jnp.float32),
         jnp.arange(t, dtype=jnp.float32),
     ]
     table = jnp.stack(cols, axis=-1)
-    return jnp.pad(table, ((0, 1), (0, 128 - table.shape[-1])))
+    table = jnp.pad(table, ((0, 1), (0, 128 - table.shape[-1])))
+    return table.at[t, jnp.asarray(_THRESH_COLS)].set(jnp.inf)
 
 
 def _bin_sub(setup, height, width, tile_h, tile_w, sub_h, cap,
              y_offset=0, y_stride=1, **bin_kw):
+    # bin_kw passes through to bin_triangles (max_span_*, cap_big,
+    # small_limit)
     """Two-level binning front end: bin at [sub_h, tile_w] granularity over
     the PADDED tile extent, then reorder lists/counts to tile-major,
     sub-bin-minor order (the kernel's slab contract: bin q of grid step i is
@@ -365,7 +372,7 @@ def rasterize_depth_only_batch(
     tile_w: int = 128,
     cap: int = 2048,
     chunk: int = 64,
-    sub_h: int = 8,
+    sub_h: int = 16,
 ) -> jnp.ndarray:
     """Depth-only rasterization of N independent triangle sets (the CSM
     cascades) in ONE Pallas launch: per-cascade binning feeds a grid of
@@ -419,15 +426,21 @@ def rasterize_depth_only_batch(
     ).reshape(-1)
     tilepos = jnp.tile(tilepos, n_batch)
 
+    n_sub = tile_h // sub_h
     kernel = _make_kernel(pipeline, tile_h, tile_w, cap, chunk, True, sub_h=sub_h)
     out_shapes = [
         jax.ShapeDtypeStruct((n_batch * n_tiles, tile_h, tile_w), jnp.float32)
     ]
+    coef = coef.reshape(n_batch * n_tiles, n_sub * cap, 128)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_batch * n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            # the tile's whole slab, grid-pipelined into VMEM by Pallas
+            pl.BlockSpec(
+                (1, n_sub * cap, 128), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(
                 (1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -437,14 +450,10 @@ def rasterize_depth_only_batch(
                 (1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             )
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, chunk, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
     )
 
-    def wrapped_kernel(counts_ref, tilepos_ref, yoff_ref, coef_hbm, dinit_ref, out_ref, *scratch):
-        kernel(counts_ref, tilepos_ref, yoff_ref, coef_hbm, dinit_ref.at[0], out_ref.at[0], *scratch)
+    def wrapped_kernel(counts_ref, tilepos_ref, yoff_ref, slab_ref, dinit_ref, out_ref):
+        kernel(counts_ref, tilepos_ref, yoff_ref, slab_ref.at[0], dinit_ref.at[0], out_ref.at[0])
 
     (depth_t,) = pl.pallas_call(
         wrapped_kernel,
@@ -473,14 +482,14 @@ def rasterize_binned_pallas(
     flat_varyings: jnp.ndarray | None = None,
     z_floor: jnp.ndarray | None = None,
     ids: jnp.ndarray | None = None,
-    return_tiles: bool = False,
     skip_bary: bool = False,
     max_span_y: int = 2,
     max_span_x: int = 2,
     cap_big: int | None = None,
-    sub_h: int = 8,
+    sub_h: int = 16,
     y_offset=0,
     y_stride: int = 1,
+    small_limit: int | None = None,
 ):
     """Binned rasterization with per-tile dynamic trip counts (see module
     docstring). Returns VisibilityBuffer, or just the depth array when
@@ -515,42 +524,42 @@ def rasterize_binned_pallas(
         setup, height, width, tile_h, tile_w, sub_h, cap,
         y_offset=y_offset, y_stride=y_stride,
         max_span_y=max_span_y, max_span_x=max_span_x, cap_big=cap_big,
+        small_limit=small_limit,
     )
     n_tiles = nty * ntx
     counts = jnp.minimum(counts, cap)
 
-    # Per-SLOT coefficient table [t+1, 128] in canonical edge form so the
-    # kernel needs no swap/bool logic on tiny vectors (Mosaic-friendly):
-    #   [0..5]   edge0: ax, ay, bx, by, sgn, tl
-    #   [6..11]  edge1
-    #   [12..17] edge2
-    #   [18..20] z0, z1, z2
-    #   [21]     inv_area (positive)
-    #   [22]     valid (0/1)
-    #   [23]     tri_id as f32 (exact below 2^24)
+    # Per-SLOT coefficient table [t+1, 128] in sign-folded canonical edge
+    # form so the kernel needs no swap/bool logic on tiny vectors
+    # (Mosaic-friendly) and coverage is ONE compare per edge:
+    #   [0..4]   edge0: ax, ay, sdx, sdy, thresh
+    #   [5..9]   edge1
+    #   [10..14] edge2
+    #   [15..17] z0, z1, z2
+    #   [18]     inv_area (positive)
+    #   [19]     tri_id as f32 (exact below 2^24)
     # Built once per raster slot (O(T)) and expanded into the per-tile slab
     # by ONE contiguous row gather — not per-column [n_tiles, cap] gathers,
-    # which cost ~50 gather ops over 6x more rows. Row t is all-zero
-    # (valid=0), which is exactly what the bin padding value `t` selects.
+    # which cost ~50 gather ops over 6x more rows. Row t is the pad row
+    # (thresholds +inf -> never covers), which the bin padding selects.
     s = jnp.sign(setup.area2)
     area_abs = jnp.abs(setup.area2)
     inv_area = jnp.where(area_abs > 0.0, 1.0 / jnp.maximum(area_abs, 1e-30), 0.0)
-    edges = _canonical_edges(setup.xy, s)
+    edges = _canonical_edges(setup.xy, s, valid=setup.valid)
     cols = []
     for e in edges:
-        cols += [e["ax"], e["ay"], e["bx"], e["by"], e["sgn"], e["tl"]]
+        cols += [e["ax"], e["ay"], e["sdx"], e["sdy"], e["thresh"]]
     cols += [setup.z[..., 0], setup.z[..., 1], setup.z[..., 2]]
     cols += [
         inv_area,
-        setup.valid.astype(jnp.float32),
         ids.astype(jnp.float32) if ids is not None else jnp.arange(t, dtype=jnp.float32),
     ]
     n_vary = 0
     if varyings is not None and not depth_only:
         n_vary = varyings.shape[-1]
-        assert 24 + 3 + 3 * n_vary <= 128, "too many varying channels"
+        assert 20 + 3 + 3 * n_vary <= 128, "too many varying channels"
         inv_w = 1.0 / jnp.maximum(setup.w, 1e-12)  # [t,3]
-        cols += [inv_w[..., 0], inv_w[..., 1], inv_w[..., 2]]  # 24..26
+        cols += [inv_w[..., 0], inv_w[..., 1], inv_w[..., 2]]  # 20..22
         if vary_src is not None:
             src = vary_src  # [t] raster slot -> source triangle
             cb = vary_bary  # [t,3,3]
@@ -574,7 +583,7 @@ def rasterize_binned_pallas(
     n_flat = 0
     if flat_varyings is not None and not depth_only:
         n_flat = flat_varyings.shape[-1]
-        flat_base = 24 + (3 + 3 * n_vary if n_vary else 0)
+        flat_base = 20 + (3 + 3 * n_vary if n_vary else 0)
         assert flat_base + n_flat <= 128, "too many channels"
         fsrc = vary_src if vary_src is not None else jnp.minimum(
             jnp.arange(t), flat_varyings.shape[0] - 1
@@ -587,9 +596,12 @@ def rasterize_binned_pallas(
     # supports 128-wide HBM DMA slabs, and the in-kernel column extraction
     # needs candidates in SUBLANES (lane->sublane reshapes don't lower).
     table = jnp.pad(table, ((0, 1), (0, 128 - table.shape[-1])))
-    # ONE row gather builds the whole slab [n_tiles*cap, 128] (tri_idx is
-    # already padded with t by bin_triangles -> selects the zero row).
-    coef = table[tri_idx.reshape(-1)]
+    table = table.at[t, jnp.asarray(_THRESH_COLS)].set(jnp.inf)  # pad row
+    # ONE row gather builds the whole slab (tri_idx is already padded with
+    # t by bin_triangles -> selects the pad row), shaped per grid step for
+    # the pipelined BlockSpec: [n_tiles, n_sub*cap, 128].
+    n_sub = tile_h // sub_h
+    coef = table[tri_idx.reshape(-1)].reshape(n_tiles, n_sub * cap, 128)
 
     greater = pipeline.depth_compare_op in (
         CompareOp.GREATER,
@@ -648,14 +660,15 @@ def rasterize_binned_pallas(
                 )
             )
 
-    tile_block = pl.BlockSpec(
-        (1, tile_h, tile_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # counts, tilepos, band y-offset
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # coef stays in HBM
+            # the tile's whole slab, grid-pipelined into VMEM by Pallas
+            pl.BlockSpec(
+                (1, n_sub * cap, 128), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
         + (
@@ -671,22 +684,17 @@ def rasterize_binned_pallas(
             )
             for shp in out_shapes
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, chunk, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
     )
 
-    def wrapped_kernel(counts_ref, tilepos_ref, yoff_ref, coef_hbm, dinit_ref, *rest):
+    def wrapped_kernel(counts_ref, tilepos_ref, yoff_ref, slab_ref, dinit_ref, *rest):
         # blocks carry a leading singleton tile dim; squeeze via views
         kernel(
             counts_ref,
             tilepos_ref,
             yoff_ref,
-            coef_hbm,
+            slab_ref.at[0],
             dinit_ref.at[0],
-            *(r.at[0] for r in rest[: len(rest) - 2]),
-            *rest[len(rest) - 2 :],
+            *(r.at[0] for r in rest),
         )
 
     yoff = jnp.asarray(y_offset, jnp.int32).reshape(1)
@@ -712,11 +720,6 @@ def rasterize_binned_pallas(
         depth_t, tid_t, b0_t, b1_t, vary_t = outs
     else:
         depth_t, tid_t, b0_t, b1_t = outs
-    if return_tiles:
-        # TILE-MAJOR outputs for the fused shade kernel (ops/shade_pallas):
-        # skipping the K-channel stitch entirely
-        assert n_vary or n_flat, "return_tiles implies fused varyings"
-        return depth_t, tid_t, vary_t, nty, ntx
     vis = VisibilityBuffer(
         tri_id=stitch(tid_t),
         depth=stitch(depth_t),

@@ -148,8 +148,8 @@ def _binned_cap(
     bin area, ceiling 16384) — covers the skewed tiles of the 100k-class
     flagship scene (peak ~1.3k vs avg ~380 per 32x128 tile at 1080p) and
     keeps low-res/dense cases (few bins, thousands of triangles each)
-    un-truncated. For the Pallas two-level path pass tile_h=8: the same
-    formula then budgets the [8,128] sub-bins (floor 384). Memory/gather
+    un-truncated. For the Pallas two-level path pass tile_h=16: the same
+    formula then budgets the [16,128] sub-bins (floor 768). Memory/gather
     traffic is n_bins*cap ≈ 6T regardless of resolution. Bins denser than
     the cap keep the first `cap` triangles in submission order
     (raster_binned.py); bench.py reports the truncation count."""
@@ -174,7 +174,7 @@ def _use_pallas() -> bool:
 
 
 def _rasterize_dispatch(setup, height, width, pipeline, num_triangles,
-                        depth_init=None):
+                        depth_init=None, small_limit=None):
     """Pick the raster backend: the Pallas per-tile-count kernel on TPU, the
     XLA binned path elsewhere, the exact sequential scan for small scenes /
     blending / exotic compare ops."""
@@ -182,13 +182,15 @@ def _rasterize_dispatch(setup, height, width, pipeline, num_triangles,
         if _use_pallas():
             from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
 
-            cap = _binned_cap(num_triangles, height, width, tile_h=8)
+            cap = _binned_cap(num_triangles, height, width, tile_h=16)
             return rasterize_binned_pallas(
-                setup, height, width, pipeline, cap=cap, depth_init=depth_init
+                setup, height, width, pipeline, cap=cap, depth_init=depth_init,
+                small_limit=small_limit,
             )
         cap = _binned_cap(num_triangles, height, width)
         return rasterize_binned(
-            setup, height, width, pipeline, cap=cap, depth_init=depth_init
+            setup, height, width, pipeline, cap=cap, depth_init=depth_init,
+            small_limit=small_limit,
         )
     return rasterize(setup, height, width, pipeline, depth_init=depth_init)
 
@@ -205,7 +207,7 @@ def shadow_map_pass(
         if _use_pallas():
             from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
 
-            cap = _binned_cap(layout.num_triangles, size, size, tile_h=8)
+            cap = _binned_cap(layout.num_triangles, size, size, tile_h=16)
             return rasterize_binned_pallas(
                 setup, size, size, _SHADOW_PIPELINE, cap=cap, depth_only=True
             )
@@ -236,7 +238,7 @@ def csm_shadow_pass(scene: GpuScene, layout: SceneLayout, size: int) -> jnp.ndar
                     _SHADOW_PIPELINE,
                 )
             )
-        cap = _binned_cap(layout.num_triangles, size, size, tile_h=8)
+        cap = _binned_cap(layout.num_triangles, size, size, tile_h=16)
         return rasterize_depth_only_batch(
             setups, size, size, _SHADOW_PIPELINE, cap=cap
         )
@@ -261,6 +263,7 @@ def _shade_pixels(
     fused_materials: bool = False,
     fused_material_constants: tuple | None = None,
     sky_dirs: jnp.ndarray | None = None,
+    fused_mid: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     """The fragment stage over the visibility buffer. Returns (linear HDR
     [H,W,4], sky_rgb or None); misses contain garbage in the color — the
@@ -295,7 +298,7 @@ def _shade_pixels(
         # (layout.material_constants — static, exact)
         consts = fused_material_constants
         n_lanes = sum(1 for c in consts if c is None)
-        li = varying.shape[-1] - n_lanes
+        li = varying.shape[-1] - n_lanes - (1 if fused_mid else 0)
         cols = []
         for k in range(11):
             if consts[k] is None:
@@ -345,9 +348,14 @@ def _shade_pixels(
         used = [i for i, u in enumerate(layout.texture_slots) if u]
         c_all = 4 * len(used)
         pos = {slot: 4 * k for k, slot in enumerate(used)}
-        # texture-SET id per pixel: the [T]-sized table compose is traced
-        # host-of-jit (cheap), so the per-pixel cost stays ONE gather
-        mid = tex.mat_set[scene.tri_material][tid]  # [H,W] set id
+        if fused_mid:
+            # the texture-set id rode the raster kernel's flat lanes
+            # (last channel) — zero per-pixel gathers to resolve it
+            mid = varying[..., -1].astype(jnp.int32)
+        else:
+            # [T]-sized table compose is traced host-of-jit (cheap), so
+            # the per-pixel cost is ONE gather
+            mid = tex.mat_set[scene.tri_material][tid]  # [H,W] set id
         samp = sample_array_textured_atlas(
             tex.mat_atlas, tex.mat_offsets, tex.mat_sizes,
             len(mips), (mips[0].shape[1], mips[0].shape[2]),
@@ -638,7 +646,7 @@ def _alpha_peeled_raster(
 
     cutoff = pipeline.alpha_cutoff
     cap = _binned_cap(
-        n_raster_tris, height, width, tile_h=8 if _use_pallas() else 32
+        n_raster_tris, height, width, tile_h=16 if _use_pallas() else 32
     )
     base_mip = scene.textures.mips[0]
     tex_of_tri = scene.materials.tex_ids[scene.tri_material][:, 0]  # [Tsrc]
@@ -862,6 +870,7 @@ def forward_frame(
         clip_bary = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (t_n, 3, 3))
         setup = setup_triangles(tri_clip, width, height, pipeline)
         n_raster_tris = t_n
+        bin_small_limit = None
     else:
         # Near-plane clipping: triangles crossing w=eps are split (T -> 2T
         # slots) instead of dropped; shading maps winners back to source
@@ -874,6 +883,9 @@ def forward_frame(
         # viewport transform always uses the FULL framebuffer extent
         setup = setup_triangles(tri_clip, width, height, pipeline, tri_valid=clip_valid)
         n_raster_tris = 2 * layout.num_triangles
+        # binning: the secondary clip half (live <1%) rides the dense side
+        # list instead of the expand+sort — halves the sort size
+        bin_small_limit = layout.num_triangles
 
     # Alpha-cutoff (MASK) materials: the coverage test samples base-color
     # alpha per candidate fragment BEFORE the depth write (model_pbr.hlsl:
@@ -931,29 +943,11 @@ def forward_frame(
         and supports_binned(pipeline, n_raster_tris)
         and _use_pallas()
     )
-    # Fully-fused TPU fast path: raster kernel -> gathers-only XLA -> shade
-    # kernel (ops/shade_pallas), never materializing [H,W,C] intermediates.
-    # Covers the flagship fast-ambient PBR_IBL frame (untextured, single
-    # sun shadow map); everything else uses the deferred shade below.
-    import os as _os
-
-    # default OFF: measured 24 ms slower than the deferred shade at 1080p
-    # (see ROADMAP "fused shade kernel"); flip on with RENDERER_FUSED_SHADE=1
-    # while optimizing it.
-    fuse_shade = (
-        fuse
-        and _os.environ.get("RENDERER_FUSED_SHADE", "0") == "1"
-        and shading == ShadingModel.PBR_IBL
-        and layout.has_environment
-        and scene.environment is not None
-        and scene.environment.irradiance_mips is not None
-        and scene.environment.atlas is not None
-        and not layout.has_textures
-        and not layout.has_csm
-        and scene.lights.point_position.shape[0] == 0
-        and scene.lights.spot_position.shape[0] == 0
-        and tonemap in ("aces", "reinhard", "none")
-    )
+    # (A fully-fused Pallas SHADE kernel was tried in r2 — tile-major
+    # fragment stage after the raster kernel — and measured 24 ms SLOWER
+    # than the XLA deferred shade at 1080p: the shade stage is
+    # gather-dominated and XLA already fuses the elementwise math. Deleted
+    # in r3; the deferred shade below is the shipping path.)
 
     if stencil is not None and band is not None:
         raise ValueError(
@@ -963,6 +957,7 @@ def forward_frame(
     y_stride = 1  # overwritten by the band branch; read by sky/env paths
     ids_are_source = False
     fused_materials = False
+    shade_fused_mid = False
     if peel:
         vis, varying_img, ids_are_source = _alpha_peeled_raster(
             scene, layout, setup, clip_src, clip_bary, vs, height, width,
@@ -998,29 +993,23 @@ def forward_frame(
         var_cols = [
             k for k in range(11) if layout.material_constants[k] is None
         ]
-        mat_flat = mat_full[:, jnp.asarray(var_cols, jnp.int32)] if var_cols else None
-        if fuse_shade:
-            from renderer_rs_tpu.ops.shade_pallas import shade_tiles_fast_ambient
-
-            depth_t, tid_t, vary_t, nty, ntx = rasterize_binned_pallas(
-                setup, height, width, pipeline,
-                cap=_binned_cap(n_raster_tris, height, width, tile_h=8),
-                varyings=tri_attr_src,
-                vary_src=clip_src,
-                vary_bary=clip_bary,
-                flat_varyings=mat_flat,
-                ids=clip_src,
-                return_tiles=True,
+        flat_cols = [mat_full[:, jnp.asarray(var_cols, jnp.int32)]] if var_cols else []
+        fused_mid = (
+            layout.has_textures
+            and scene.textures is not None
+            and scene.textures.mat_atlas is not None
+        )
+        if fused_mid:
+            # texture-set id as the LAST flat lane (exact: ids < 2^24)
+            flat_cols.append(
+                scene.textures.mat_set[scene.tri_material][:, None].astype(
+                    jnp.float32
+                )
             )
-            return shade_tiles_fast_ambient(
-                depth_t, tid_t, vary_t, scene, shadow_map, shadow_params,
-                nty, ntx, height, width, tonemap, clear_color,
-                material_constants=layout.material_constants,
-                return_depth=return_depth,
-            )
+        mat_flat = jnp.concatenate(flat_cols, axis=-1) if flat_cols else None
         vis, varying_img = rasterize_binned_pallas(
             setup, height, width, pipeline,
-            cap=_binned_cap(n_raster_tris, height, width, tile_h=8),
+            cap=_binned_cap(n_raster_tris, height, width, tile_h=16),
             depth_init=(
                 None if depth_clear == 1.0
                 else jnp.full((height, width), depth_clear, jnp.float32)
@@ -1031,12 +1020,14 @@ def forward_frame(
             flat_varyings=mat_flat,
             ids=clip_src,  # kernel writes SOURCE ids: no clip_src[slot] gather
             skip_bary=True,  # fused consumers never read vis.bary
+            small_limit=bin_small_limit,
         )
         out_h = height
         y_offset = 0
         bary3 = None  # unused: varyings are already interpolated
         ids_are_source = True
         fused_materials = True
+        shade_fused_mid = fused_mid
     elif stencil is not None:
         # stencil test/update state machine (scan path; ≙ the
         # StencilAttachment dynamic-rendering config, rendering.rs:537-648)
@@ -1054,6 +1045,7 @@ def forward_frame(
                 None if depth_clear == 1.0
                 else jnp.full((height, width), depth_clear, jnp.float32)
             ),
+            small_limit=bin_small_limit,
         )
         out_h = height
         y_offset = 0
@@ -1081,14 +1073,16 @@ def forward_frame(
 
                 vis = rasterize_binned_pallas(
                     setup, out_h, width, pipeline,
-                    cap=_binned_cap(n_raster_tris, height, width, tile_h=8),
+                    cap=_binned_cap(n_raster_tris, height, width, tile_h=16),
                     y_offset=y_offset, y_stride=y_stride,
+                    small_limit=bin_small_limit,
                 )
             else:
                 vis = rasterize_binned(
                     setup, out_h, width, pipeline,
                     cap=_binned_cap(n_raster_tris, height, width),
                     y_offset=y_offset, y_stride=y_stride,
+                    small_limit=bin_small_limit,
                 )
         else:
             # exact scan rasterizer: pixel-row offsets and coverage callbacks
@@ -1141,6 +1135,7 @@ def forward_frame(
             layout.material_constants if fuse and not peel else None
         ),
         sky_dirs=sky_dirs,
+        fused_mid=(fuse and not peel and shade_fused_mid),
     )
 
     bg = jnp.broadcast_to(

@@ -217,3 +217,37 @@ def test_skip_bary_matches_full_outputs():
     np.testing.assert_array_equal(np.asarray(va.depth), np.asarray(vb.depth))
     np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
     assert (np.asarray(vb.bary) == 0).all()  # placeholder, never read
+
+
+def test_fused_forward_frame_matches_deferred(monkeypatch):
+    """forward_frame's fused TPU path (kernel varyings + flat material lanes
+    + fused texture-set id) matches the deferred CPU path on a textured PBR
+    scene (interpret mode drives the same code the TPU runs)."""
+    import renderer_rs_tpu.renderer.passes as passes
+    from renderer_rs_tpu.app.scenes import full_scene
+    from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+    w, h = 128, 64
+    scene, layout, kwargs, _ = full_scene(
+        w, h, tri_budget=300, ibl=False, textured=True
+    )
+    pipe = GraphicsPipelineBuilder().build()
+
+    ref = np.asarray(
+        passes.forward_frame(
+            scene, layout, pipe, kwargs["shading"], w, h,
+            shadow_map_size=64, shadow_params=kwargs["shadow_params"],
+        )
+    )
+
+    monkeypatch.setattr(passes, "_use_pallas", lambda: True)
+    out = np.asarray(
+        passes.forward_frame(
+            scene, layout, pipe, kwargs["shading"], w, h,
+            shadow_map_size=64, shadow_params=kwargs["shadow_params"],
+        )
+    )
+    assert np.isfinite(out).all()
+    # same rasterization (bit-identical visibility) -> shading differs only
+    # by the varying interpolation order; tolerance covers fp reassociation
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
