@@ -140,7 +140,8 @@ _SHADOW_PIPELINE = (
 
 
 def _binned_cap(
-    num_triangles: int, height: int, width: int, tile_h: int = 32, tile_w: int = 128
+    num_triangles: int, height: int, width: int, tile_h: int = 32,
+    tile_w: int = 128, skew: int = 6,
 ) -> int:
     """Density-aware per-bin triangle budget.
 
@@ -157,7 +158,7 @@ def _binned_cap(
     avg = num_triangles / n_tiles
     floor = max(256, 1536 * (tile_h * tile_w) // 4096)
     align = 512 if tile_h >= 32 else 128
-    cap = max(floor, int(6 * avg))
+    cap = max(floor, int(skew * avg))
     cap = -(-cap // align) * align
     return min(max(num_triangles, 16), cap, 16384)
 
@@ -182,7 +183,7 @@ def _rasterize_dispatch(setup, height, width, pipeline, num_triangles,
         if _use_pallas():
             from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
 
-            cap = _binned_cap(num_triangles, height, width, tile_h=16)
+            cap = _binned_cap(num_triangles, height, width, tile_h=16, skew=12)
             return rasterize_binned_pallas(
                 setup, height, width, pipeline, cap=cap, depth_init=depth_init,
                 small_limit=small_limit,
@@ -207,7 +208,7 @@ def shadow_map_pass(
         if _use_pallas():
             from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
 
-            cap = _binned_cap(layout.num_triangles, size, size, tile_h=16)
+            cap = _binned_cap(layout.num_triangles, size, size, tile_h=16, skew=12)
             return rasterize_binned_pallas(
                 setup, size, size, _SHADOW_PIPELINE, cap=cap, depth_only=True
             )
@@ -238,7 +239,7 @@ def csm_shadow_pass(scene: GpuScene, layout: SceneLayout, size: int) -> jnp.ndar
                     _SHADOW_PIPELINE,
                 )
             )
-        cap = _binned_cap(layout.num_triangles, size, size, tile_h=16)
+        cap = _binned_cap(layout.num_triangles, size, size, tile_h=16, skew=12)
         return rasterize_depth_only_batch(
             setups, size, size, _SHADOW_PIPELINE, cap=cap
         )
@@ -646,7 +647,9 @@ def _alpha_peeled_raster(
 
     cutoff = pipeline.alpha_cutoff
     cap = _binned_cap(
-        n_raster_tris, height, width, tile_h=16 if _use_pallas() else 32
+        n_raster_tris, height, width,
+        tile_h=16 if _use_pallas() else 32,
+        skew=12 if _use_pallas() else 6,
     )
     base_mip = scene.textures.mips[0]
     tex_of_tri = scene.materials.tex_ids[scene.tri_material][:, 0]  # [Tsrc]
@@ -1009,7 +1012,7 @@ def forward_frame(
         mat_flat = jnp.concatenate(flat_cols, axis=-1) if flat_cols else None
         vis, varying_img = rasterize_binned_pallas(
             setup, height, width, pipeline,
-            cap=_binned_cap(n_raster_tris, height, width, tile_h=16),
+            cap=_binned_cap(n_raster_tris, height, width, tile_h=16, skew=12),
             depth_init=(
                 None if depth_clear == 1.0
                 else jnp.full((height, width), depth_clear, jnp.float32)
@@ -1073,7 +1076,7 @@ def forward_frame(
 
                 vis = rasterize_binned_pallas(
                     setup, out_h, width, pipeline,
-                    cap=_binned_cap(n_raster_tris, height, width, tile_h=16),
+                    cap=_binned_cap(n_raster_tris, height, width, tile_h=16, skew=12),
                     y_offset=y_offset, y_stride=y_stride,
                     small_limit=bin_small_limit,
                 )
