@@ -109,7 +109,22 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.backend)
 
     init_logging(args.log)
-    window = Window(args.width, args.height, f"renderer_rs_tpu [{args.scene}]", sink=args.out)
+    # a real display gets a real window (X11 blit via ctypes); otherwise the
+    # surface is the PNG/array sink (≙ winit window vs headless capture)
+    x11 = None
+    sink = args.out
+    if sink is None:
+        from renderer_rs_tpu.platform.x11 import X11Window, display_available
+
+        if display_available():
+            try:
+                x11 = X11Window(
+                    args.width, args.height, f"renderer_rs_tpu [{args.scene}]"
+                )
+                sink = x11.present
+            except Exception as e:  # display may be unreachable
+                log.warning("X11 window unavailable (%s); offscreen", e)
+    window = Window(args.width, args.height, f"renderer_rs_tpu [{args.scene}]", sink=sink)
     scene, layout, kwargs, animate = build(args)
     camera = kwargs.get("camera")
     renderer = Renderer(
@@ -153,6 +168,9 @@ def main(argv=None) -> int:
         if animate is not None:
             renderer.update_scene(animate(renderer._scene, t, dt))
         renderer.render_frame()
+        if x11 is not None and not x11.pump_events():
+            log.info("window closed")  # ≙ CloseRequested -> exit loop
+            break
     # drain the in-flight queue so every frame is presented
     for fb in renderer.frame_manager.wait_for_all_frames():
         from renderer_rs_tpu.utils.image_io import framebuffer_to_u8
