@@ -8,9 +8,9 @@ the north star name a "textured PBR glTF scene" (5-slot 256² PBR maps,
 app/scenes.full_scene(textured=True)); the untextured variant rides along
 as a secondary field. Also reported (VERDICT r2 items 8-9):
 
-- truncated_bins: raster bins whose triangle list exceeded the density cap
-  on the forward + shadow passes (silent-geometry-dropout telemetry; must
-  be 0 on the flagship scenes).
+- bin_overflow: compact binning has NO per-bin density cap (segments are
+  exact), but its big/huge expansion classes have entry capacities;
+  overflow would drop candidates — reported per pass, must be 0.
 - checksum drift guard: mean |linear HDR| of the textured frame vs the
   committed reference in bench_ref.json (catches Mosaic/remote-compile
   numeric drift the run it happens). Regenerate intentionally with
@@ -69,7 +69,6 @@ def main() -> int:
     from renderer_rs_tpu.ops.clip import clip_triangles_near
     from renderer_rs_tpu.ops.raster import gather_triangle_clip, setup_triangles
     from renderer_rs_tpu.renderer.passes import (
-        _binned_cap,
         forward_frame,
         shadow_vertex_stage,
         vertex_stage,
@@ -107,8 +106,8 @@ def main() -> int:
     sm = kwargs_tex.get("shadow_map_size", 1024)
 
     @jax.jit
-    def truncation(s):
-        from renderer_rs_tpu.ops.raster_pallas import _bin_sub
+    def overflow_probe(s):
+        from renderer_rs_tpu.ops.raster_pallas import _bin_compact
 
         vs = vertex_stage(s, layout_tex)
         tri_clip = gather_triangle_clip(vs.clip, s.tris)
@@ -116,22 +115,20 @@ def main() -> int:
         setup = setup_triangles(
             tri_clip, width, height, pipeline, tri_valid=clip_valid
         )
-        cap_f = _binned_cap(2 * layout_tex.num_triangles, height, width, tile_h=16)
-        _, counts_f, _, _ = _bin_sub(setup, height, width, 32, 128, 16, cap_f)
+        _, _, _, _, ov_f = _bin_compact(
+            setup, height, width, 32, 128, 16, 64,
+            small_limit=layout_tex.num_triangles,
+        )
         sclip = shadow_vertex_stage(s, layout_tex)
         ssetup = setup_triangles(
             gather_triangle_clip(sclip, s.tris), sm, sm, pipeline
         )
-        cap_s = _binned_cap(layout_tex.num_triangles, sm, sm, tile_h=16)
-        _, counts_s, _, _ = _bin_sub(ssetup, sm, sm, 32, 128, 16, cap_s)
-        return (
-            jnp.sum((counts_f > cap_f).astype(jnp.int32)),
-            jnp.max(counts_f),
-            jnp.sum((counts_s > cap_s).astype(jnp.int32)),
-            jnp.max(counts_s),
-        )
+        _, _, _, _, ov_s = _bin_compact(ssetup, sm, sm, 32, 128, 16, 64)
+        return ov_f, ov_s
 
-    tf, mf, ts, ms = (int(x) for x in truncation(scene_tex))
+    ov_f, ov_s = overflow_probe(scene_tex)
+    tf, mf = int(ov_f[0]), int(ov_f[1])
+    ts, ms = int(ov_s[0]), int(ov_s[1])
 
     # --- numeric drift guard -----------------------------------------------
     check = float(jnp.mean(jnp.abs(out_tex)))
@@ -163,11 +160,11 @@ def main() -> int:
             "mtri_per_s": round(fps * tris / 1e6, 3),
             "mpix_per_s": round(fps * width * height / 1e6, 2),
             "frame_ms": round(1000.0 / fps, 2),
-            "truncated_bins": {
-                "forward": tf,
-                "forward_max_count": mf,
-                "shadow": ts,
-                "shadow_max_count": ms,
+            "bin_overflow": {
+                "forward_big": tf,
+                "forward_huge": mf,
+                "shadow_big": ts,
+                "shadow_huge": ms,
             },
             "checksum": round(check, 6),
             "checksum_status": checksum_status,

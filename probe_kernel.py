@@ -121,8 +121,7 @@ def main():
         v = variants[name]
         hh, ww = (1024, 1024) if v.get("shadow") else (H, W)
         st = ssetup if v.get("shadow") else setup
-        cap = _binned_cap(int(st.num_triangles), hh, ww, tile_h=v["sub_h"])
-        kw = dict(cap=cap, sub_h=v["sub_h"], tile_h=v.get("tile_h", 32),
+        kw = dict(sub_h=v["sub_h"], tile_h=v.get("tile_h", 32),
                   depth_only=v.get("depth_only", False),
                   chunk=v.get("chunk", 64), skip_bary=v.get("skip_bary", False))
         if v.get("small"):

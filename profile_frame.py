@@ -97,7 +97,7 @@ def main():
                 packed.append(vs.world_tangent)
             attr = jnp.concatenate(packed, axis=-1)
             return rasterize_binned_pallas(
-                setup, height, width, pipeline, cap=cap,
+                setup, height, width, pipeline,
                 varyings=attr[s.tris], vary_src=clip_src, vary_bary=clip_bary,
             )
         from renderer_rs_tpu.ops.raster_binned import rasterize_binned

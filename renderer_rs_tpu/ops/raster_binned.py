@@ -267,6 +267,133 @@ def bin_triangles(
     return tri_idx, counts, nty, ntx
 
 
+def bin_triangles_compact(
+    setup: TriangleSetup,
+    height: int,
+    width: int,
+    bin_h: int,
+    bin_w: int,
+    small_limit: int | None = None,
+    cap_big: int | None = None,
+    cap_huge: int = 64,
+    big_span: tuple[int, int] = (8, 4),
+    y_offset=0,
+    y_stride: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray, int, int, jnp.ndarray]:
+    """COMPACT binning: exact per-bin candidate segments, no per-bin cap.
+
+    Three expansion classes by bin-span (each expanded against its exact
+    bbox overlap, so membership equals bin_triangles_dense for EVERY
+    triangle — no density truncation exists in this scheme):
+      - small: span < 2x2 bins (and slot < small_limit) -> 4 slots each
+      - big:   span < big_span bins -> big_span slots for the first
+               cap_big such triangles (id-ascending)
+      - huge:  everything else (floors, sky quads) -> n_bins slots for the
+               first cap_huge such triangles
+    One fused-key sort orders all (bin, tri) pairs bin-major, tri-ascending
+    (submission order within a bin). Returns
+
+      (sorted_tris [n_slots] int32 — tri ids, pads decode to t,
+       seg_start [n_bins+1] int32 — bin b's candidates occupy
+           sorted_tris[seg_start[b]:seg_start[b+1]],
+       nby, nbx,
+       overflow [2] int32 — triangles beyond cap_big/cap_huge (DROPPED;
+           report via bench telemetry, keep caps generous))
+
+    The Pallas raster kernel walks each bin's segment with dynamic trip
+    counts, so compute AND slab memory are proportional to the actual
+    binned pairs — the fixed [n_bins, cap] slab of the capped scheme cost
+    a ~1.5M-row gather per pass at safe caps (~70M rows/s = dominant).
+    """
+    t = setup.num_triangles
+    nby, nbx = _cdiv(height, bin_h), _cdiv(width, bin_w)
+    n_bins = nby * nbx
+    sl = t if small_limit is None else min(small_limit, t)
+    if cap_big is None:
+        # low-triangle scenes project LARGE triangles (many land in the big
+        # class), high-triangle scenes small ones — a flat fraction starves
+        # the former (bench smoke measured 270 dropped at 4k tris)
+        cap_big = max(2048, t // 32)
+    tx0, tx1, ty0, ty1, alive = _tile_ranges(
+        setup, height, width, bin_h, bin_w, nby, nbx, y_offset, y_stride
+    )
+
+    small_ok = ((tx1 - tx0) < 2) & ((ty1 - ty0) < 2)
+    big_ok = ((tx1 - tx0) < big_span[1]) & ((ty1 - ty0) < big_span[0])
+    idx = jnp.arange(t, dtype=jnp.int32)
+    small = alive & small_ok & (idx < sl)
+    big = alive & ~small & big_ok
+    huge = alive & ~small & ~big_ok
+
+    def expand(ids, sy_n, sx_n, bbox_exact):
+        """(class ids [K] padded with t) -> fused keys [K*sy_n*sx_n]."""
+        safe = jnp.minimum(ids, t - 1)
+        live = ids < t
+        by0, by1 = ty0[safe], ty1[safe]
+        bx0, bx1 = tx0[safe], tx1[safe]
+        sy = jnp.arange(sy_n, dtype=jnp.int32)
+        sx = jnp.arange(sx_n, dtype=jnp.int32)
+        if bbox_exact:
+            bys = by0[:, None, None] + sy[None, :, None]
+            bxs = bx0[:, None, None] + sx[None, None, :]
+            ok = (
+                live[:, None, None]
+                & (bys <= by1[:, None, None])
+                & (bxs <= bx1[:, None, None])
+            )
+        else:
+            # huge: slots enumerate ALL bins; mask to the exact bbox
+            bys = jnp.broadcast_to(sy[None, :, None], (ids.shape[0], sy_n, sx_n))
+            bxs = jnp.broadcast_to(sx[None, None, :], (ids.shape[0], sy_n, sx_n))
+            ok = (
+                live[:, None, None]
+                & (bys >= by0[:, None, None]) & (bys <= by1[:, None, None])
+                & (bxs >= bx0[:, None, None]) & (bxs <= bx1[:, None, None])
+            )
+        bins = bys * nbx + bxs
+        tri = jnp.broadcast_to(ids[:, None, None], ok.shape)
+        key = jnp.where(ok, bins * (t + 1) + tri, n_bins * (t + 1) + t)
+        return key.reshape(-1)
+
+    assert (n_bins + 1) * (t + 1) < 2**31, "fused bin key overflows int32"
+    # small class: direct [sl, 2, 2] expansion (the common case)
+    sy = jnp.arange(2, dtype=jnp.int32)
+    sx = jnp.arange(2, dtype=jnp.int32)
+    bys = ty0[:sl, None, None] + sy[None, :, None]
+    bxs = tx0[:sl, None, None] + sx[None, None, :]
+    ok = (
+        small[:sl, None, None]
+        & (bys <= ty1[:sl, None, None])
+        & (bxs <= tx1[:sl, None, None])
+    )
+    bins_s = bys * nbx + bxs
+    tri_s = jnp.broadcast_to(idx[:sl, None, None], ok.shape)
+    keys_small = jnp.where(
+        ok, bins_s * (t + 1) + tri_s, n_bins * (t + 1) + t
+    ).reshape(-1)
+
+    kb = min(cap_big, t)
+    big_ids = -jax.lax.top_k(-jnp.where(big, idx, t), kb)[0]
+    keys_big = expand(big_ids, big_span[0], big_span[1], True)
+    kh = min(cap_huge, t)
+    huge_ids = -jax.lax.top_k(-jnp.where(huge, idx, t), kh)[0]
+    keys_huge = expand(huge_ids, nby, nbx, False)
+
+    keys = jax.lax.sort(jnp.concatenate([keys_small, keys_big, keys_huge]))
+    sorted_bins = keys // (t + 1)
+    sorted_tris = (keys - sorted_bins * (t + 1)).astype(jnp.int32)
+    seg_start = jnp.searchsorted(
+        keys, jnp.arange(n_bins + 1, dtype=jnp.int32) * (t + 1), side="left"
+    ).astype(jnp.int32)
+    overflow = jnp.stack(
+        [
+            jnp.maximum(jnp.sum(big.astype(jnp.int32)) - kb, 0),
+            jnp.maximum(jnp.sum(huge.astype(jnp.int32)) - kh, 0),
+        ]
+    )
+    return sorted_tris, seg_start, nby, nbx, overflow
+
+
 def _chunk_coverage(xy, z, valid, s, inv_area, px, py):
     """Coverage/depth/bary for a chunk of C triangles over a tile.
 

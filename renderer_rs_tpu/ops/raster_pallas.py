@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 from renderer_rs_tpu.ops.raster import TriangleSetup, VisibilityBuffer
 from renderer_rs_tpu.ops.raster_binned import (
     _cdiv,
-    bin_triangles,
+    bin_triangles_compact,
 )
 from renderer_rs_tpu.rhi.pipeline import CompareOp, GraphicsPipeline
 
@@ -84,20 +84,20 @@ def _canonical_edges(xy, s, valid=None):
     return edges
 
 
-def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_only, n_vary=0, n_flat=0, has_zfloor=False, skip_bary=False, sub_h=None, y_stride=1):
+def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, n_vary=0, n_flat=0, has_zfloor=False, skip_bary=False, sub_h=None, y_stride=1, ntx=1):
     """Build the per-tile kernel body.
 
     Two-level binning (VERDICT r2 item 1): the grid step still covers a
     [tile_h, tile_w] output tile, but candidates are binned at [sub_h,
-    tile_w] granularity (sub_h rows, default 8 = the f32 sublane tile).
-    The kernel statically unrolls the tile's sub-bins and runs each one's
-    dynamic chunk loop over a [chunk, sub_h, tile_w] slab — candidate x
-    pixel work shrinks ~(tile_h/sub_h)x for small triangles while the
-    per-grid-step fixed costs (output init, stitching) stay amortized over
-    the full tile (binning at tile_h=8 outright was measured SLOWER, r2).
-    `cap` is the per-SUB-BIN candidate budget; slab rows are laid out
-    tile-major, sub-bin-minor so bin b of grid step i sits at
-    (i*n_sub + b) * cap."""
+    tile_w] granularity (sub_h rows; 16 in practice — [C,8,128] op shapes
+    hit a Mosaic cliff). The kernel statically unrolls the tile's sub-bins
+    and runs each one's dynamic chunk loop over a [chunk, sub_h, tile_w]
+    slab — candidate x pixel work shrinks vs whole-tile evaluation while
+    the per-grid-step fixed costs stay amortized over the full tile.
+    Candidates come from the COMPACT sorted slab (bin_triangles_compact):
+    per-bin segments addressed through the scalar-prefetched seg_start
+    array — exact membership, no density cap, work proportional to the
+    actual binned pairs."""
     greater = pipeline.depth_compare_op in (
         CompareOp.GREATER,
         CompareOp.GREATER_OR_EQUAL,
@@ -111,7 +111,8 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
     assert tile_h % sub_h == 0
     n_sub = tile_h // sub_h
 
-    def kernel(counts_ref, tilepos_ref, yoff_ref, slab_ref, dinit_ref, *outs):
+    def kernel(seg_ref, tilepos_ref, yoff_ref, coef_hbm, dinit_ref, *outs_and_scratch):
+        *outs, coef_ref, dma_sem = outs_and_scratch
         outs = list(outs)
         if has_zfloor:
             zfloor_ref, *outs = outs
@@ -125,17 +126,20 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
         else:
             depth_out, tid_out, b0_out, b1_out = outs
         i = pl.program_id(0)
-        ty = tilepos_ref[2 * i]
-        tx = tilepos_ref[2 * i + 1]
+        ty = tilepos_ref[3 * i]
+        tx = tilepos_ref[3 * i + 1]
+        bin_base = tilepos_ref[3 * i + 2]  # batch offset into seg_ref bins
 
-        # Coefficients arrive as a grid-pipelined BlockSpec input: the
-        # tile's whole [n_sub*cap, 128] slab sits in VMEM, prefetched by
-        # Pallas across grid steps (double-buffered automatically). The
-        # r2 manual per-chunk DMA machinery is gone: the full-cap slab is
-        # ~1 MB/tile = well under 1 ms of HBM traffic per frame, while the
-        # per-chunk start/wait pairs dominated the loop's fixed costs.
-        # Compute work remains proportional to the bin's actual count via
-        # the dynamic fori trip counts.
+        # COMPACT slab (bin_triangles_compact): the sorted (bin, tri) pairs
+        # are gathered ONCE into [n_slots, 128] coefficient rows; each bin
+        # walks its exact segment [seg[b], seg[b+1]) with double-buffered
+        # [chunk, 128] DMAs. Segment starts round DOWN to the 8-row DMA
+        # alignment and the tail chunk overruns into the next segment: the
+        # extra rows are other bins' candidates, whose bboxes either miss
+        # this bin (coverage culls them exactly) or overlap it (then the
+        # row is a DUPLICATE of one inside the segment — same winner).
+        # Work and slab memory are both proportional to the ACTUAL binned
+        # pairs, and no per-bin density cap exists (no truncation).
 
         # Mosaic iota must be integer-typed; cast to f32 after
         sub_py = jax.lax.broadcasted_iota(jnp.int32, (sub_h, tile_w), 0).astype(
@@ -148,9 +152,19 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
             + (tx * tile_w).astype(jnp.float32)
         )
 
+        def get_dma(slot, row0):
+            return pltpu.make_async_copy(
+                coef_hbm.at[pl.ds(row0, chunk), :],
+                coef_ref.at[slot],
+                dma_sem.at[slot],
+            )
+
         for q in range(n_sub):  # static unroll over the tile's sub-bins
-            bin_id = i * n_sub + q
-            count = counts_ref[bin_id]
+            bin_id = bin_base + (ty * n_sub + q) * ntx + tx
+            seg0 = seg_ref[bin_id]
+            seg1 = seg_ref[bin_id + 1]
+            base = (seg0 // 8) * 8  # 8-row DMA alignment (see note above)
+            count = seg1 - base
             r0, r1 = q * sub_h, (q + 1) * sub_h
             # band row -> physical row: y_offset + row*stride (+0.5 center);
             # integers < 2^24, so f32 op order matches _pixel_centers exactly
@@ -163,14 +177,23 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, cap, chunk, depth_o
 
             n_chunks = (count + chunk - 1) // chunk
 
+            @pl.when(n_chunks > 0)
+            def _():
+                get_dma(0, base).start()
+
             # The chunk loop carries the sub-bin's accumulators as VALUES
             # (register-resident); output refs are written ONCE per sub-bin
             # after the loop. Read-modify-writing ref subviews inside the
             # loop measured ~13x slower (Mosaic round-trips the view).
-            def body(j, carry, q=q, py=py, zf_q=zf_q):
-                coefs = slab_ref[
-                    pl.ds(q * cap + j * chunk, chunk), :
-                ]  # [chunk, 128], first 24 cols used
+            def body(j, carry, base=base, n_chunks=n_chunks, py=py, zf_q=zf_q):
+                slot = jax.lax.rem(j, 2)
+                # prefetch the next slab while this one computes
+                @pl.when(j + 1 < n_chunks)
+                def _():
+                    get_dma(1 - slot, base + (j + 1) * chunk).start()
+
+                get_dma(slot, base + j * chunk).wait()
+                coefs = coef_ref[slot]  # [chunk, 128], first 20+ cols used
 
                 def col(k):
                     return coefs[:, k : k + 1].reshape(chunk, 1, 1)
@@ -335,32 +358,26 @@ def _depth_coef_table(setup: TriangleSetup, t: int) -> jnp.ndarray:
     return table.at[t, jnp.asarray(_THRESH_COLS)].set(jnp.inf)
 
 
-def _bin_sub(setup, height, width, tile_h, tile_w, sub_h, cap,
-             y_offset=0, y_stride=1, **bin_kw):
-    # bin_kw passes through to bin_triangles (max_span_*, cap_big,
-    # small_limit)
-    """Two-level binning front end: bin at [sub_h, tile_w] granularity over
-    the PADDED tile extent, then reorder lists/counts to tile-major,
-    sub-bin-minor order (the kernel's slab contract: bin q of grid step i is
-    row block (i*n_sub + q)). Returns (tri_idx [n_bins, cap], counts raw
-    [n_bins], nty, ntx) with nty/ntx the KERNEL tile grid."""
+def _bin_compact(setup, height, width, tile_h, tile_w, sub_h, chunk,
+                 y_offset=0, y_stride=1, small_limit=None):
+    """Compact-binning front end: bin at [sub_h, tile_w] granularity over
+    the PADDED tile extent. Returns (slab_ids [n_slots+pad] — tri ids whose
+    table gather builds the coefficient slab (pads select the inf-thresh
+    row), seg [n_bins+1] segment starts, nty, ntx, overflow [2])."""
     nty, ntx = _cdiv(height, tile_h), _cdiv(width, tile_w)
     n_sub = tile_h // sub_h
-    # pad to the tile grid so sub-bin rows tile it exactly
     hp, wp = nty * tile_h, ntx * tile_w
-    tri_idx, counts, nby, nbx = bin_triangles(
-        setup, hp, wp, sub_h, tile_w, cap,
-        y_offset=y_offset, y_stride=y_stride, **bin_kw
+    sorted_tris, seg, nby, nbx, overflow = bin_triangles_compact(
+        setup, hp, wp, sub_h, tile_w,
+        small_limit=small_limit, y_offset=y_offset, y_stride=y_stride,
     )
     assert (nby, nbx) == (nty * n_sub, ntx)
-    # (ty*n_sub + q, tx) row-major -> (ty, tx, q)
-    tri_idx = (
-        tri_idx.reshape(nty, n_sub, ntx, cap)
-        .transpose(0, 2, 1, 3)
-        .reshape(nty * ntx * n_sub, cap)
+    t = setup.num_triangles
+    # tail pad: the last segment's aligned chunk walk may read past the end
+    slab_ids = jnp.concatenate(
+        [sorted_tris, jnp.full((chunk + 8,), t, jnp.int32)]
     )
-    counts = counts.reshape(nty, n_sub, ntx).transpose(0, 2, 1).reshape(-1)
-    return tri_idx, counts, nty, ntx
+    return slab_ids, seg, nty, ntx, overflow
 
 
 def rasterize_depth_only_batch(
@@ -370,7 +387,6 @@ def rasterize_depth_only_batch(
     pipeline: GraphicsPipeline,
     tile_h: int = 32,
     tile_w: int = 128,
-    cap: int = 2048,
     chunk: int = 64,
     sub_h: int = 16,
 ) -> jnp.ndarray:
@@ -390,21 +406,25 @@ def rasterize_depth_only_batch(
         "rasterize_depth_only_batch: all setups must share a triangle count "
         "(the per-slot coefficient tables and bin padding are sized by it)"
     )
-    cap = min(cap, max(t, chunk))
-    cap = _cdiv(cap, chunk) * chunk
 
-    all_counts, all_coef = [], []
+    all_segs, all_coef = [], []
     nty = ntx = None
+    row_off = 0
+    n_sub = tile_h // sub_h
     for b, setup in enumerate(setups):
-        tri_idx, counts, nty, ntx = _bin_sub(
-            setup, height, width, tile_h, tile_w, sub_h, cap
+        slab_ids, seg, nty, ntx, _ = _bin_compact(
+            setup, height, width, tile_h, tile_w, sub_h, chunk
         )
         table = _depth_coef_table(setup, t)
-        all_counts.append(jnp.minimum(counts, cap))
-        all_coef.append(table[tri_idx.reshape(-1)])
+        all_coef.append(table[slab_ids])
+        all_segs.append(seg[:-1] + row_off if b + 1 < n_batch else seg + row_off)
+        row_off += slab_ids.shape[0]
     n_tiles = nty * ntx
-    counts = jnp.concatenate(all_counts)
-    coef = jnp.concatenate(all_coef, axis=0)  # [N*n_tiles*n_sub*cap, 128]
+    n_bins = n_tiles * n_sub
+    # per-cascade segment arrays shifted by their slab offsets; the kernel
+    # addresses cascade c's bins through tilepos's per-step bin offset
+    seg = jnp.concatenate(all_segs)
+    coef = jnp.concatenate(all_coef, axis=0)
 
     greater = pipeline.depth_compare_op in (
         CompareOp.GREATER,
@@ -419,28 +439,27 @@ def rasterize_depth_only_batch(
     )
     depth_tiles = jnp.tile(depth_tiles, (n_batch, 1, 1))
 
-    tilepos = jnp.stack(
+    tp = jnp.stack(
         [jnp.arange(n_tiles, dtype=jnp.int32) // ntx,
-         jnp.arange(n_tiles, dtype=jnp.int32) % ntx],
+         jnp.arange(n_tiles, dtype=jnp.int32) % ntx,
+         jnp.zeros(n_tiles, jnp.int32)],
         axis=-1,
+    )
+    tilepos = jnp.concatenate(
+        [tp.at[:, 2].set(b * n_bins) for b in range(n_batch)]
     ).reshape(-1)
-    tilepos = jnp.tile(tilepos, n_batch)
 
-    n_sub = tile_h // sub_h
-    kernel = _make_kernel(pipeline, tile_h, tile_w, cap, chunk, True, sub_h=sub_h)
+    kernel = _make_kernel(
+        pipeline, tile_h, tile_w, chunk, True, sub_h=sub_h, ntx=ntx
+    )
     out_shapes = [
         jax.ShapeDtypeStruct((n_batch * n_tiles, tile_h, tile_w), jnp.float32)
     ]
-    coef = coef.reshape(n_batch * n_tiles, n_sub * cap, 128)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_batch * n_tiles,),
         in_specs=[
-            # the tile's whole slab, grid-pipelined into VMEM by Pallas
-            pl.BlockSpec(
-                (1, n_sub * cap, 128), lambda i, *_: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # compact slab stays in HBM
             pl.BlockSpec(
                 (1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -450,16 +469,20 @@ def rasterize_depth_only_batch(
                 (1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             )
         ],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
 
-    def wrapped_kernel(counts_ref, tilepos_ref, yoff_ref, slab_ref, dinit_ref, out_ref):
-        kernel(counts_ref, tilepos_ref, yoff_ref, slab_ref.at[0], dinit_ref.at[0], out_ref.at[0])
+    def wrapped_kernel(seg_ref, tilepos_ref, yoff_ref, coef_hbm, dinit_ref, out_ref, *scratch):
+        kernel(seg_ref, tilepos_ref, yoff_ref, coef_hbm, dinit_ref.at[0], out_ref.at[0], *scratch)
 
     (depth_t,) = pl.pallas_call(
         wrapped_kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-    )(counts, tilepos, jnp.zeros((1,), jnp.int32), coef, depth_tiles)
+    )(seg, tilepos, jnp.zeros((1,), jnp.int32), coef, depth_tiles)
 
     full = depth_t.reshape(n_batch, nty, ntx, tile_h, tile_w).transpose(0, 1, 3, 2, 4)
     return full.reshape(n_batch, hp, wp)[:, :height, :width]
@@ -473,7 +496,6 @@ def rasterize_binned_pallas(
     depth_init: jnp.ndarray | None = None,
     tile_h: int = 32,
     tile_w: int = 128,
-    cap: int = 2048,
     chunk: int = 64,
     depth_only: bool = False,
     varyings: jnp.ndarray | None = None,
@@ -483,9 +505,6 @@ def rasterize_binned_pallas(
     z_floor: jnp.ndarray | None = None,
     ids: jnp.ndarray | None = None,
     skip_bary: bool = False,
-    max_span_y: int = 2,
-    max_span_x: int = 2,
-    cap_big: int | None = None,
     sub_h: int = 16,
     y_offset=0,
     y_stride: int = 1,
@@ -517,17 +536,12 @@ def rasterize_binned_pallas(
     requires zc > z_floor) — the depth-peeling primitive behind alpha-cutoff
     on the fast path (renderer/passes)."""
     t = setup.num_triangles
-    cap = min(cap, max(t, chunk))
-    cap = _cdiv(cap, chunk) * chunk
 
-    tri_idx, counts, nty, ntx = _bin_sub(
-        setup, height, width, tile_h, tile_w, sub_h, cap,
-        y_offset=y_offset, y_stride=y_stride,
-        max_span_y=max_span_y, max_span_x=max_span_x, cap_big=cap_big,
-        small_limit=small_limit,
+    slab_ids, seg, nty, ntx, _overflow = _bin_compact(
+        setup, height, width, tile_h, tile_w, sub_h, chunk,
+        y_offset=y_offset, y_stride=y_stride, small_limit=small_limit,
     )
     n_tiles = nty * ntx
-    counts = jnp.minimum(counts, cap)
 
     # Per-SLOT coefficient table [t+1, 128] in sign-folded canonical edge
     # form so the kernel needs no swap/bool logic on tiny vectors
@@ -597,11 +611,12 @@ def rasterize_binned_pallas(
     # needs candidates in SUBLANES (lane->sublane reshapes don't lower).
     table = jnp.pad(table, ((0, 1), (0, 128 - table.shape[-1])))
     table = table.at[t, jnp.asarray(_THRESH_COLS)].set(jnp.inf)  # pad row
-    # ONE row gather builds the whole slab (tri_idx is already padded with
-    # t by bin_triangles -> selects the pad row), shaped per grid step for
-    # the pipelined BlockSpec: [n_tiles, n_sub*cap, 128].
+    # ONE row gather builds the COMPACT slab: rows = the sorted (bin, tri)
+    # pairs (work-proportional — the fixed [n_bins, cap] slab at safe caps
+    # cost a ~1.5M-row gather per pass at ~70M rows/s, dominating the
+    # kernel itself).
     n_sub = tile_h // sub_h
-    coef = table[tri_idx.reshape(-1)].reshape(n_tiles, n_sub * cap, 128)
+    coef = table[slab_ids]
 
     greater = pipeline.depth_compare_op in (
         CompareOp.GREATER,
@@ -623,9 +638,10 @@ def rasterize_binned_pallas(
 
     tilepos = jnp.stack(
         [jnp.arange(n_tiles, dtype=jnp.int32) // ntx,
-         jnp.arange(n_tiles, dtype=jnp.int32) % ntx],
+         jnp.arange(n_tiles, dtype=jnp.int32) % ntx,
+         jnp.zeros(n_tiles, jnp.int32)],
         axis=-1,
-    ).reshape(-1)  # interleaved [ty0, tx0, ty1, tx1, ...]
+    ).reshape(-1)  # interleaved [ty, tx, bin_offset] per grid step
 
     has_zfloor = z_floor is not None
     if has_zfloor:
@@ -638,9 +654,9 @@ def rasterize_binned_pallas(
         )
     skip_bary = skip_bary and not depth_only and bool(n_vary or n_flat)
     kernel = _make_kernel(
-        pipeline, tile_h, tile_w, cap, chunk, depth_only, n_vary, n_flat,
+        pipeline, tile_h, tile_w, chunk, depth_only, n_vary, n_flat,
         has_zfloor=has_zfloor, skip_bary=skip_bary, sub_h=sub_h,
-        y_stride=y_stride,
+        y_stride=y_stride, ntx=ntx,
     )
 
     out_shapes = [jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32)]
@@ -661,14 +677,10 @@ def rasterize_binned_pallas(
             )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # counts, tilepos, band y-offset
+        num_scalar_prefetch=3,  # seg starts, tilepos, band y-offset
         grid=(n_tiles,),
         in_specs=[
-            # the tile's whole slab, grid-pipelined into VMEM by Pallas
-            pl.BlockSpec(
-                (1, n_sub * cap, 128), lambda i, *_: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # compact slab stays in HBM
             pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
         + (
@@ -684,21 +696,26 @@ def rasterize_binned_pallas(
             )
             for shp in out_shapes
         ],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
 
-    def wrapped_kernel(counts_ref, tilepos_ref, yoff_ref, slab_ref, dinit_ref, *rest):
+    def wrapped_kernel(seg_ref, tilepos_ref, yoff_ref, coef_hbm, dinit_ref, *rest):
         # blocks carry a leading singleton tile dim; squeeze via views
         kernel(
-            counts_ref,
+            seg_ref,
             tilepos_ref,
             yoff_ref,
-            slab_ref.at[0],
+            coef_hbm,
             dinit_ref.at[0],
-            *(r.at[0] for r in rest),
+            *(r.at[0] for r in rest[: len(rest) - 2]),
+            *rest[len(rest) - 2 :],
         )
 
     yoff = jnp.asarray(y_offset, jnp.int32).reshape(1)
-    call_args = [counts, tilepos, yoff, coef, depth_tiles]
+    call_args = [seg, tilepos, yoff, coef, depth_tiles]
     if has_zfloor:
         call_args.append(zfloor_tiles)
     outs = pl.pallas_call(

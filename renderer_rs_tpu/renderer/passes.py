@@ -183,9 +183,8 @@ def _rasterize_dispatch(setup, height, width, pipeline, num_triangles,
         if _use_pallas():
             from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
 
-            cap = _binned_cap(num_triangles, height, width, tile_h=16, skew=12)
             return rasterize_binned_pallas(
-                setup, height, width, pipeline, cap=cap, depth_init=depth_init,
+                setup, height, width, pipeline, depth_init=depth_init,
                 small_limit=small_limit,
             )
         cap = _binned_cap(num_triangles, height, width)
@@ -208,9 +207,8 @@ def shadow_map_pass(
         if _use_pallas():
             from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
 
-            cap = _binned_cap(layout.num_triangles, size, size, tile_h=16, skew=12)
             return rasterize_binned_pallas(
-                setup, size, size, _SHADOW_PIPELINE, cap=cap, depth_only=True
+                setup, size, size, _SHADOW_PIPELINE, depth_only=True
             )
         cap = _binned_cap(layout.num_triangles, size, size)
         return rasterize_depth_only_binned(setup, size, size, _SHADOW_PIPELINE, cap=cap)
@@ -239,10 +237,7 @@ def csm_shadow_pass(scene: GpuScene, layout: SceneLayout, size: int) -> jnp.ndar
                     _SHADOW_PIPELINE,
                 )
             )
-        cap = _binned_cap(layout.num_triangles, size, size, tile_h=16, skew=12)
-        return rasterize_depth_only_batch(
-            setups, size, size, _SHADOW_PIPELINE, cap=cap
-        )
+        return rasterize_depth_only_batch(setups, size, size, _SHADOW_PIPELINE)
     return jnp.stack(
         [
             shadow_map_pass(scene, layout, size, scene.csm_matrices[c])
@@ -646,11 +641,7 @@ def _alpha_peeled_raster(
     from renderer_rs_tpu.ops.sampling import sample_array_bilinear
 
     cutoff = pipeline.alpha_cutoff
-    cap = _binned_cap(
-        n_raster_tris, height, width,
-        tile_h=16 if _use_pallas() else 32,
-        skew=12 if _use_pallas() else 6,
-    )
+    cap = _binned_cap(n_raster_tris, height, width)  # XLA-path budget only
     base_mip = scene.textures.mips[0]
     tex_of_tri = scene.materials.tex_ids[scene.tri_material][:, 0]  # [Tsrc]
     afac_of_tri = scene.materials.base_color[scene.tri_material][:, 3]
@@ -673,7 +664,7 @@ def _alpha_peeled_raster(
 
         def raster(z_floor):
             return rasterize_binned_pallas(
-                setup, height, width, pipeline, cap=cap,
+                setup, height, width, pipeline,
                 varyings=tri_attr_src, vary_src=clip_src, vary_bary=clip_bary,
                 flat_varyings=flat, z_floor=z_floor, ids=clip_src,
                 skip_bary=True,
@@ -1012,7 +1003,6 @@ def forward_frame(
         mat_flat = jnp.concatenate(flat_cols, axis=-1) if flat_cols else None
         vis, varying_img = rasterize_binned_pallas(
             setup, height, width, pipeline,
-            cap=_binned_cap(n_raster_tris, height, width, tile_h=16, skew=12),
             depth_init=(
                 None if depth_clear == 1.0
                 else jnp.full((height, width), depth_clear, jnp.float32)
@@ -1076,7 +1066,6 @@ def forward_frame(
 
                 vis = rasterize_binned_pallas(
                     setup, out_h, width, pipeline,
-                    cap=_binned_cap(n_raster_tris, height, width, tile_h=16, skew=12),
                     y_offset=y_offset, y_stride=y_stride,
                     small_limit=bin_small_limit,
                 )

@@ -206,3 +206,50 @@ def test_sorted_binning_big_overflow_falls_back_to_dense():
     np.testing.assert_array_equal(
         np.asarray(vis_scan.tri_id), np.asarray(vis_bin.tri_id)
     )
+
+
+def test_compact_binning_matches_dense_membership():
+    """bin_triangles_compact: per-bin segments hold EXACTLY the dense
+    overlap membership in ascending id order — across all three expansion
+    classes (small spans, big spans, screen-filling huge)."""
+    import numpy as np
+
+    from renderer_rs_tpu.ops.raster_binned import (
+        bin_triangles_compact,
+        bin_triangles_dense,
+    )
+
+    rng = np.random.default_rng(11)
+    t = 160
+    # mix of sizes: small tris, some wide/tall, and two full-screen quads
+    center = rng.uniform(0.0, 1.0, (t, 1, 2)).astype(np.float32)
+    size = rng.uniform(0.005, 0.4, (t, 1, 1)).astype(np.float32)
+    off = rng.uniform(-1.0, 1.0, (t, 3, 2)).astype(np.float32) * size
+    xy = (center + off) * np.array([256.0, 96.0], np.float32)
+    xy[-2] = [[-10, -10], [400, -10], [-10, 300]]  # huge
+    xy[-1] = [[400, 300], [400, -10], [-10, 300]]
+    z = rng.uniform(0.1, 0.9, (t, 3)).astype(np.float32)
+    from renderer_rs_tpu.ops.raster import TriangleSetup
+
+    area2 = (
+        (xy[:, 1, 0] - xy[:, 0, 0]) * (xy[:, 2, 1] - xy[:, 0, 1])
+        - (xy[:, 1, 1] - xy[:, 0, 1]) * (xy[:, 2, 0] - xy[:, 0, 0])
+    )
+    setup = TriangleSetup(
+        xy=jnp.asarray(xy), z=jnp.asarray(z), w=jnp.ones((t, 3), jnp.float32),
+        area2=jnp.asarray(area2), valid=jnp.asarray(area2 != 0.0),
+    )
+    h, w, bh, bw = 96, 256, 16, 128
+    sorted_tris, seg, nby, nbx, overflow = bin_triangles_compact(
+        setup, h, w, bh, bw
+    )
+    assert int(overflow.sum()) == 0
+    tri_dense, counts, _, _ = bin_triangles_dense(setup, h, w, bh, bw, cap=t)
+    st = np.asarray(sorted_tris)
+    seg = np.asarray(seg)
+    td = np.asarray(tri_dense)
+    cd = np.asarray(counts)
+    for b in range(nby * nbx):
+        got = st[seg[b] : seg[b + 1]]
+        want = td[b][: cd[b]]
+        np.testing.assert_array_equal(got, want, err_msg=f"bin {b}")

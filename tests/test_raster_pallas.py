@@ -57,7 +57,7 @@ def test_pallas_matches_xla_binned():
     h, w = 96, 256
     setup = setup_triangles(gather_triangle_clip(clip, tris), w, h, pipe)
     vx = rasterize_binned(setup, h, w, pipe, cap=256)
-    vp = rp.rasterize_binned_pallas(setup, h, w, pipe, cap=256, chunk=16)
+    vp = rp.rasterize_binned_pallas(setup, h, w, pipe, chunk=16)
     np.testing.assert_array_equal(np.asarray(vx.tri_id), np.asarray(vp.tri_id))
     np.testing.assert_array_equal(np.asarray(vx.depth), np.asarray(vp.depth))
     cov = np.asarray(vx.covered)
@@ -72,7 +72,7 @@ def test_pallas_depth_only_matches():
     h, w = 64, 128
     setup = setup_triangles(gather_triangle_clip(clip, tris), w, h, pipe)
     dx = rasterize_binned(setup, h, w, pipe, cap=256).depth
-    dp = rp.rasterize_binned_pallas(setup, h, w, pipe, cap=256, depth_only=True)
+    dp = rp.rasterize_binned_pallas(setup, h, w, pipe, depth_only=True)
     np.testing.assert_array_equal(np.asarray(dx), np.asarray(dp))
 
 
@@ -91,7 +91,7 @@ def test_pallas_fused_varyings_match_deferred():
     vary_ref = interpolate(vis_ref, tris, attr, bary3)
 
     vis_pl, vary_pl = rp.rasterize_binned_pallas(
-        setup, h, w, pipe, cap=256, chunk=16, varyings=attr[tris]
+        setup, h, w, pipe, chunk=16, varyings=attr[tris]
     )
     np.testing.assert_array_equal(
         np.asarray(vis_ref.tri_id), np.asarray(vis_pl.tri_id)
@@ -116,7 +116,7 @@ def test_pallas_flat_only_varyings():
 
     vis_ref = rasterize(setup, h, w, pipe)
     vis_pl, flat_pl = rp.rasterize_binned_pallas(
-        setup, h, w, pipe, cap=128, chunk=16, flat_varyings=flat
+        setup, h, w, pipe, chunk=16, flat_varyings=flat
     )
     np.testing.assert_array_equal(
         np.asarray(vis_ref.tri_id), np.asarray(vis_pl.tri_id)
@@ -145,7 +145,7 @@ def test_pallas_flat_plus_smooth_varyings():
     vary_ref = interpolate(vis_ref, tris, attr, bary3)
 
     vis_pl, out_pl = rp.rasterize_binned_pallas(
-        setup, h, w, pipe, cap=128, chunk=16,
+        setup, h, w, pipe, chunk=16,
         varyings=attr[tris], flat_varyings=flat,
     )
     cov = np.asarray(vis_ref.covered)
@@ -170,7 +170,7 @@ def test_pallas_z_floor_matches_xla_binned():
     v0 = rasterize_binned(setup, h, w, pipe, cap=128)
     floor = jnp.where(v0.covered, v0.depth, jnp.inf)
     vx = rasterize_binned(setup, h, w, pipe, cap=128, z_floor=floor)
-    vp = rp.rasterize_binned_pallas(setup, h, w, pipe, cap=128, chunk=16, z_floor=floor)
+    vp = rp.rasterize_binned_pallas(setup, h, w, pipe, chunk=16, z_floor=floor)
     np.testing.assert_array_equal(np.asarray(vx.tri_id), np.asarray(vp.tri_id))
     np.testing.assert_array_equal(np.asarray(vx.depth), np.asarray(vp.depth))
     # the peeled layer is strictly behind layer 0 wherever covered
@@ -188,11 +188,11 @@ def test_depth_only_batch_matches_sequential():
     for seed in (4, 9, 13):
         clip, tris = _scene(t=60, seed=seed)
         setups.append(setup_triangles(gather_triangle_clip(clip, tris), w, h, pipe))
-    batched = rp.rasterize_depth_only_batch(setups, h, w, pipe, cap=128, chunk=16)
+    batched = rp.rasterize_depth_only_batch(setups, h, w, pipe, chunk=16)
     assert batched.shape == (3, h, w)
     for i, s in enumerate(setups):
         single = rp.rasterize_binned_pallas(
-            s, h, w, pipe, cap=128, chunk=16, depth_only=True
+            s, h, w, pipe, chunk=16, depth_only=True
         )
         np.testing.assert_array_equal(np.asarray(batched[i]), np.asarray(single))
 
@@ -208,10 +208,10 @@ def test_skip_bary_matches_full_outputs():
         np.random.default_rng(0).standard_normal((100, 3, 6)).astype(np.float32)
     )
     va, ia = rp.rasterize_binned_pallas(
-        setup, h, w, pipe, cap=128, chunk=16, varyings=vary, skip_bary=False
+        setup, h, w, pipe, chunk=16, varyings=vary, skip_bary=False
     )
     vb, ib = rp.rasterize_binned_pallas(
-        setup, h, w, pipe, cap=128, chunk=16, varyings=vary, skip_bary=True
+        setup, h, w, pipe, chunk=16, varyings=vary, skip_bary=True
     )
     np.testing.assert_array_equal(np.asarray(va.tri_id), np.asarray(vb.tri_id))
     np.testing.assert_array_equal(np.asarray(va.depth), np.asarray(vb.depth))
