@@ -70,11 +70,19 @@ def get_inputs():
 
 
 def timeit(fn, *args, n=6):
-    out = fn(*args)
+    # the remote-compile tunnel caches IDENTICAL dispatches (fake-fast
+    # readings, CLAUDE.md gotcha): perturb a traced epsilon per iteration
+    # so every dispatch is distinct, keeping async pipelining
+    import jax.numpy as _jnp
+
+    def run(eps):
+        return fn(*args, _probe_eps=eps)
+
+    out = run(_jnp.float32(0.0))
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
+    for i in range(n):
+        out = run(_jnp.float32((i + 1) * 1e-12))
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / n * 1000.0
 
@@ -130,7 +138,8 @@ def main():
             kw.update(varyings=tri_attr, vary_src=clip_src, vary_bary=clip_bary,
                       ids=clip_src)
 
-        def run(s, kw=kw, hh=hh, ww=ww):
+        def run(s, _probe_eps=0.0, kw=kw, hh=hh, ww=ww):
+            s = s.replace(z=s.z + _probe_eps)
             return rasterize_binned_pallas(s, hh, ww, pipe, **kw)
 
         try:

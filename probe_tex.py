@@ -16,11 +16,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def timeit(fn, *args, n=8):
-    out = fn(*args)
+    # defeat the remote tunnel's identical-dispatch caching (CLAUDE.md):
+    # perturb a traced epsilon per iteration
+    import jax.numpy as _jnp
+
+    def run(eps):
+        return fn(*args, _probe_eps=eps)
+
+    out = run(_jnp.float32(0.0))
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
+    for i in range(n):
+        out = run(_jnp.float32((i + 1) * 1e-12))
     jax.block_until_ready(out)
     return round((time.perf_counter() - t0) / n * 1000.0, 2)
 
@@ -37,7 +44,8 @@ def main():
     scene, layout, kwargs, _ = full_scene(W, H, tri_budget=100_000, textured=True)
     res = {}
 
-    def frame(s, lay):
+    def frame(s, lay, _probe_eps=0.0):
+        s = s.replace(positions=s.positions + _probe_eps)
         return forward_frame(
             s, lay, pipe, kwargs["shading"], W, H, tonemap="aces",
             shadow_map_size=1024, shadow_params=kwargs["shadow_params"],
@@ -46,26 +54,34 @@ def main():
     which = os.environ.get("PROBE", "tex,tex_noatlas,tex_base_only,tex_slots_off").split(",")
 
     if "tex" in which:
-        res["tex_full"] = timeit(jax.jit(lambda s: frame(s, layout)), scene)
+        res["tex_full"] = timeit(
+            jax.jit(lambda s, _probe_eps: frame(s, layout, _probe_eps)), scene
+        )
         print("tex_full ->", res["tex_full"], flush=True)
 
     if "tex_noatlas" in which:
         # per-slot window-atlas path (pre-r3): mat_atlas disabled
         s2 = scene.replace(textures=scene.textures.replace(mat_atlas=None))
-        res["tex_per_slot"] = timeit(jax.jit(lambda s: frame(s, layout)), s2)
+        res["tex_per_slot"] = timeit(
+            jax.jit(lambda s, _probe_eps: frame(s, layout, _probe_eps)), s2
+        )
         print("tex_per_slot ->", res["tex_per_slot"], flush=True)
 
     if "tex_base_only" in which:
         lay3 = dataclasses.replace(
             layout, texture_slots=(True, False, False, False, False)
         )
-        res["tex_base_only"] = timeit(jax.jit(lambda s: frame(s, lay3)), scene)
+        res["tex_base_only"] = timeit(
+            jax.jit(lambda s, _probe_eps: frame(s, lay3, _probe_eps)), scene
+        )
         print("tex_base_only ->", res["tex_base_only"], flush=True)
 
     if "tex_slots_off" in which:
         # textures bound but no slot traced: isolates the kernel-varying cost
         lay4 = dataclasses.replace(layout, texture_slots=(False,) * 5)
-        res["tex_slots_off"] = timeit(jax.jit(lambda s: frame(s, lay4)), scene)
+        res["tex_slots_off"] = timeit(
+            jax.jit(lambda s, _probe_eps: frame(s, lay4, _probe_eps)), scene
+        )
         print("tex_slots_off ->", res["tex_slots_off"], flush=True)
 
     print(json.dumps(res))

@@ -289,9 +289,38 @@ def _cube_window_flat(faces: jnp.ndarray) -> jnp.ndarray:
     return window.reshape(6 * s * s, 4 * faces.shape[3])
 
 
+def _cube_footprint(si: int, uv):
+    """Edge-clamped bilinear footprint on a STATIC si x si cube face."""
+    x = uv[..., 0] * si - 0.5
+    y = uv[..., 1] * si - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
+    fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
+    return jnp.clip(x0, 0, si - 1), jnp.clip(y0, 0, si - 1), fx, fy
+
+
 def _cube_atlas_fetch(atlas, offsets, sizes, level, face, uv, c):
     """Bilinear fetch of one mip level from the flattened window atlas —
-    ONE gather per pixel. level/face/uv are per-pixel arrays."""
+    ONE gather per pixel. level/face/uv are per-pixel arrays. Static
+    (python-sequence) offsets/sizes unroll the level math into selects
+    instead of tiny-table gathers (3 full-frame gathers saved)."""
+    if isinstance(offsets, (list, tuple)):
+        idx = fx = fy = None
+        for l, (si, off) in enumerate(zip(sizes, offsets)):
+            si = int(si)
+            x0c, y0c, fx_l, fy_l = _cube_footprint(si, uv)
+            idx_l = off + (face * si + y0c) * si + x0c
+            if idx is None:
+                idx, fx, fy = idx_l, fx_l, fy_l
+            else:
+                sel = level == l
+                idx = jnp.where(sel, idx_l, idx)
+                fx = jnp.where(sel[..., None], fx_l, fx)
+                fy = jnp.where(sel[..., None], fy_l, fy)
+        return _blend_window(atlas[idx], fx, fy, c)
     s = sizes[level].astype(jnp.float32)  # [...]
     si = sizes[level]
     x = uv[..., 0] * s - 0.5
@@ -305,14 +334,7 @@ def _cube_atlas_fetch(atlas, offsets, sizes, level, face, uv, c):
     x0c = jnp.clip(x0, 0, si - 1)
     y0c = jnp.clip(y0, 0, si - 1)
     idx = offsets[level] + (face * si + y0c) * si + x0c
-    taps = atlas[idx]  # [...,4C]
-    t00 = taps[..., 0:c]
-    t10 = taps[..., c : 2 * c]
-    t01 = taps[..., 2 * c : 3 * c]
-    t11 = taps[..., 3 * c : 4 * c]
-    top = t00 * (1 - fx) + t10 * fx
-    bot = t01 * (1 - fx) + t11 * fx
-    return top * (1 - fy) + bot * fy
+    return _blend_window(atlas[idx], fx, fy, c)
 
 
 def sample_cubemap_lod(mips: tuple, d: jnp.ndarray, lod: jnp.ndarray) -> jnp.ndarray:
@@ -394,13 +416,11 @@ def build_array_atlas(
     )
 
 
-def _array_atlas_fetch(atlas, offsets, sizes, level, tid, uv, c, sampler: Sampler):
-    """Bilinear fetch of one (per-pixel) mip level from the flat window
-    atlas — ONE gather per pixel. Bit-matches sample_array_bilinear."""
-    h = sizes[level, 0]
-    w = sizes[level, 1]
-    x = uv[..., 0] * w.astype(jnp.float32) - 0.5
-    y = uv[..., 1] * h.astype(jnp.float32) - 0.5
+def _window_footprint(h: int, w: int, uv, sampler: Sampler):
+    """Per-level bilinear footprint with STATIC (python int) h/w: wrapped
+    anchor coords + edge-corrected fractions. Bit-matches the dynamic form."""
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = (x - x0)[..., None]
@@ -417,9 +437,10 @@ def _array_atlas_fetch(atlas, offsets, sizes, level, tid, uv, c, sampler: Sample
     else:
         fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
         y0w = jnp.clip(y0, 0, h - 1)
-    t = jnp.maximum(tid, 0)
-    idx = offsets[level] + (t * h + y0w) * w + x0w
-    taps = atlas[idx]  # [...,4C]
+    return x0w, y0w, fx, fy
+
+
+def _blend_window(taps, fx, fy, c):
     t00 = taps[..., 0:c]
     t10 = taps[..., c : 2 * c]
     t01 = taps[..., 2 * c : 3 * c]
@@ -427,6 +448,51 @@ def _array_atlas_fetch(atlas, offsets, sizes, level, tid, uv, c, sampler: Sample
     top = t00 * (1 - fx) + t10 * fx
     bot = t01 * (1 - fx) + t11 * fx
     return top * (1 - fy) + bot * fy
+
+
+def _array_atlas_fetch(atlas, offsets, sizes, level, tid, uv, c, sampler: Sampler):
+    """Bilinear fetch of one (per-pixel) mip level from the flat window
+    atlas — ONE gather per pixel. Bit-matches sample_array_bilinear.
+
+    When offsets/sizes are PYTHON sequences (static mip geometry — always
+    known from the mip-chain shapes), the per-level index math unrolls into
+    selects instead of per-pixel gathers from the tiny offset/size tables:
+    a [H,W]-shaped gather costs ~the same regardless of table size, so the
+    dynamic form paid 3 extra full-frame gathers per fetch."""
+    t = jnp.maximum(tid, 0)
+    if isinstance(offsets, (list, tuple)):
+        idx = fx = fy = None
+        for l, ((h, w), off) in enumerate(zip(sizes, offsets)):
+            x0w, y0w, fx_l, fy_l = _window_footprint(int(h), int(w), uv, sampler)
+            idx_l = off + (t * int(h) + y0w) * int(w) + x0w
+            if idx is None:
+                idx, fx, fy = idx_l, fx_l, fy_l
+            else:
+                sel = level == l
+                idx = jnp.where(sel, idx_l, idx)
+                fx = jnp.where(sel[..., None], fx_l, fx)
+                fy = jnp.where(sel[..., None], fy_l, fy)
+        return _blend_window(atlas[idx], fx, fy, c)
+    h = sizes[level, 0]
+    w = sizes[level, 1]
+    x = uv[..., 0] * w.astype(jnp.float32) - 0.5
+    y = uv[..., 1] * h.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    if sampler.wrap_u == WrapMode.REPEAT:
+        x0w = jnp.mod(x0, w)
+    else:
+        fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
+        x0w = jnp.clip(x0, 0, w - 1)
+    if sampler.wrap_v == WrapMode.REPEAT:
+        y0w = jnp.mod(y0, h)
+    else:
+        fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
+        y0w = jnp.clip(y0, 0, h - 1)
+    idx = offsets[level] + (t * h + y0w) * w + x0w
+    return _blend_window(atlas[idx], fx, fy, c)
 
 
 def sample_array_textured_atlas(
@@ -585,21 +651,65 @@ def cube_trilinear_fetch(
     lo_level/frac per pixel; frac==0 rows never read parent lanes'
     meaning (zeros at the chain tail are safe). Matches
     f_lo*(1-frac) + f_hi*frac of the two-gather path bit-for-bit.
+    Static (python-sequence) offsets/sizes unroll the per-level index and
+    footprint math into selects — no tiny-table gathers.
     """
-    s = sizes[lo_level].astype(jnp.float32)
-    si = sizes[lo_level]
-    x = uv[..., 0] * s - 0.5
-    y = uv[..., 1] * s - 0.5
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
-    fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
-    fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
-    x0c = jnp.clip(x0, 0, si - 1)
-    y0c = jnp.clip(y0, 0, si - 1)
-    idx = offsets[lo_level] + (face * si + y0c) * si + x0c
-    taps = atlas13[idx]  # [..., 13C]
+    if isinstance(offsets, (list, tuple)):
+        n = len(sizes)
+        acc = None
+        for l in range(n):
+            si = int(sizes[l])
+            x0c_l, y0c_l, fx_l, fy_l = _cube_footprint(si, uv)
+            idx_l = offsets[l] + (face * si + y0c_l) * si + x0c_l
+            sh_l = int(sizes[min(l + 1, n - 1)])
+            xh = uv[..., 0] * sh_l - 0.5
+            yh = uv[..., 1] * sh_l - 0.5
+            x0h = jnp.floor(xh).astype(jnp.int32)
+            y0h = jnp.floor(yh).astype(jnp.int32)
+            fxh_l = (xh - x0h)[..., None]
+            fyh_l = (yh - y0h)[..., None]
+            fxh_l = jnp.where((x0h < 0)[..., None], 0.0, fxh_l)
+            fyh_l = jnp.where((y0h < 0)[..., None], 0.0, fyh_l)
+            jx_l = jnp.where(jnp.clip(x0h, 0, sh_l - 1) < x0c_l // 2, 0, 1)
+            jy_l = jnp.where(jnp.clip(y0h, 0, sh_l - 1) < y0c_l // 2, 0, 1)
+            vals_l = (idx_l, fx_l, fy_l, fxh_l, fyh_l, jx_l, jy_l)
+            if acc is None:
+                acc = vals_l
+            else:
+                sel = lo_level == l
+                acc = tuple(
+                    jnp.where(sel[..., None] if v.ndim > sel.ndim else sel, vl, v)
+                    for v, vl in zip(acc, vals_l)
+                )
+        idx, fx, fy, fxh, fyh, jx, jy = acc
+        taps = atlas13[idx]
+    else:
+        s = sizes[lo_level].astype(jnp.float32)
+        si = sizes[lo_level]
+        x = uv[..., 0] * s - 0.5
+        y = uv[..., 1] * s - 0.5
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = (x - x0)[..., None]
+        fy = (y - y0)[..., None]
+        fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
+        fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
+        x0c = jnp.clip(x0, 0, si - 1)
+        y0c = jnp.clip(y0, 0, si - 1)
+        sh = sizes[jnp.minimum(lo_level + 1, sizes.shape[0] - 1)]
+        shf = sh.astype(jnp.float32)
+        xh = uv[..., 0] * shf - 0.5
+        yh = uv[..., 1] * shf - 0.5
+        x0h = jnp.floor(xh).astype(jnp.int32)
+        y0h = jnp.floor(yh).astype(jnp.int32)
+        fxh = (xh - x0h)[..., None]
+        fyh = (yh - y0h)[..., None]
+        fxh = jnp.where((x0h < 0)[..., None], 0.0, fxh)
+        fyh = jnp.where((y0h < 0)[..., None], 0.0, fyh)
+        jx = jnp.where(jnp.clip(x0h, 0, sh - 1) < x0c // 2, 0, 1)
+        jy = jnp.where(jnp.clip(y0h, 0, sh - 1) < y0c // 2, 0, 1)
+        idx = offsets[lo_level] + (face * si + y0c) * si + x0c
+        taps = atlas13[idx]  # [..., 13C]
 
     t00 = taps[..., 0:c]
     t10 = taps[..., c : 2 * c]
@@ -610,22 +720,7 @@ def cube_trilinear_fetch(
     f_lo = top * (1 - fy) + bot * fy
 
     # parent (hi level) bilinear from the stored 3x3 — same arithmetic as
-    # _cube_atlas_fetch at level+1
-    sh = sizes[jnp.minimum(lo_level + 1, sizes.shape[0] - 1)]
-    shf = sh.astype(jnp.float32)
-    xh = uv[..., 0] * shf - 0.5
-    yh = uv[..., 1] * shf - 0.5
-    x0h = jnp.floor(xh).astype(jnp.int32)
-    y0h = jnp.floor(yh).astype(jnp.int32)
-    fxh = (xh - x0h)[..., None]
-    fyh = (yh - y0h)[..., None]
-    fxh = jnp.where((x0h < 0)[..., None], 0.0, fxh)
-    fyh = jnp.where((y0h < 0)[..., None], 0.0, fyh)
-    kx = x0c // 2
-    ky = y0c // 2
-    jx = jnp.where(jnp.clip(x0h, 0, sh - 1) < kx, 0, 1)
-    jy = jnp.where(jnp.clip(y0h, 0, sh - 1) < ky, 0, 1)
-
+    # _cube_atlas_fetch at level+1 (footprint values prepared per branch)
     def ptap(r_off, c_off):
         # select p[jy+r_off][jx+c_off] from the row-major 3x3
         out = 0.0

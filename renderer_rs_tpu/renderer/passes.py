@@ -352,9 +352,17 @@ def _shade_pixels(
             # [T]-sized table compose is traced host-of-jit (cheap), so
             # the per-pixel cost is ONE gather
             mid = tex.mat_set[scene.tri_material][tid]  # [H,W] set id
+        # STATIC mip geometry (known from the mip-chain shapes): per-level
+        # index math unrolls into selects — no per-pixel size/offset gathers
+        shapes = tuple((int(m.shape[1]), int(m.shape[2])) for m in mips)
+        n_sets = int(tex.mat_atlas.shape[0]) // sum(h * w for h, w in shapes)
+        offs, off = [], 0
+        for h_, w_ in shapes:
+            offs.append(off)
+            off += n_sets * h_ * w_
         samp = sample_array_textured_atlas(
-            tex.mat_atlas, tex.mat_offsets, tex.mat_sizes,
-            len(mips), (mips[0].shape[1], mips[0].shape[2]),
+            tex.mat_atlas, tuple(offs), shapes,
+            len(mips), shapes[0],
             c_all, mid, uv,
         )
         if 0 in pos:
@@ -390,14 +398,22 @@ def _shade_pixels(
         tex = scene.textures
         mips = tex.mips
 
+        shapes = tuple((int(m.shape[1]), int(m.shape[2])) for m in mips)
+        n_tex = int(mips[0].shape[0])
+        offs, off = [], 0
+        for h_, w_ in shapes:
+            offs.append(off)
+            off += n_tex * h_ * w_
+
         def fetch(slot):
             t = tex_ids[..., slot]
             if tex.atlas is not None:
                 # 2-gather implicit-LOD trilinear via the build-time window
-                # atlas (vs evaluating every mip level then selecting)
+                # atlas (vs evaluating every mip level then selecting);
+                # static mip geometry: no per-pixel size/offset gathers
                 s = sample_array_textured_atlas(
-                    tex.atlas, tex.atlas_offsets, tex.atlas_sizes,
-                    len(mips), (mips[0].shape[1], mips[0].shape[2]),
+                    tex.atlas, tuple(offs), shapes,
+                    len(mips), shapes[0],
                     mips[0].shape[-1], t, uv,
                 )
             else:
@@ -564,12 +580,22 @@ def _shade_pixels(
                 lo_l = jnp.floor(lod).astype(jnp.int32)
                 frac = lod - lo_l.astype(lod.dtype)
                 c = env.skybox_mips[0].shape[-1]
+                # STATIC segment geometry (prefiltered levels + skybox):
+                # unrolled selects instead of per-pixel size/offset gathers
+                seg_sizes = tuple(
+                    int(m.shape[1]) for m in env.prefiltered_mips
+                ) + (int(env.skybox_mips[0].shape[1]),)
+                seg_offs, _off = [], 0
+                for s_ in seg_sizes:
+                    seg_offs.append(_off)
+                    _off += 6 * s_ * s_
+                seg_offs = tuple(seg_offs)
                 if env.atlas_tri is not None:
                     # ONE gather: child 2x2 + parent 3x3 ride the same row
                     from renderer_rs_tpu.ops.sampling import cube_trilinear_fetch
 
                     spec_sky = cube_trilinear_fetch(
-                        env.atlas_tri, env.atlas_offsets, env.atlas_sizes,
+                        env.atlas_tri, seg_offs, seg_sizes,
                         lo_l, frac, face, uv_c, c,
                     )[..., :3]
                 else:
@@ -577,11 +603,11 @@ def _shade_pixels(
                         far, n_pref, jnp.minimum(lo_l + 1, n_pref - 1)
                     )
                     f_lo = _cube_atlas_fetch(
-                        env.atlas, env.atlas_offsets, env.atlas_sizes, lo_l,
+                        env.atlas, seg_offs, seg_sizes, lo_l,
                         face, uv_c, c,
                     )
                     f_hi = _cube_atlas_fetch(
-                        env.atlas, env.atlas_offsets, env.atlas_sizes, hi_l,
+                        env.atlas, seg_offs, seg_sizes, hi_l,
                         face, uv_c, c,
                     )
                     spec_sky = (
