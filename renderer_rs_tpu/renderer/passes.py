@@ -582,6 +582,10 @@ def _shade_pixels(
                 c = env.skybox_mips[0].shape[-1]
                 # STATIC segment geometry (prefiltered levels + skybox):
                 # unrolled selects instead of per-pixel size/offset gathers
+                # (RENDERER_DYNAMIC_MIP=1 flips back to the array form for
+                # A/B measurement)
+                import os as _os2
+
                 seg_sizes = tuple(
                     int(m.shape[1]) for m in env.prefiltered_mips
                 ) + (int(env.skybox_mips[0].shape[1]),)
@@ -590,6 +594,9 @@ def _shade_pixels(
                     seg_offs.append(_off)
                     _off += 6 * s_ * s_
                 seg_offs = tuple(seg_offs)
+                if _os2.environ.get("RENDERER_DYNAMIC_MIP") == "1":
+                    seg_offs = env.atlas_offsets
+                    seg_sizes = env.atlas_sizes
                 if env.atlas_tri is not None:
                     # ONE gather: child 2x2 + parent 3x3 ride the same row
                     from renderer_rs_tpu.ops.sampling import cube_trilinear_fetch
