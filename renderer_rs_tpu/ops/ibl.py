@@ -329,11 +329,29 @@ def sh9_project_cubemap(faces: jnp.ndarray) -> jnp.ndarray:
 def sh9_eval(coeffs: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     """Reconstruct the projected map along [...,3] directions -> [...,C].
 
-    Pure per-pixel polynomial + a [.,9]x[9,C] matmul — replaces the
-    per-pixel irradiance-cubemap gather of CalculateIBL (pbr.hlsli:434-436),
-    which costs ~10 ms/frame at 1080p on TPU. Clamped at 0 (ringing guard).
+    Pure per-pixel polynomial — replaces the per-pixel irradiance-cubemap
+    gather of CalculateIBL (pbr.hlsli:434-436), which costs ~10 ms/frame at
+    1080p on TPU. Evaluated as a direct FMA accumulation over the 9 basis
+    terms (NOT a stacked [.,9] basis @ [9,C] matmul: the stack materialized
+    a [H,W,9] concatenate per frame — ~0.4 GB of HBM traffic — and the tiny
+    matmul forced MXU relayouts). Clamped at 0 (ringing guard).
     """
-    return jnp.maximum(sh9_basis(n) @ coeffs, 0.0)
+    x = n[..., 0:1]
+    y = n[..., 1:2]
+    z = n[..., 2:3]
+    c = coeffs
+    out = (
+        0.282095 * c[0]
+        + (0.488603 * y) * c[1]
+        + (0.488603 * z) * c[2]
+        + (0.488603 * x) * c[3]
+        + (1.092548 * (x * y)) * c[4]
+        + (1.092548 * (y * z)) * c[5]
+        + (0.315392 * (3.0 * z * z - 1.0)) * c[6]
+        + (1.092548 * (x * z)) * c[7]
+        + (0.546274 * (x * x - y * y)) * c[8]
+    )
+    return jnp.maximum(out, 0.0)
 
 
 # --- demo environment ------------------------------------------------------------------

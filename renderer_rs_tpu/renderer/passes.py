@@ -330,6 +330,63 @@ def _shade_pixels(
     if (
         layout.has_textures
         and scene.textures is not None
+        and scene.textures.mat_atlas_tri is not None
+    ):
+        # Fastest path: ONE bf16 gather fetches the full trilinear footprint
+        # of every used slot (child 2x2 + parent-resample 2x2 windows over
+        # the 13 packed _SLOT_CHANNELS). The 2-gather mat_atlas path below
+        # stays as the f32 oracle (HLO showed it moving ~5 GB/frame).
+        from renderer_rs_tpu.ops.sampling import (
+            _SLOT_CHANNELS,
+            sample_material_atlas_tri,
+        )
+
+        tex = scene.textures
+        mips = tex.mips
+        used = [i for i, u in enumerate(layout.texture_slots) if u]
+        pos, c13 = {}, 0
+        for slot in used:
+            pos[slot] = c13
+            c13 += len(_SLOT_CHANNELS[slot])
+        if fused_mid:
+            mid = varying[..., -1].astype(jnp.int32)
+        else:
+            mid = tex.mat_set[scene.tri_material][tid]  # [H,W] set id
+        shapes = tuple((int(m.shape[1]), int(m.shape[2])) for m in mips)
+        n_sets = int(tex.mat_atlas_tri.shape[0]) // sum(h * w for h, w in shapes)
+        offs, off = [], 0
+        for h_, w_ in shapes:
+            offs.append(off)
+            off += n_sets * h_ * w_
+        samp = sample_material_atlas_tri(
+            tex.mat_atlas_tri, tuple(offs), shapes,
+            len(mips), shapes[0], c13, mid, uv,
+        )
+        if 0 in pos:
+            base_color = base_color * samp[..., pos[0] : pos[0] + 4]
+        if 1 in pos:
+            # TBN normal mapping (model_pbr.hlsl:168-197); packed XYZ only
+            t4 = varying[..., 8:12]
+            t3 = normalize(t4[..., :3])
+            b3 = jnp.cross(normal, t3) * t4[..., 3:4]
+            n_ts = samp[..., pos[1] : pos[1] + 3] * 2.0 - 1.0
+            n_ts = jnp.concatenate(
+                [n_ts[..., :2] * ns_col, n_ts[..., 2:3]], axis=-1
+            )
+            normal = normalize(
+                t3 * n_ts[..., 0:1] + b3 * n_ts[..., 1:2] + normal * n_ts[..., 2:3]
+            )
+        if 2 in pos:
+            # packed MR channels are (G, B) = (roughness, metallic)
+            roughness = roughness * samp[..., pos[2] + 0]
+            metallic = metallic * samp[..., pos[2] + 1]
+        if 3 in pos:
+            ao = ao * samp[..., pos[3]]
+        if 4 in pos:
+            emissive = emissive * samp[..., pos[4] : pos[4] + 3]
+    elif (
+        layout.has_textures
+        and scene.textures is not None
         and scene.textures.mat_atlas is not None
     ):
         # Packed per-material path: ONE trilinear lookup (2 gathers) fetches

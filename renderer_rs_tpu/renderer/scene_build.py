@@ -51,6 +51,12 @@ class TextureArrays:
     mat_offsets: Any | None = None  # [L] int32
     mat_sizes: Any | None = None  # [L,2] int32
     mat_set: Any | None = None  # [M] int32 material -> atlas set id
+    # single-gather trilinear variant (ops/sampling.build_material_atlas_tri):
+    # bf16 rows of [child 2x2 | parent-resample 2x2] over the PACKED
+    # _SLOT_CHANNELS (13 channels fully textured) — the whole trilinear
+    # footprint of every slot in ONE gather. Preferred by the shader when
+    # present; mat_atlas stays as the exact f32 oracle.
+    mat_atlas_tri: Any | None = None  # [R, 8*C13] bf16
 
 
 @struct.dataclass
@@ -440,12 +446,23 @@ class SceneBuilder:
                     used,
                     Sampler(),
                 )
+                from renderer_rs_tpu.ops.sampling import (
+                    build_material_atlas_tri,
+                )
+
+                tri_atlas, _, _ = build_material_atlas_tri(
+                    tuple(np.asarray(m) for m in scene.textures.mips),
+                    uniq,
+                    used,
+                    Sampler(),
+                )
                 scene = scene.replace(
                     textures=scene.textures.replace(
                         mat_atlas=mat_atlas,
                         mat_offsets=mat_off,
                         mat_sizes=mat_sz,
                         mat_set=jnp.asarray(mat_set.reshape(-1), jnp.int32),
+                        mat_atlas_tri=tri_atlas,
                     )
                 )
         layout = SceneLayout(

@@ -247,3 +247,103 @@ def test_cube_trilinear_single_gather_matches_pair():
 
     got = cube_trilinear_fetch(atlas13, offsets, sizes, lo_l, frac, face, uv, 3)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_material_atlas_tri_matches_two_gather():
+    """The single-gather bf16 trilinear material atlas matches the exact
+    2-gather f32 path over random UVs within bf16 quantization + the
+    parent-resample smoothing bound (build_material_atlas_tri docstring)."""
+    from renderer_rs_tpu.ops.sampling import (
+        _SLOT_CHANNELS,
+        build_material_atlas,
+        build_material_atlas_tri,
+        sample_array_textured_atlas,
+        sample_material_atlas_tri,
+    )
+
+    rng = np.random.default_rng(7)
+    n_tex, s = 3, 16
+    base = rng.random((n_tex, s, s, 4)).astype(np.float32)
+    mips = [jnp.asarray(base)]
+    lvl = base
+    while lvl.shape[1] > 1:
+        lvl = lvl.reshape(
+            n_tex, lvl.shape[1] // 2, 2, lvl.shape[2] // 2, 2, 4
+        ).mean(axis=(2, 4))
+        mips.append(jnp.asarray(lvl))
+    mips = tuple(mips)
+    slots = (0, 1, 2, 3, 4)
+    tex_ids = np.array([[0, 1, 2, -1, 0], [2, -1, 0, 1, -1]], np.int64)
+
+    atlas, offs, sizes = build_material_atlas(mips, tex_ids, slots)
+    tri, offs_t, sizes_t = build_material_atlas_tri(mips, tex_ids, slots)
+
+    h = w = 24
+    uv = jnp.asarray(rng.random((h, w, 2)) * 1.4 - 0.2, jnp.float32)
+    mid = jnp.asarray(rng.integers(0, 2, (h, w)), jnp.int32)
+    c_all = 4 * len(slots)
+
+    shapes = tuple((int(m.shape[1]), int(m.shape[2])) for m in mips)
+    offs_l, off = [], 0
+    for h_, w_ in shapes:
+        offs_l.append(off)
+        off += 2 * h_ * w_
+    exact = sample_array_textured_atlas(
+        atlas, tuple(offs_l), shapes, len(mips), shapes[0], c_all, mid, uv
+    )
+    got = sample_material_atlas_tri(
+        tri, tuple(offs_t), sizes_t, len(mips), shapes[0], 13, mid, uv
+    )
+
+    # map packed channels -> the 4C layout
+    pos, o = {}, 0
+    for slot in slots:
+        pos[slot] = o
+        o += len(_SLOT_CHANNELS[slot])
+    for slot in slots:
+        for j, ch in enumerate(_SLOT_CHANNELS[slot]):
+            a = np.asarray(exact[..., 4 * slot + ch])
+            b = np.asarray(got[..., pos[slot] + j])
+            np.testing.assert_allclose(b, a, atol=3e-2, err_msg=f"slot {slot} ch {ch}")
+
+
+def test_material_atlas_tri_exact_at_integer_lod():
+    """At frac==0 (minified far enough that lod rounds to an integer via
+    constant UV gradients) the tri path equals the child bilinear up to bf16
+    quantization only."""
+    from renderer_rs_tpu.ops.sampling import (
+        build_material_atlas,
+        build_material_atlas_tri,
+        sample_array_textured_atlas,
+        sample_material_atlas_tri,
+    )
+
+    rng = np.random.default_rng(3)
+    n_tex, s = 1, 8
+    base = rng.random((n_tex, s, s, 4)).astype(np.float32)
+    mips = (jnp.asarray(base), jnp.asarray(
+        base.reshape(n_tex, 4, 2, 4, 2, 4).mean(axis=(2, 4))
+    ))
+    slots = (0,)
+    tex_ids = np.array([[0, -1, -1, -1, -1]], np.int64)
+    atlas, _, _ = build_material_atlas(mips, tex_ids, slots)
+    tri, offs_t, sizes_t = build_material_atlas_tri(mips, tex_ids, slots)
+
+    h = w = 8
+    # uv gradient of exactly one texel per pixel -> lod == 0, frac == 0
+    y, x = np.mgrid[0:h, 0:w]
+    uv = jnp.asarray(np.stack([x / s, y / s], axis=-1), jnp.float32)
+    mid = jnp.zeros((h, w), jnp.int32)
+
+    shapes = tuple((int(m.shape[1]), int(m.shape[2])) for m in mips)
+    offs_l, off = [], 0
+    for h_, w_ in shapes:
+        offs_l.append(off)
+        off += 1 * h_ * w_
+    exact = sample_array_textured_atlas(
+        atlas, tuple(offs_l), shapes, len(mips), shapes[0], 4, mid, uv
+    )
+    got = sample_material_atlas_tri(
+        tri, tuple(offs_t), sizes_t, len(mips), shapes[0], 4, mid, uv
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact), atol=5e-3)
