@@ -509,6 +509,7 @@ def rasterize_binned_pallas(
     y_offset=0,
     y_stride: int = 1,
     small_limit: int | None = None,
+    defer_varyings: bool = False,
 ):
     """Binned rasterization with per-tile dynamic trip counts (see module
     docstring). Returns VisibilityBuffer, or just the depth array when
@@ -534,7 +535,20 @@ def rasterize_binned_pallas(
 
     z_floor: optional [H,W] strict lower bound on candidate depth (coverage
     requires zc > z_floor) — the depth-peeling primitive behind alpha-cutoff
-    on the fast path (renderer/passes)."""
+    on the fast path (renderer/passes).
+
+    defer_varyings: keep the varying/flat columns in the coefficient table
+    but OUT of the kernel loop. The kernel then runs the plain visibility
+    form (depth/id/bary — 3 winner-select reductions instead of 3+K), and
+    the winner's attributes are fetched afterwards with ONE wide-row gather
+    table[winner_slot] + the same perspective interpolation in XLA —
+    visibility stays bit-identical; varyings match to ulp level (XLA and
+    Mosaic contract the interpolation FMAs with different rounding).
+    Motivation: each kernel lane costs 3 masked
+    [chunk, sub_h, tile_w] reductions PER CHUNK (candidate-count-
+    proportional), while the deferred gather is pixel-proportional; r3
+    frame probes measured the 20-lane raster at ~62 ms vs ~5 ms of
+    deferred-side work."""
     t = setup.num_triangles
 
     slab_ids, seg, nty, ntx, _overflow = _bin_compact(
@@ -563,10 +577,15 @@ def rasterize_binned_pallas(
     cols = []
     for e in edges:
         cols += [e["ax"], e["ay"], e["sdx"], e["sdy"], e["thresh"]]
+    defer = defer_varyings and varyings is not None and not depth_only
     cols += [setup.z[..., 0], setup.z[..., 1], setup.z[..., 2]]
     cols += [
         inv_area,
-        ids.astype(jnp.float32) if ids is not None else jnp.arange(t, dtype=jnp.float32),
+        # defer mode needs the kernel to report the winner SLOT (the table
+        # row to gather); the ids payload then rides a trailing table column
+        ids.astype(jnp.float32)
+        if (ids is not None and not defer)
+        else jnp.arange(t, dtype=jnp.float32),
     ]
     n_vary = 0
     if varyings is not None and not depth_only:
@@ -605,6 +624,8 @@ def rasterize_binned_pallas(
         fva = flat_varyings[fsrc]  # [t, Kf]
         for k in range(n_flat):
             cols.append(fva[..., k])
+    if defer and ids is not None:
+        cols.append(ids.astype(jnp.float32))  # deferred source-id payload
     table = jnp.stack(cols, axis=-1)  # [t, 24(+3+3K)]
     # Lane-pad to 128 and add the all-zero pad row at index t: Mosaic only
     # supports 128-wide HBM DMA slabs, and the in-kernel column extraction
@@ -652,9 +673,13 @@ def rasterize_binned_pallas(
             zf.reshape(nty, tile_h, ntx, tile_w).transpose(0, 2, 1, 3)
             .reshape(n_tiles, tile_h, tile_w)
         )
-    skip_bary = skip_bary and not depth_only and bool(n_vary or n_flat)
+    # kernel-facing lane counts: zero in defer mode (the kernel runs the
+    # plain visibility form; attributes resolve post-kernel by gather)
+    k_vary = 0 if defer else n_vary
+    k_flat = 0 if defer else n_flat
+    skip_bary = skip_bary and not depth_only and bool(k_vary or k_flat)
     kernel = _make_kernel(
-        pipeline, tile_h, tile_w, chunk, depth_only, n_vary, n_flat,
+        pipeline, tile_h, tile_w, chunk, depth_only, k_vary, k_flat,
         has_zfloor=has_zfloor, skip_bary=skip_bary, sub_h=sub_h,
         y_stride=y_stride, ntx=ntx,
     )
@@ -669,10 +694,10 @@ def rasterize_binned_pallas(
                 jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
                 jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
             ]
-        if n_vary or n_flat:
+        if k_vary or k_flat:
             out_shapes.append(
                 jax.ShapeDtypeStruct(
-                    (n_tiles, n_vary + n_flat, tile_h, tile_w), jnp.float32
+                    (n_tiles, k_vary + k_flat, tile_h, tile_w), jnp.float32
                 )
             )
 
@@ -733,7 +758,7 @@ def rasterize_binned_pallas(
     if skip_bary:
         depth_t, tid_t, vary_t = outs
         b0_t = b1_t = None
-    elif n_vary or n_flat:
+    elif k_vary or k_flat:
         depth_t, tid_t, b0_t, b1_t, vary_t = outs
     else:
         depth_t, tid_t, b0_t, b1_t = outs
@@ -748,8 +773,41 @@ def rasterize_binned_pallas(
             else jnp.stack([stitch(b0_t), stitch(b1_t)], axis=-1)
         ),
     )
-    if n_vary or n_flat:
-        nk = n_vary + n_flat
+    if defer:
+        # Deferred attribute resolve: ONE wide-row gather of the winner's
+        # table row + the SAME perspective math the in-kernel lanes ran
+        # (masked sums only ever added zeros -> bit-identical).
+        slot = jnp.maximum(vis.tri_id, 0)
+        width_c = 3 + 3 * n_vary + n_flat + (1 if ids is not None else 0)
+        rows = table[:, 20 : 20 + width_c][slot]  # [H,W,width_c]
+        b0 = vis.bary[..., 0]
+        b1 = vis.bary[..., 1]
+        b2 = 1.0 - b0 - b1
+        wb0 = b0 * rows[..., 0]
+        wb1 = b1 * rows[..., 1]
+        wb2 = b2 * rows[..., 2]
+        denom = wb0 + wb1 + wb2
+        inv_d = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
+        aw0 = wb0 * inv_d
+        aw1 = wb1 * inv_d
+        aw2 = wb2 * inv_d
+        chans = [
+            aw0 * rows[..., 3 + 3 * k]
+            + aw1 * rows[..., 3 + 3 * k + 1]
+            + aw2 * rows[..., 3 + 3 * k + 2]
+            for k in range(n_vary)
+        ]
+        off = 3 + 3 * n_vary
+        chans += [rows[..., off + k] for k in range(n_flat)]
+        vary_img = jnp.stack(chans, axis=-1)  # [H,W,K]
+        if ids is not None:
+            src_id = rows[..., width_c - 1].astype(jnp.int32)
+            vis = vis.replace(
+                tri_id=jnp.where(vis.tri_id >= 0, src_id, vis.tri_id)
+            )
+        return vis, vary_img
+    if k_vary or k_flat:
+        nk = k_vary + k_flat
         full = vary_t.reshape(nty, ntx, nk, tile_h, tile_w)
         full = full.transpose(2, 0, 3, 1, 4).reshape(nk, hp, wp)
         vary_img = full[:, :height, :width].transpose(1, 2, 0)  # [H,W,K]

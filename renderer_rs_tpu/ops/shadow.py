@@ -110,8 +110,12 @@ def calculate_shadow(
         # on EXACTLY the 3x3 integer texel neighborhood (floor(u*S + d) ==
         # floor(u*S) + d for integer d), so instead of 9 separate gathers we
         # pre-shift the map into a 9-plane window (edge-clamped, matching the
-        # per-tap clamp) and fetch all taps with ONE gather — bit-identical,
-        # and ~9x less gather traffic on TPU.
+        # per-tap clamp) and fetch all taps with ONE gather — bit-identical.
+        # RENDERER_PCF_GROUP=n packs n consecutive x-texels per row
+        # (n*9-lane rows) with an in-register sub-row select. Isolated
+        # r3 gather probes favored wide rows, but in-frame A/B measured
+        # no change (the lookup cost is not the gather) — default stays
+        # 1 (bit-identical layout); the knob remains for future tuning.
         padded = jnp.pad(shadow_map, 1, mode="edge")
         window = jnp.stack(
             [
@@ -123,7 +127,24 @@ def calculate_shadow(
         )  # [H,W,9]
         ix = jnp.clip(jnp.floor(uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
         iy = jnp.clip(jnp.floor(uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
-        taps = window[iy, ix]  # [...,9]
+        import os as _os
+
+        group = int(_os.environ.get("RENDERER_PCF_GROUP", "1"))
+        if w % max(group, 1) != 0:
+            group = 1
+        if group > 1:
+            rows = window.reshape(h, w // group, group * 9)
+            flat = rows.reshape(h * (w // group), group * 9)
+            row_id = iy * (w // group) + ix // group
+            sub = ix % group
+            wide = flat[row_id]  # [..., group*9] — the one (wide) gather
+            taps = jnp.zeros(wide.shape[:-1] + (9,), wide.dtype)
+            for k in range(group):
+                taps = jnp.where(
+                    (sub == k)[..., None], wide[..., k * 9 : (k + 1) * 9], taps
+                )
+        else:
+            taps = window[iy, ix]  # [...,9]
         shadow = jnp.mean(
             jnp.where(taps >= current[..., None], 1.0, 0.0), axis=-1
         )

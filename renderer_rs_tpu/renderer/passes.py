@@ -1067,30 +1067,45 @@ def forward_frame(
         attr = jnp.concatenate(packed, axis=-1)  # [V,K]
         tri_attr_src = attr[scene.tris]  # [T,3,K] — composition with the
         # clip frame happens per column inside the kernel prep (vary_bary).
-        # Material parameters ride as flat (per-triangle constant) channels:
-        # 11 masked chunk-sums in-kernel beat the [H,W] bank-row gather by
-        # ~19 ms/frame at 1080p/100k (measured r2 both ways — per-pixel
-        # gathers are the TPU's weak spot, kernel VPU sums are not).
-        # Columns constant across the whole scene (layout.material_constants)
-        # skip their lane entirely and rebuild as broadcast scalars.
-        mat_full = _material_bank(scene.materials)[scene.tri_material]  # [T,11]
-        var_cols = [
-            k for k in range(11) if layout.material_constants[k] is None
-        ]
-        flat_cols = [mat_full[:, jnp.asarray(var_cols, jnp.int32)]] if var_cols else []
-        fused_mid = (
-            layout.has_textures
-            and scene.textures is not None
-            and scene.textures.mat_atlas is not None
-        )
-        if fused_mid:
-            # texture-set id as the LAST flat lane (exact: ids < 2^24)
-            flat_cols.append(
-                scene.textures.mat_set[scene.tri_material][:, None].astype(
-                    jnp.float32
-                )
+        # Material parameters: r2 shipped them as flat (per-triangle
+        # constant) kernel channels (masked chunk-sums). r3 remeasured with
+        # cache-proof timers: each flat lane costs kernel vector work + a
+        # stitch channel, while the deferred alternative — tid ->
+        # tri_material -> bank row — is a chain of SMALL-table gathers
+        # (97k/10 rows). r3's cache-proof gather probes showed NARROW-row
+        # gathers pay ~10 ms per full-frame lookup regardless of table
+        # size (wide >=72-lane rows are near-free), so the flat-lane
+        # scheme stays the default; RENDERER_FLAT_MATS=0 switches to the
+        # deferred bank gather for A/B.
+        import os as _os_fm
+
+        flat_mats = _os_fm.environ.get("RENDERER_FLAT_MATS", "1") != "0"
+        fused_mid = False
+        mat_flat = None
+        if flat_mats:
+            # Columns constant across the whole scene
+            # (layout.material_constants) skip their lane entirely and
+            # rebuild as broadcast scalars.
+            mat_full = _material_bank(scene.materials)[scene.tri_material]
+            var_cols = [
+                k for k in range(11) if layout.material_constants[k] is None
+            ]
+            flat_cols = (
+                [mat_full[:, jnp.asarray(var_cols, jnp.int32)]] if var_cols else []
             )
-        mat_flat = jnp.concatenate(flat_cols, axis=-1) if flat_cols else None
+            fused_mid = (
+                layout.has_textures
+                and scene.textures is not None
+                and scene.textures.mat_atlas is not None
+            )
+            if fused_mid:
+                # texture-set id as the LAST flat lane (exact: ids < 2^24)
+                flat_cols.append(
+                    scene.textures.mat_set[scene.tri_material][:, None].astype(
+                        jnp.float32
+                    )
+                )
+            mat_flat = jnp.concatenate(flat_cols, axis=-1) if flat_cols else None
         vis, varying_img = rasterize_binned_pallas(
             setup, height, width, pipeline,
             depth_init=(
@@ -1104,12 +1119,17 @@ def forward_frame(
             ids=clip_src,  # kernel writes SOURCE ids: no clip_src[slot] gather
             skip_bary=True,  # fused consumers never read vis.bary
             small_limit=bin_small_limit,
+            # deferred attribute resolve (see rasterize_binned_pallas):
+            # kernel lanes cost candidate-proportional masked reductions;
+            # the post-kernel wide-row gather is pixel-proportional.
+            # RENDERER_DEFER_VARY=0 restores the in-kernel lanes for A/B.
+            defer_varyings=_os_fm.environ.get("RENDERER_DEFER_VARY", "1") != "0",
         )
         out_h = height
         y_offset = 0
         bary3 = None  # unused: varyings are already interpolated
         ids_are_source = True
-        fused_materials = True
+        fused_materials = flat_mats
         shade_fused_mid = fused_mid
     elif stencil is not None:
         # stencil test/update state machine (scan path; ≙ the

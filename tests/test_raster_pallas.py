@@ -251,3 +251,50 @@ def test_fused_forward_frame_matches_deferred(monkeypatch):
     # same rasterization (bit-identical visibility) -> shading differs only
     # by the varying interpolation order; tolerance covers fp reassociation
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_pallas_defer_varyings_bit_matches_fused():
+    """defer_varyings=True (visibility kernel + post-hoc wide-row gather)
+    must reproduce the in-kernel fused-varying output on covered pixels:
+    visibility (depth/tri_id) BIT-identically, varyings to ulp-level
+    tolerance (same f32 formula, but XLA and Mosaic contract mul+add to
+    FMA differently), including flat channels, the ids payload, and
+    under near-clip source composition."""
+    from renderer_rs_tpu.ops.clip import clip_triangles_near
+
+    clip, tris = _scene(seed=9, t=90)
+    rng = np.random.default_rng(13)
+    attr = jnp.asarray(rng.random((clip.shape[0], 5), dtype=np.float32))
+    t = tris.shape[0]
+    flat = jnp.asarray(rng.random((t, 3), dtype=np.float32))
+    ids = jnp.asarray(rng.integers(0, 1000, t).astype(np.int32))
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    h, w = 96, 256
+
+    tri_clip = gather_triangle_clip(clip, tris)
+    tri_clip2, valid, src, bary = clip_triangles_near(tri_clip)
+    setup = setup_triangles(tri_clip2, w, h, pipe, tri_valid=valid)
+    ids2 = ids[src]
+
+    vis_f, vary_f = rp.rasterize_binned_pallas(
+        setup, h, w, pipe, chunk=16,
+        varyings=attr[tris], vary_src=src, vary_bary=bary,
+        flat_varyings=flat, ids=ids2, skip_bary=True,
+    )
+    vis_d, vary_d = rp.rasterize_binned_pallas(
+        setup, h, w, pipe, chunk=16,
+        varyings=attr[tris], vary_src=src, vary_bary=bary,
+        flat_varyings=flat, ids=ids2, skip_bary=True,
+        defer_varyings=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vis_f.tri_id), np.asarray(vis_d.tri_id)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vis_f.depth), np.asarray(vis_d.depth)
+    )
+    cov = np.asarray(vis_f.covered)
+    np.testing.assert_allclose(
+        np.asarray(vary_f)[cov], np.asarray(vary_d)[cov],
+        rtol=4e-6, atol=1e-6,
+    )
