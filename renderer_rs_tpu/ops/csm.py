@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -119,7 +120,8 @@ def sample_cascade_pcf(
         # math as the reference's 9 SampleCmp taps, shadow_csm.hlsli:122-138)
         window = pcf_window if pcf_window is not None else _cascade_pcf_window(shadow_maps)
         rows = (cascade_index * s + iy) * s + ix
-        taps = window[rows]  # [...,9]
+        # barrier: materialize the tap rows once (see ops/sampling._once)
+        taps = jax.lax.optimization_barrier((window[rows],))[0]  # [...,9]
         shadow = jnp.mean(
             jnp.where(taps >= current[..., None], 1.0, 0.0), axis=-1
         )

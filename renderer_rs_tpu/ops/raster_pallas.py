@@ -780,6 +780,11 @@ def rasterize_binned_pallas(
         slot = jnp.maximum(vis.tri_id, 0)
         width_c = 3 + 3 * n_vary + n_flat + (1 if ids is not None else 0)
         rows = table[:, 20 : 20 + width_c][slot]  # [H,W,width_c]
+        # Materialize the gathered rows ONCE: without the barrier XLA fuses
+        # the gather into every per-channel consumer below and re-runs it
+        # K+ times (r3 calibration: the gather itself is ~1.5 ms, but the
+        # un-barriered defer resolve measured ~40 ms — fusion duplication)
+        (rows,) = jax.lax.optimization_barrier((rows,))
         b0 = vis.bary[..., 0]
         b1 = vis.bary[..., 1]
         b2 = 1.0 - b0 - b1
@@ -800,6 +805,10 @@ def rasterize_binned_pallas(
         off = 3 + 3 * n_vary
         chans += [rows[..., off + k] for k in range(n_flat)]
         vary_img = jnp.stack(chans, axis=-1)  # [H,W,K]
+        # materialize the resolved varyings once as well: the K channels
+        # fan out to many shade consumers (world_pos alone feeds the
+        # shadow projection and every light term)
+        (vary_img,) = jax.lax.optimization_barrier((vary_img,))
         if ids is not None:
             src_id = rows[..., width_c - 1].astype(jnp.int32)
             vis = vis.replace(

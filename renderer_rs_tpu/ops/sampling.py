@@ -13,6 +13,7 @@ the raster_pallas follow-up.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from renderer_rs_tpu.resources.texture import (
@@ -21,6 +22,16 @@ from renderer_rs_tpu.resources.texture import (
     Sampler,
     WrapMode,
 )
+
+
+def _once(x: jnp.ndarray) -> jnp.ndarray:
+    """Materialize a gathered tensor exactly once. Without the barrier XLA
+    fuses a gather into EVERY downstream consumer (each channel slice /
+    blend term) and re-executes it per consumer — r3 calibration measured
+    a single 2M-pixel gather at ~1.5 ms but un-barriered multi-consumer
+    fetch chains at 10-40 ms. Wrap every `atlas[idx]`-style wide-row
+    gather whose result fans out."""
+    return jax.lax.optimization_barrier((x,))[0]
 
 
 def _wrap_coord(x: jnp.ndarray, size: int, mode: WrapMode) -> jnp.ndarray:
@@ -269,7 +280,7 @@ def sample_cubemap(
     # the window's edge planes already repeat the last column/row.)
     fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
     fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
-    taps = window[row0 + y0c, x0c]  # [...,4C]
+    taps = _once(window[row0 + y0c, x0c])  # [...,4C]
     t00 = taps[..., 0:c]
     t10 = taps[..., c : 2 * c]
     t01 = taps[..., 2 * c : 3 * c]
@@ -320,7 +331,7 @@ def _cube_atlas_fetch(atlas, offsets, sizes, level, face, uv, c):
                 idx = jnp.where(sel, idx_l, idx)
                 fx = jnp.where(sel[..., None], fx_l, fx)
                 fy = jnp.where(sel[..., None], fy_l, fy)
-        return _blend_window(atlas[idx], fx, fy, c)
+        return _blend_window(_once(atlas[idx]), fx, fy, c)
     s = sizes[level].astype(jnp.float32)  # [...]
     si = sizes[level]
     x = uv[..., 0] * s - 0.5
@@ -334,7 +345,7 @@ def _cube_atlas_fetch(atlas, offsets, sizes, level, face, uv, c):
     x0c = jnp.clip(x0, 0, si - 1)
     y0c = jnp.clip(y0, 0, si - 1)
     idx = offsets[level] + (face * si + y0c) * si + x0c
-    return _blend_window(atlas[idx], fx, fy, c)
+    return _blend_window(_once(atlas[idx]), fx, fy, c)
 
 
 def sample_cubemap_lod(mips: tuple, d: jnp.ndarray, lod: jnp.ndarray) -> jnp.ndarray:
@@ -472,7 +483,7 @@ def _array_atlas_fetch(atlas, offsets, sizes, level, tid, uv, c, sampler: Sample
                 idx = jnp.where(sel, idx_l, idx)
                 fx = jnp.where(sel[..., None], fx_l, fx)
                 fy = jnp.where(sel[..., None], fy_l, fy)
-        return _blend_window(atlas[idx], fx, fy, c)
+        return _blend_window(_once(atlas[idx]), fx, fy, c)
     h = sizes[level, 0]
     w = sizes[level, 1]
     x = uv[..., 0] * w.astype(jnp.float32) - 0.5
@@ -492,7 +503,7 @@ def _array_atlas_fetch(atlas, offsets, sizes, level, tid, uv, c, sampler: Sample
         fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
         y0w = jnp.clip(y0, 0, h - 1)
     idx = offsets[level] + (t * h + y0w) * w + x0w
-    return _blend_window(atlas[idx], fx, fy, c)
+    return _blend_window(_once(atlas[idx]), fx, fy, c)
 
 
 def sample_array_textured_atlas(
@@ -682,7 +693,7 @@ def cube_trilinear_fetch(
                     for v, vl in zip(acc, vals_l)
                 )
         idx, fx, fy, fxh, fyh, jx, jy = acc
-        taps = atlas13[idx]
+        taps = _once(atlas13[idx])
     else:
         s = sizes[lo_level].astype(jnp.float32)
         si = sizes[lo_level]
@@ -709,7 +720,7 @@ def cube_trilinear_fetch(
         jx = jnp.where(jnp.clip(x0h, 0, sh - 1) < x0c // 2, 0, 1)
         jy = jnp.where(jnp.clip(y0h, 0, sh - 1) < y0c // 2, 0, 1)
         idx = offsets[lo_level] + (face * si + y0c) * si + x0c
-        taps = atlas13[idx]  # [..., 13C]
+        taps = _once(atlas13[idx])  # [..., 13C]
 
     t00 = taps[..., 0:c]
     t10 = taps[..., c : 2 * c]
@@ -883,7 +894,7 @@ def sample_material_atlas_tri(
             idx = jnp.where(sel, idx_l, idx)
             fx = jnp.where(sel[..., None], fx_l, fx)
             fy = jnp.where(sel[..., None], fy_l, fy)
-    taps = atlas[idx]  # [..., 8C] bf16 — THE one gather
+    taps = _once(atlas[idx])  # [..., 8C] bf16 — THE one gather
     f_lo = _blend_window(taps[..., : 4 * c].astype(jnp.float32), fx, fy, c)
     f_hi = _blend_window(taps[..., 4 * c :].astype(jnp.float32), fx, fy, c)
     return f_lo * (1.0 - frac[..., None]) + f_hi * frac[..., None]

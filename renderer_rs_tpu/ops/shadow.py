@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from renderer_rs_tpu.mathx.vec import dot
@@ -111,11 +112,12 @@ def calculate_shadow(
         # floor(u*S) + d for integer d), so instead of 9 separate gathers we
         # pre-shift the map into a 9-plane window (edge-clamped, matching the
         # per-tap clamp) and fetch all taps with ONE gather — bit-identical.
-        # RENDERER_PCF_GROUP=n packs n consecutive x-texels per row
-        # (n*9-lane rows) with an in-register sub-row select. Isolated
-        # r3 gather probes favored wide rows, but in-frame A/B measured
-        # no change (the lookup cost is not the gather) — default stays
-        # 1 (bit-identical layout); the knob remains for future tuning.
+        # RENDERER_PCF_GROUP=n additionally packs n consecutive x-texels per
+        # table row (n*9-lane rows) with an in-register sub-row select:
+        # r3 calibration showed 2M-pixel gather cost is TABLE-SIZE-bound
+        # (1M-row tables ~11 ms, <=256k-row tables ~1.5 ms at any width),
+        # so grouping a 1024^2 map into 1024*(1024/8) rows takes the PCF
+        # fetch off the gather cliff. Default 8; =1 restores the flat map.
         padded = jnp.pad(shadow_map, 1, mode="edge")
         window = jnp.stack(
             [
@@ -129,7 +131,7 @@ def calculate_shadow(
         iy = jnp.clip(jnp.floor(uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
         import os as _os
 
-        group = int(_os.environ.get("RENDERER_PCF_GROUP", "1"))
+        group = int(_os.environ.get("RENDERER_PCF_GROUP", "8"))
         if w % max(group, 1) != 0:
             group = 1
         if group > 1:
@@ -138,6 +140,8 @@ def calculate_shadow(
             row_id = iy * (w // group) + ix // group
             sub = ix % group
             wide = flat[row_id]  # [..., group*9] — the one (wide) gather
+            # barrier: stop XLA re-fusing the gather into each select below
+            (wide,) = jax.lax.optimization_barrier((wide,))
             taps = jnp.zeros(wide.shape[:-1] + (9,), wide.dtype)
             for k in range(group):
                 taps = jnp.where(

@@ -260,6 +260,8 @@ def _shade_pixels(
     fused_material_constants: tuple | None = None,
     sky_dirs: jnp.ndarray | None = None,
     fused_mid: bool = False,
+    mat_id_img: jnp.ndarray | None = None,
+    wp_from_depth: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     """The fragment stage over the visibility buffer. Returns (linear HDR
     [H,W,4], sky_rgb or None); misses contain garbage in the color — the
@@ -280,15 +282,59 @@ def _shade_pixels(
         if layout.texture_slots[1]:
             packed.append(vs.world_tangent)
         varying = interpolate(vis, tris, jnp.concatenate(packed, axis=-1), bary3)
-    world_pos = varying[..., 0:3]
-    normal = normalize(varying[..., 3:6])
-    # uv lanes at 6:8 exist only when a sampler reads them (untextured
-    # fused varyings pack just wp+normal before the material lanes)
-    uv = varying[..., 6:8] if layout.has_textures else None
+    if wp_from_depth:
+        # world_pos rode no varying lanes: reconstruct it from the depth
+        # buffer by unprojecting the pixel center through
+        # inv(view_projection) — exactly the interpolated value up to fp
+        # rounding (depth is ndc z; sx = (ndc_x*0.5+0.5)*W per
+        # ops/raster.setup_triangles). The classic deferred-shading
+        # position reconstruction; saves 3 raster payload lanes.
+        h_, w_ = vis.depth.shape
+        xs = ((jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 1) + 0.5)
+              / w_) * 2.0 - 1.0
+        ys = ((jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 0) + 0.5)
+              / h_) * 2.0 - 1.0
+        inv_vp = jnp.linalg.inv(scene.camera.view_projection)
+        wh = (
+            xs[..., None] * inv_vp[:, 0]
+            + ys[..., None] * inv_vp[:, 1]
+            + vis.depth[..., None] * inv_vp[:, 2]
+            + inv_vp[:, 3]
+        )  # [H,W,4]
+        world_pos = wh[..., :3] / jnp.where(
+            wh[..., 3:4] == 0.0, 1.0, wh[..., 3:4]
+        )
+        voff = 0
+    else:
+        world_pos = varying[..., 0:3]
+        voff = 3
+    normal = normalize(varying[..., voff : voff + 3])
+    # uv lanes exist only when a sampler reads them (untextured fused
+    # varyings pack just [wp+]normal before the material lanes)
+    uv = varying[..., voff + 3 : voff + 5] if layout.has_textures else None
+    tan_lo, tan_hi = voff + 5, voff + 9  # tangent frame slice (if bound)
 
     tid = jnp.maximum(vis.tri_id, 0)
     mats = scene.materials
-    if fused_materials and fused_material_constants is not None:
+    if mat_id_img is not None:
+        # materials rode the id payload (source_tri | mat_id << bits): the
+        # [M,11] bank re-expands per-pixel with a one-hot MXU matmul —
+        # no raster lanes, no narrow per-pixel gather (r3: a 2M-pixel
+        # gather is table-size-bound; the one-hot dot is ~free for M<=64)
+        bank = _material_bank(mats)  # [M,11]
+        n_mats_ = int(bank.shape[0])
+        oh = (
+            mat_id_img[..., None]
+            == jnp.arange(n_mats_, dtype=jnp.int32)
+        ).astype(jnp.float32)  # [H,W,M]
+        mat_px = oh @ bank  # [H,W,11]
+        base_color = mat_px[..., 0:4]
+        metallic = mat_px[..., 4]
+        roughness = mat_px[..., 5]
+        ao = mat_px[..., 6]
+        emissive = mat_px[..., 7:10]
+        ns_col = mat_px[..., 10:11]
+    elif fused_materials and fused_material_constants is not None:
         # compressed bank: only per-material-VARYING columns rode kernel
         # lanes; scene-constant columns rebuild as broadcast scalars
         # (layout.material_constants — static, exact)
@@ -348,7 +394,10 @@ def _shade_pixels(
         for slot in used:
             pos[slot] = c13
             c13 += len(_SLOT_CHANNELS[slot])
-        if fused_mid:
+        if mat_id_img is not None:
+            # [M]-table gather (tiny table — near-free on TPU)
+            mid = tex.mat_set[mat_id_img]
+        elif fused_mid:
             mid = varying[..., -1].astype(jnp.int32)
         else:
             mid = tex.mat_set[scene.tri_material][tid]  # [H,W] set id
@@ -366,7 +415,7 @@ def _shade_pixels(
             base_color = base_color * samp[..., pos[0] : pos[0] + 4]
         if 1 in pos:
             # TBN normal mapping (model_pbr.hlsl:168-197); packed XYZ only
-            t4 = varying[..., 8:12]
+            t4 = varying[..., tan_lo:tan_hi]
             t3 = normalize(t4[..., :3])
             b3 = jnp.cross(normal, t3) * t4[..., 3:4]
             n_ts = samp[..., pos[1] : pos[1] + 3] * 2.0 - 1.0
@@ -401,7 +450,9 @@ def _shade_pixels(
         used = [i for i, u in enumerate(layout.texture_slots) if u]
         c_all = 4 * len(used)
         pos = {slot: 4 * k for k, slot in enumerate(used)}
-        if fused_mid:
+        if mat_id_img is not None:
+            mid = tex.mat_set[mat_id_img]
+        elif fused_mid:
             # the texture-set id rode the raster kernel's flat lanes
             # (last channel) — zero per-pixel gathers to resolve it
             mid = varying[..., -1].astype(jnp.int32)
@@ -428,7 +479,7 @@ def _shade_pixels(
             nrm_s = samp[..., pos[1] : pos[1] + 4]
             # TBN normal mapping (model_pbr.hlsl:168-197); the neutral
             # window decodes to (0,0,1) -> reproduces the geometric normal
-            t4 = varying[..., 8:12]
+            t4 = varying[..., tan_lo:tan_hi]
             t3 = normalize(t4[..., :3])
             b3 = jnp.cross(normal, t3) * t4[..., 3:4]
             n_ts = nrm_s[..., :3] * 2.0 - 1.0
@@ -451,7 +502,10 @@ def _shade_pixels(
             sample_array_textured_atlas,
         )
 
-        tex_ids = mats.tex_ids[scene.tri_material][tid]  # [H,W,5]
+        if mat_id_img is not None:
+            tex_ids = mats.tex_ids[mat_id_img]  # [M,5] table — near-free
+        else:
+            tex_ids = mats.tex_ids[scene.tri_material][tid]  # [H,W,5]
         tex = scene.textures
         mips = tex.mips
 
@@ -486,7 +540,7 @@ def _shade_pixels(
         if layout.texture_slots[1]:
             nrm_s, nrm_has = fetch(1)
             # TBN normal mapping (model_pbr.hlsl:168-197)
-            t4 = varying[..., 8:12]
+            t4 = varying[..., tan_lo:tan_hi]
             t3 = normalize(t4[..., :3])
             b3 = jnp.cross(normal, t3) * t4[..., 3:4]  # bitangent w/ handedness
             n_ts = nrm_s[..., :3] * 2.0 - 1.0
@@ -1042,6 +1096,8 @@ def forward_frame(
     ids_are_source = False
     fused_materials = False
     shade_fused_mid = False
+    shade_mat_id_img = None
+    shade_wp_recon = False
     if peel:
         vis, varying_img, ids_are_source = _alpha_peeled_raster(
             scene, layout, setup, clip_src, clip_bary, vs, height, width,
@@ -1058,7 +1114,37 @@ def forward_frame(
         # the per-pixel attribute gathers and the perspective_bary pass.
         from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
 
-        packed = [vs.world_pos, vs.world_normal]
+        # Per-pixel payload diet (r3 measured: each in-kernel varying lane
+        # costs ~1.9 ms of masked chunk reductions at 1080p/97k, and the
+        # deferred winner-row gather ~0.5 ms/lane of gather width — so
+        # every lane removed is won twice):
+        #   - world_pos COULD be reconstructed from depth
+        #     (inv(view_projection) unproject; RENDERER_WP_RECON=1), but
+        #     measured UNUSABLE in f32 on the flagship scene: the
+        #     perspective inverse is ill-conditioned and the cancellation
+        #     noise in reconstructed positions glitters the speculars and
+        #     shifts shadow lookups (TPU A/B r3: mean|HDR| 0.448 vs 0.556).
+        #     Default OFF — the 3 lanes ride the deferred winner-row
+        #     gather, which the optimization barrier made ~free.
+        #   - material parameters ride NO lanes at all when the id payload
+        #     can pack (source_tri, material_id) into its 24 exact f32 bits:
+        #     the shade stage re-expands them with a one-hot [H*W, M] @
+        #     [M, 12] matmul (MXU — ~free vs either the r2 flat lanes or a
+        #     narrow per-pixel bank gather). RENDERER_FLAT_MATS=1 forces
+        #     the r2 flat-lane scheme for A/B.
+        import os as _os_fm
+
+        flat_mats = _os_fm.environ.get("RENDERER_FLAT_MATS", "0") != "0"
+        wp_recon = _os_fm.environ.get("RENDERER_WP_RECON", "0") == "1"
+        n_mats = int(scene.materials.metallic.shape[0])
+        src_bits = max(1, (layout.num_triangles - 1).bit_length())
+        mat_bits = max(1, (n_mats - 1).bit_length())
+        pack_ok = (not flat_mats) and (src_bits + mat_bits <= 24)
+
+        packed = []
+        if not wp_recon:
+            packed.append(vs.world_pos)
+        packed.append(vs.world_normal)
         if layout.has_textures:
             # uv (and tangent) lanes only when a sampler will read them
             packed.append(scene.uvs)
@@ -1067,25 +1153,19 @@ def forward_frame(
         attr = jnp.concatenate(packed, axis=-1)  # [V,K]
         tri_attr_src = attr[scene.tris]  # [T,3,K] — composition with the
         # clip frame happens per column inside the kernel prep (vary_bary).
-        # Material parameters: r2 shipped them as flat (per-triangle
-        # constant) kernel channels (masked chunk-sums). r3 remeasured with
-        # cache-proof timers: each flat lane costs kernel vector work + a
-        # stitch channel, while the deferred alternative — tid ->
-        # tri_material -> bank row — is a chain of SMALL-table gathers
-        # (97k/10 rows). r3's cache-proof gather probes showed NARROW-row
-        # gathers pay ~10 ms per full-frame lookup regardless of table
-        # size (wide >=72-lane rows are near-free), so the flat-lane
-        # scheme stays the default; RENDERER_FLAT_MATS=0 switches to the
-        # deferred bank gather for A/B.
-        import os as _os_fm
-
-        flat_mats = _os_fm.environ.get("RENDERER_FLAT_MATS", "1") != "0"
         fused_mid = False
         mat_flat = None
-        if flat_mats:
-            # Columns constant across the whole scene
-            # (layout.material_constants) skip their lane entirely and
-            # rebuild as broadcast scalars.
+        if pack_ok:
+            # id payload = source_tri | material_id << src_bits (exact:
+            # src_bits + mat_bits <= 24); unpacked right after the raster
+            ids_payload = clip_src | (
+                scene.tri_material[clip_src] << src_bits
+            )
+        else:
+            ids_payload = clip_src
+            # r2 flat-lane fallback: per-material-VARYING columns ride the
+            # kernel's flat channels; scene-constant columns
+            # (layout.material_constants) rebuild as broadcast scalars.
             mat_full = _material_bank(scene.materials)[scene.tri_material]
             var_cols = [
                 k for k in range(11) if layout.material_constants[k] is None
@@ -1116,7 +1196,7 @@ def forward_frame(
             vary_src=clip_src,
             vary_bary=clip_bary,
             flat_varyings=mat_flat,
-            ids=clip_src,  # kernel writes SOURCE ids: no clip_src[slot] gather
+            ids=ids_payload,  # kernel writes SOURCE (packed) ids directly
             skip_bary=True,  # fused consumers never read vis.bary
             small_limit=bin_small_limit,
             # deferred attribute resolve (see rasterize_binned_pallas):
@@ -1125,12 +1205,28 @@ def forward_frame(
             # RENDERER_DEFER_VARY=0 restores the in-kernel lanes for A/B.
             defer_varyings=_os_fm.environ.get("RENDERER_DEFER_VARY", "1") != "0",
         )
+        if pack_ok:
+            # unpack (source_tri, material_id) from the winner payload
+            mat_id_img = jnp.where(
+                vis.tri_id >= 0, vis.tri_id >> src_bits, 0
+            )
+            vis = vis.replace(
+                tri_id=jnp.where(
+                    vis.tri_id >= 0,
+                    vis.tri_id & ((1 << src_bits) - 1),
+                    vis.tri_id,
+                )
+            )
+        else:
+            mat_id_img = None
         out_h = height
         y_offset = 0
         bary3 = None  # unused: varyings are already interpolated
         ids_are_source = True
-        fused_materials = flat_mats
+        fused_materials = not pack_ok
         shade_fused_mid = fused_mid
+        shade_mat_id_img = mat_id_img
+        shade_wp_recon = wp_recon
     elif stencil is not None:
         # stencil test/update state machine (scan path; ≙ the
         # StencilAttachment dynamic-rendering config, rendering.rs:537-648)
@@ -1238,6 +1334,8 @@ def forward_frame(
         ),
         sky_dirs=sky_dirs,
         fused_mid=(fuse and not peel and shade_fused_mid),
+        mat_id_img=shade_mat_id_img,
+        wp_from_depth=shade_wp_recon and fuse and not peel,
     )
 
     bg = jnp.broadcast_to(
