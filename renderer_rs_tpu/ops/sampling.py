@@ -730,27 +730,27 @@ def cube_trilinear_fetch(
     bot = t01 * (1 - fx) + t11 * fx
     f_lo = top * (1 - fy) + bot * fy
 
-    # parent (hi level) bilinear from the stored 3x3 — same arithmetic as
-    # _cube_atlas_fetch at level+1 (footprint values prepared per branch)
-    def ptap(r_off, c_off):
-        # select p[jy+r_off][jx+c_off] from the row-major 3x3
-        out = 0.0
-        for r in range(3):
-            for cc in range(3):
-                sel = ((jy + r_off) == r) & ((jx + c_off) == cc)
-                lane0 = 4 * c + (r * 3 + cc) * c
-                out = out + jnp.where(
-                    sel[..., None], taps[..., lane0 : lane0 + c], 0.0
-                )
-        return out
-
-    p00 = ptap(0, 0)
-    p10 = ptap(0, 1)
-    p01 = ptap(1, 0)
-    p11 = ptap(1, 1)
-    ptop = p00 * (1 - fxh) + p10 * fxh
-    pbot = p01 * (1 - fxh) + p11 * fxh
-    f_hi = ptop * (1 - fyh) + pbot * fyh
+    # parent (hi level) bilinear from the stored 3x3. The bilinear weight of
+    # stored cell (r, cc) is SEPARABLE: wy_r * wx_cc with
+    #   wy_r = (1-fyh) if r == jy else fyh if r == jy+1 else 0   (wx alike)
+    # so instead of selecting 4 taps out of 9 (36 masked lane-offset slices
+    # — each slice of the gathered rows is a relayout pass) the parent term
+    # is one fused weighted sum over the 9 stored c-lane blocks.
+    fyh1 = fyh[..., 0] if fyh.ndim > jy.ndim else fyh
+    fxh1 = fxh[..., 0] if fxh.ndim > jx.ndim else fxh
+    wy = [
+        jnp.where(jy == r, 1.0 - fyh1, jnp.where(jy + 1 == r, fyh1, 0.0))
+        for r in range(3)
+    ]
+    wx = [
+        jnp.where(jx == cc, 1.0 - fxh1, jnp.where(jx + 1 == cc, fxh1, 0.0))
+        for cc in range(3)
+    ]
+    f_hi = 0.0
+    for r in range(3):
+        for cc in range(3):
+            lane0 = 4 * c + (r * 3 + cc) * c
+            f_hi = f_hi + (wy[r] * wx[cc])[..., None] * taps[..., lane0 : lane0 + c]
 
     fr = frac[..., None] if frac.ndim < f_lo.ndim else frac
     return f_lo * (1.0 - fr) + f_hi * fr

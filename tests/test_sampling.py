@@ -195,9 +195,12 @@ def test_array_atlas_matches_per_level_sampler():
 
 
 def test_cube_trilinear_single_gather_matches_pair():
-    """cube_trilinear_fetch (ONE gather: child 2x2 + parent 3x3 rows) is
-    bit-identical to the lo/hi _cube_atlas_fetch pair across levels, faces,
-    edges, and the frac==0 tail/sky rows."""
+    """cube_trilinear_fetch (ONE gather: child 2x2 + parent 3x3 rows)
+    matches the lo/hi _cube_atlas_fetch pair across levels, faces, edges,
+    and the frac==0 tail/sky rows. The parent term evaluates the same
+    bilinear as a separable weighted sum over the stored 3x3 (fewer
+    relayout passes), so agreement is to fp association (~1 ulp), not
+    bit-exact."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -246,7 +249,7 @@ def test_cube_trilinear_single_gather_matches_pair():
     ref = f_lo * (1.0 - frac[..., None]) + f_hi * frac[..., None]
 
     got = cube_trilinear_fetch(atlas13, offsets, sizes, lo_l, frac, face, uv, 3)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
 
 def test_material_atlas_tri_matches_two_gather():
