@@ -58,11 +58,23 @@ def _project(m: jnp.ndarray, p: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.stack([u, v], axis=-1), ndc[..., 2]
 
 
+def _pcf_group(s: int) -> int:
+    """x-texels packed per window-table row (ops/shadow.py rationale: 2M-
+    pixel gather cost is table-size-bound; grouping 8 keeps 1024^2-class
+    maps under the ~256k-row gather cliff)."""
+    import os
+
+    group = int(os.environ.get("RENDERER_PCF_GROUP", "8"))
+    return group if group > 1 and s % group == 0 else 1
+
+
 def _cascade_pcf_window(shadow_maps: jnp.ndarray) -> jnp.ndarray:
-    """Pre-shift the [C,S,S] cascade array into a flat [C*S*S, 9] edge-
-    clamped 3x3 window table so a pixel's full PCF footprint is ONE row
-    gather (the trick proven on the single-map path, ops/shadow.py:108-126;
-    bit-identical because floor(u*S + d) == floor(u*S) + d for integer d)."""
+    """Pre-shift the [C,S,S] cascade array into a flat edge-clamped 3x3
+    window table so a pixel's full PCF footprint is ONE row gather (the
+    trick proven on the single-map path, ops/shadow.py:108-126;
+    bit-identical because floor(u*S + d) == floor(u*S) + d for integer d).
+    Rows pack `group` consecutive x-texels ([C*S*S/g, g*9]) to stay under
+    the gather cliff; the fetch masks the sub-row block."""
     c, s, _ = shadow_maps.shape
     padded = jnp.pad(shadow_maps, ((0, 0), (1, 1), (1, 1)), mode="edge")
     window = jnp.stack(
@@ -73,7 +85,8 @@ def _cascade_pcf_window(shadow_maps: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )  # [C,S,S,9]
-    return window.reshape(c * s * s, 9)
+    g = _pcf_group(s)
+    return window.reshape(c * s * (s // g), g * 9)
 
 
 def sample_cascade_pcf(
@@ -119,12 +132,23 @@ def sample_cascade_pcf(
         # 3x3 neighborhood, so the window row IS the PCF footprint — same
         # math as the reference's 9 SampleCmp taps, shadow_csm.hlsli:122-138)
         window = pcf_window if pcf_window is not None else _cascade_pcf_window(shadow_maps)
-        rows = (cascade_index * s + iy) * s + ix
-        # barrier: materialize the tap rows once (see ops/sampling._once)
-        taps = jax.lax.optimization_barrier((window[rows],))[0]  # [...,9]
-        shadow = jnp.mean(
-            jnp.where(taps >= current[..., None], 1.0, 0.0), axis=-1
-        )
+        g = _pcf_group(s)
+        rows = (cascade_index * s + iy) * (s // g) + ix // g
+        wide = window[rows]  # [..., g*9] — the one (wide) gather
+        if g > 1:
+            # compare all lanes, mask the pixel's sub-row block, reduce once
+            # (ops/shadow.py rationale: per-k lane slices relayout per slice)
+            sub = ix % g
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (1,) * (wide.ndim - 1) + (g * 9,), wide.ndim - 1
+            )
+            sel = (lane // 9) == sub[..., None]
+            cmp = (wide >= current[..., None]) & sel
+            shadow = jnp.sum(cmp.astype(jnp.float32), axis=-1) * (1.0 / 9.0)
+        else:
+            shadow = jnp.mean(
+                jnp.where(wide >= current[..., None], 1.0, 0.0), axis=-1
+            )
     else:
         stored = shadow_maps[cascade_index, iy, ix]
         shadow = jnp.where(stored >= current, 1.0, 0.0)
