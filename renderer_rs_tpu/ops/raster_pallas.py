@@ -817,12 +817,39 @@ def rasterize_binned_pallas(
         aw0 = (wb0 * inv_d)[..., None]
         aw1 = (wb1 * inv_d)[..., None]
         aw2 = (wb2 * inv_d)[..., None]
-        # vertex-major K-block table order (see the packing above): the
-        # blend is 3 block slices + one fused FMA over all K channels
-        va_ = rows[..., 3 : 3 + n_vary]
-        vb_ = rows[..., 3 + n_vary : 3 + 2 * n_vary]
-        vc_ = rows[..., 3 + 2 * n_vary : 3 + 3 * n_vary]
-        vary_img = aw0 * va_ + aw1 * vb_ + aw2 * vc_  # [H,W,K]
+        import os as _os_dm
+
+        if _os_dm.environ.get("RENDERER_DEFER_MATMUL", "0") == "1":
+            # Slice-free blend: mask each lane with its vertex-block weight
+            # (one elementwise pass — no lane-offset slices, each of which
+            # relayouts the [H,W,width_c] rows), then fold the three blocks
+            # with a constant 0/1 selection matmul on the MXU. Same f32
+            # formula per channel (3 products + 2 adds); precision=HIGHEST
+            # keeps f32-accurate accumulation.
+            import numpy as _np_dm
+
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, rows.shape[-1]), 2
+            )
+            in_vary = (lane >= 3) & (lane < 3 + 3 * n_vary)
+            blk = (lane - 3) // max(n_vary, 1)
+            wvec = jnp.where(blk == 0, aw0, jnp.where(blk == 1, aw1, aw2))
+            weighted = rows * jnp.where(in_vary, wvec, 0.0)
+            sel = _np_dm.zeros((rows.shape[-1], n_vary), _np_dm.float32)
+            for i in range(3):
+                for k in range(n_vary):
+                    sel[3 + i * n_vary + k, k] = 1.0
+            vary_img = jnp.einsum(
+                "hwc,ck->hwk", weighted, jnp.asarray(sel),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            # vertex-major K-block table order (see the packing above): the
+            # blend is 3 block slices + one fused FMA over all K channels
+            va_ = rows[..., 3 : 3 + n_vary]
+            vb_ = rows[..., 3 + n_vary : 3 + 2 * n_vary]
+            vc_ = rows[..., 3 + 2 * n_vary : 3 + 3 * n_vary]
+            vary_img = aw0 * va_ + aw1 * vb_ + aw2 * vc_  # [H,W,K]
         off = 3 + 3 * n_vary
         if n_flat:
             vary_img = jnp.concatenate(

@@ -231,3 +231,27 @@ def test_full_scene_ibl_plus_csm():
     )
     assert np.isfinite(out).all()
     assert out[..., :3].std() > 0.05  # an actual image, not a constant
+
+
+def test_csm_pcf_group_bit_identical(monkeypatch):
+    """The grouped PCF window table (RENDERER_PCF_GROUP=8, the default for
+    group-divisible map sizes) must be bit-identical to the ungrouped
+    per-texel table — the mask-reduce only ever adds zeros."""
+    rng = np.random.default_rng(5)
+    s = 32
+    maps = jnp.asarray(rng.random((CASCADE_COUNT, s, s), dtype=np.float32))
+    ident = jnp.broadcast_to(jnp.eye(4), (CASCADE_COUNT, 4, 4))
+    splits = jnp.array([0.25, 0.5, 0.75, 1.0])
+    n_pts = 257
+    pos = jnp.asarray(rng.uniform(-0.99, 0.99, (n_pts, 3)).astype(np.float32))
+    n = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (n_pts, 3))
+    depth = jnp.asarray(rng.random(n_pts, dtype=np.float32))
+    params = CSMParams(pcf=True)
+
+    outs = {}
+    for group in ("1", "8"):
+        monkeypatch.setenv("RENDERER_PCF_GROUP", group)
+        outs[group] = np.asarray(
+            calculate_shadow_csm(maps, ident, splits, pos, n, n, depth, params)
+        )
+    np.testing.assert_array_equal(outs["1"], outs["8"])
