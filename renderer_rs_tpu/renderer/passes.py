@@ -316,6 +316,7 @@ def _shade_pixels(
 
     tid = jnp.maximum(vis.tri_id, 0)
     mats = scene.materials
+    mid_from_oh = None  # set by the mat_id_img one-hot path below
     if mat_id_img is not None:
         # materials rode the id payload (source_tri | mat_id << bits): the
         # [M,11] bank re-expands per-pixel with a one-hot MXU matmul —
@@ -327,7 +328,24 @@ def _shade_pixels(
             mat_id_img[..., None]
             == jnp.arange(n_mats_, dtype=jnp.int32)
         ).astype(jnp.float32)  # [H,W,M]
-        mat_px = oh @ bank  # [H,W,11]
+        if (
+            layout.has_textures
+            and scene.textures is not None
+            and scene.textures.mat_set is not None
+        ):
+            # texture-set id rides the SAME one-hot matmul as a 12th bank
+            # column (exact: one 1.0 per row, ids < 2^24) — kills the
+            # 2M-pixel mat_set[mat_id] table gather in the sampler branches
+            bank = jnp.concatenate(
+                [bank, scene.textures.mat_set.astype(jnp.float32)[:, None]],
+                axis=-1,
+            )
+        mat_px = oh @ bank  # [H,W,11(+1)]
+        mid_from_oh = (
+            mat_px[..., 11].astype(jnp.int32)
+            if bank.shape[-1] == 12
+            else None
+        )
         base_color = mat_px[..., 0:4]
         metallic = mat_px[..., 4]
         roughness = mat_px[..., 5]
@@ -395,8 +413,8 @@ def _shade_pixels(
             pos[slot] = c13
             c13 += len(_SLOT_CHANNELS[slot])
         if mat_id_img is not None:
-            # [M]-table gather (tiny table — near-free on TPU)
-            mid = tex.mat_set[mat_id_img]
+            # set id came out of the one-hot bank matmul above (no gather)
+            mid = mid_from_oh if mid_from_oh is not None else tex.mat_set[mat_id_img]
         elif fused_mid:
             mid = varying[..., -1].astype(jnp.int32)
         else:
@@ -451,7 +469,7 @@ def _shade_pixels(
         c_all = 4 * len(used)
         pos = {slot: 4 * k for k, slot in enumerate(used)}
         if mat_id_img is not None:
-            mid = tex.mat_set[mat_id_img]
+            mid = mid_from_oh if mid_from_oh is not None else tex.mat_set[mat_id_img]
         elif fused_mid:
             # the texture-set id rode the raster kernel's flat lanes
             # (last channel) — zero per-pixel gathers to resolve it
