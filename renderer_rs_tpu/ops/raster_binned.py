@@ -17,10 +17,11 @@ Semantics vs raster.py (the exactness reference):
 - Identical coverage (same canonical edge functions / top-left rule, same
   pixel centers — computed in GLOBAL screen coordinates so e-values are
   bit-identical to the scan path).
-- Depth winners identical for LESS/GREATER (argmin/argmax break ties by
-  first-in-submission-order, which matches sequential semantics). For
-  LESS_OR_EQUAL/GREATER_OR_EQUAL, equal-depth ties resolve to the FIRST
-  submitted fragment rather than the last — the only deviation.
+- Depth winners identical for ALL supported compare ops: equal-depth ties
+  break to the first-submitted fragment under strict compares (a later
+  equal fragment fails `<`) and to the last-submitted under
+  LESS_OR_EQUAL/GREATER_OR_EQUAL (it re-passes `<=` and overwrites),
+  exactly as the sequential scan semantics / Vulkan prescribe.
 - EQUAL/NOT_EQUAL/NEVER and blending pipelines fall back to the scan path
   (renderer/passes.py chooses).
 
@@ -540,16 +541,26 @@ def rasterize_binned(
             cov, zc, b0, b1 = _chunk_coverage(c_xy, c_z, c_valid, c_s, c_inv, px, py)
             cov = cov & (zc > zf_t[None])
             # order-aware reduce within chunk, gather-free: pick the best
-            # depth by axis-0 min/max, break ties to the LOWEST candidate
-            # slot (submission order), then select that winner's values via
-            # masked sums — pure VPU reduces on [C,TH,TW].
+            # depth by axis-0 min/max, break equal-depth ties in SUBMISSION
+            # semantics (candidates are id-ascending): strict compares keep
+            # the FIRST winner (a later equal fragment fails `<`), while
+            # equality-passing compares keep the LAST (it re-passes `<=` and
+            # overwrites) — matching the sequential scan oracle / Vulkan.
+            # Then select that winner's values via masked sums — pure VPU
+            # reduces on [C,TH,TW].
             big = _INF if not greater else -_INF
             key = jnp.where(cov, zc, big)
             z_best = jnp.max(key, axis=0) if greater else jnp.min(key, axis=0)
             cov_best = jnp.any(cov & (zc == z_best[None]), axis=0)
             slot = jax.lax.broadcasted_iota(jnp.int32, cov.shape, 0)
             winners = cov & (zc == z_best[None])
-            slot_best = jnp.min(jnp.where(winners, slot, chunk), axis=0)
+            if pipeline.depth_compare_op in (
+                CompareOp.LESS_OR_EQUAL,
+                CompareOp.GREATER_OR_EQUAL,
+            ):
+                slot_best = jnp.max(jnp.where(winners, slot, -1), axis=0)
+            else:
+                slot_best = jnp.min(jnp.where(winners, slot, chunk), axis=0)
             unique = winners & (slot == slot_best[None])
             uf = unique.astype(zc.dtype)
             b0_best = jnp.sum(b0 * uf, axis=0)

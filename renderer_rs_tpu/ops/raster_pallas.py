@@ -185,7 +185,10 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, 
             # (register-resident); output refs are written ONCE per sub-bin
             # after the loop. Read-modify-writing ref subviews inside the
             # loop measured ~13x slower (Mosaic round-trips the view).
-            def body(j, carry, base=base, n_chunks=n_chunks, py=py, zf_q=zf_q):
+            def body(
+                j, carry, base=base, n_chunks=n_chunks, py=py, zf_q=zf_q,
+                seg0=seg0, seg1=seg1,
+            ):
                 slot = jax.lax.rem(j, 2)
                 # prefetch the next slab while this one computes
                 @pl.when(j + 1 < n_chunks)
@@ -229,6 +232,21 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, 
                 # no explicit count mask: rows past the bin's count hold the
                 # all-zero pad row (valid=0), so coverage is already false
 
+                if not depth_only:
+                    # Exact-segment mask: the aligned DMA window carries up
+                    # to 7 leading rows of the PREVIOUS bin's segment and a
+                    # tail overrun into the NEXT. Coverage culls foreign
+                    # non-covering rows and covering ones are duplicates of
+                    # in-segment rows — fine for depth — but they break the
+                    # ROW-ORDER tie-break (a duplicate twin in the next
+                    # segment sits at a higher row than this bin's last
+                    # candidate). Masking to [seg0, seg1) restores exact
+                    # id-ascending candidate order; depth-only skips it
+                    # (equal-z duplicates are idempotent under min/max).
+                    slot_rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                    lo = seg0 - (base + j * chunk)
+                    hi = seg1 - (base + j * chunk)
+                    cov = cov & (slot_rows >= lo) & (slot_rows < hi)
                 key = jnp.where(cov, zc, big)
                 z_best = jnp.max(key, axis=0) if greater else jnp.min(key, axis=0)
                 if depth_only:
@@ -243,7 +261,14 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, 
                 winners = cov & (zc == z_best[None])
                 cov_best = jnp.any(winners, axis=0)
                 slot_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-                slot_best = jnp.min(jnp.where(winners, slot_i, chunk), axis=0)
+                # equal-depth tie order matches the scan oracle / Vulkan:
+                # strict compares keep the FIRST submitted winner, equality-
+                # passing compares the LAST (candidates are id-ascending;
+                # duplicate segment rows are idempotent under either pick)
+                if op in (CompareOp.LESS_OR_EQUAL, CompareOp.GREATER_OR_EQUAL):
+                    slot_best = jnp.max(jnp.where(winners, slot_i, -1), axis=0)
+                else:
+                    slot_best = jnp.min(jnp.where(winners, slot_i, chunk), axis=0)
                 unique = winners & (slot_i == slot_best[None])
                 uf = unique.astype(jnp.float32)
                 if not skip_bary:

@@ -253,3 +253,30 @@ def test_compact_binning_matches_dense_membership():
         got = st[seg[b] : seg[b + 1]]
         want = td[b][: cd[b]]
         np.testing.assert_array_equal(got, want, err_msg=f"bin {b}")
+
+def test_binned_le_ties_resolve_last_submitted():
+    """Equal-depth LESS_OR_EQUAL ties pick the LAST submitted fragment
+    (Vulkan: an equal fragment re-passes `<=` and overwrites), matching the
+    scan oracle bit-for-bit. Duplicated triangles tie at every covered
+    pixel, so every winner must be the second copy."""
+    pipe = (
+        GraphicsPipelineBuilder()
+        .cull_mode(CullMode.NONE)
+        .depth_compare_op(CompareOp.LESS_OR_EQUAL)
+        .build()
+    )
+    clip, tris = _random_scene(30, seed=11)
+    tris2 = jnp.concatenate([tris, tris], axis=0)  # exact coplanar twins
+    h, w = 96, 160
+    setup = setup_triangles(gather_triangle_clip(clip, tris2), w, h, pipe)
+    vis_scan = rasterize(setup, h, w, pipe)
+    vis_bin = rasterize_binned(setup, h, w, pipe)
+    np.testing.assert_array_equal(
+        np.asarray(vis_scan.tri_id), np.asarray(vis_bin.tri_id)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vis_scan.depth), np.asarray(vis_bin.depth)
+    )
+    ids = np.asarray(vis_bin.tri_id)
+    assert ids.max() >= 30
+    assert (ids[ids >= 0] >= 30).all()

@@ -19,7 +19,11 @@ from renderer_rs_tpu.ops.raster import (
     setup_triangles,
 )
 from renderer_rs_tpu.ops.raster_binned import rasterize_binned
-from renderer_rs_tpu.rhi.pipeline import CullMode, GraphicsPipelineBuilder
+from renderer_rs_tpu.rhi.pipeline import (
+    CompareOp,
+    CullMode,
+    GraphicsPipelineBuilder,
+)
 
 
 @pytest.fixture(autouse=True)
@@ -298,3 +302,29 @@ def test_pallas_defer_varyings_bit_matches_fused():
         np.asarray(vary_f)[cov], np.asarray(vary_d)[cov],
         rtol=4e-6, atol=1e-6,
     )
+
+
+def test_pallas_le_ties_resolve_last_submitted():
+    """LESS_OR_EQUAL equal-depth ties pick the LAST submitted fragment in
+    the Pallas kernel too (scan/binned/pallas stay bit-identical)."""
+    pipe = (
+        GraphicsPipelineBuilder()
+        .cull_mode(CullMode.NONE)
+        .depth_compare_op(CompareOp.LESS_OR_EQUAL)
+        .build()
+    )
+    clip, tris = _scene(24, seed=9)
+    tris2 = jnp.concatenate([tris, tris], axis=0)  # exact coplanar twins
+    h, w = 64, 128
+    setup = setup_triangles(gather_triangle_clip(clip, tris2), w, h, pipe)
+    vis_scan = rasterize(setup, h, w, pipe)
+    vp = rp.rasterize_binned_pallas(setup, h, w, pipe, chunk=16)
+    np.testing.assert_array_equal(
+        np.asarray(vis_scan.tri_id), np.asarray(vp.tri_id)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vis_scan.depth), np.asarray(vp.depth)
+    )
+    ids = np.asarray(vp.tri_id)
+    assert ids.max() >= 24
+    assert (ids[ids >= 0] >= 24).all()
