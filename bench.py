@@ -130,6 +130,24 @@ def main() -> int:
     tf, mf = int(ov_f[0]), int(ov_f[1])
     ts, ms = int(ov_s[0]), int(ov_s[1])
 
+    # peel telemetry (VERDICT r2 item 9): the flagship pipeline binds no
+    # MASK material (alpha_cutoff is None), so the depth-peel path cannot
+    # run and the exhaustion count is structurally 0; when a cutoff IS
+    # configured, measure it from a diagnostics frame.
+    if pipeline.alpha_cutoff is not None:
+        _, diag = jax.jit(
+            lambda s: forward_frame(
+                s, layout_tex, pipeline, kwargs_tex["shading"], width, height,
+                tonemap=kwargs_tex.get("tonemap", "aces"),
+                shadow_map_size=sm,
+                shadow_params=kwargs_tex.get("shadow_params"),
+                diagnostics=True,
+            )
+        )(scene_tex)
+        peel_exhausted = int(diag["peel_exhausted"])
+    else:
+        peel_exhausted = 0
+
     # --- numeric drift guard -----------------------------------------------
     check = float(jnp.mean(jnp.abs(out_tex)))
     ref_path = os.path.join(repo, "bench_ref.json")
@@ -166,6 +184,7 @@ def main() -> int:
                 "shadow_big": ts,
                 "shadow_huge": ms,
             },
+            "peel_exhausted": peel_exhausted,
             "checksum": round(check, 6),
             "checksum_status": checksum_status,
             "device": str(jax.devices()[0]),

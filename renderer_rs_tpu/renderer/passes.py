@@ -888,7 +888,11 @@ def _alpha_peeled_raster(
         tri_id=jnp.where(fail, -1, vis.tri_id),
         depth=jnp.where(fail, 1.0, vis.depth),
     )
-    return vis, vary, ids_are_source
+    # deviation telemetry: pixels whose failing-fragment stack exceeded the
+    # peel budget (forward_frame(diagnostics=True) -> bench.py reports it;
+    # 0 on scenes whose overlap depth of FAILING fragments is < peels)
+    exhausted = jnp.sum(fail.astype(jnp.int32))
+    return vis, vary, ids_are_source, exhausted
 
 
 def forward_frame(
@@ -909,6 +913,7 @@ def forward_frame(
     return_stencil: bool = False,
     rendering=None,
     depth_clear: float = 1.0,
+    diagnostics: bool = False,
 ) -> jnp.ndarray:
     """The full frame: ≙ record_commands + queue_submit fused
     (renderer.rs:452-557). Returns linear [H,W,4] ready for sRGB encode.
@@ -954,6 +959,10 @@ def forward_frame(
             depth_clear = float(rendering.depth.clear_depth)
         rendering = None  # consumed; recursion below forwards the extracts
     if pipeline.msaa_samples > 1:
+        if diagnostics:
+            raise ValueError(
+                "forward_frame(diagnostics=True) does not compose with MSAA"
+            )
         sx, sy = {2: (2, 1), 4: (2, 2), 8: (4, 2)}[pipeline.msaa_samples]
         import dataclasses as _dc
 
@@ -1116,8 +1125,9 @@ def forward_frame(
     shade_fused_mid = False
     shade_mat_id_img = None
     shade_wp_recon = False
+    peel_exhausted = None
     if peel:
-        vis, varying_img, ids_are_source = _alpha_peeled_raster(
+        vis, varying_img, ids_are_source, peel_exhausted = _alpha_peeled_raster(
             scene, layout, setup, clip_src, clip_bary, vs, height, width,
             pipeline, n_raster_tris,
         )
@@ -1386,6 +1396,18 @@ def forward_frame(
         outs = outs + (vis.depth,)
     if return_stencil:
         outs = outs + (stencil_buf,)
+    if diagnostics:
+        # deviation telemetry (VERDICT r2 item 9): scalar counters proving
+        # the documented bounds did not fire this frame
+        outs = outs + (
+            {
+                "peel_exhausted": (
+                    peel_exhausted
+                    if peel_exhausted is not None
+                    else jnp.int32(0)
+                )
+            },
+        )
     return outs if len(outs) > 1 else out
 
 

@@ -35,9 +35,10 @@ def _cutout_texture(size=64):
     return img.astype(np.float32)
 
 
-def _mask_scene(layers=3):
+def _mask_scene(layers=3, dx=0.15):
     """`layers` stacked quads with a cutout texture in front of an opaque
-    floor, viewed down -Z."""
+    floor, viewed down -Z. dx=0 aligns every layer's alpha-0 stripes, so
+    deep failing-fragment stacks are guaranteed (peel-exhaustion probe)."""
     b = SceneBuilder()
     mask_mat = Material(base_color=(1, 1, 1, 1), roughness=0.7, base_color_texture=0)
     for i in range(layers):
@@ -47,7 +48,7 @@ def _mask_scene(layers=3):
         rot = np.asarray(quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), np.pi / 2))
         tr = (
             Transform()
-            .with_position([0.15 * i, 0.1 * i, -0.4 * i])
+            .with_position([dx * i, 0.1 * i, -0.4 * i])
             .with_rotation(rot)
         )
         b.add_mesh(meshgen.plane_mesh(2.0, uv_scale=1.0), tr, mask_mat if i == 0 else 0)
@@ -151,3 +152,23 @@ def test_peeled_pallas_branch_matches_xla_branch(monkeypatch):
     # tolerance, not bit-exactly; only cutoff-boundary texels may flip
     mismatch = np.mean(np.any(np.abs(pallas - xla) > 2e-3, axis=-1))
     assert mismatch < 0.005, f"pallas vs xla peel mismatch frac {mismatch:.4f}"
+
+
+def test_peel_exhaustion_telemetry():
+    """forward_frame(diagnostics=True) counts peel-budget exhaustions: >0
+    when 6 ALIGNED failing layers exceed the 4-peel budget, exactly 0 when
+    the failing-stack depth stays within it (the bench.py telemetry
+    contract, VERDICT r2 item 9)."""
+    pipe = _pipe()
+    scene, layout = _mask_scene(layers=6, dx=0.0)
+    img, diag = forward_frame(
+        scene, layout, pipe, ShadingModel.PBR, W, H, diagnostics=True
+    )
+    assert np.isfinite(np.asarray(img)).all()
+    assert int(diag["peel_exhausted"]) > 0
+
+    scene3, layout3 = _mask_scene(layers=3)
+    _, diag3 = forward_frame(
+        scene3, layout3, pipe, ShadingModel.PBR, W, H, diagnostics=True
+    )
+    assert int(diag3["peel_exhausted"]) == 0
