@@ -261,7 +261,6 @@ def _shade_pixels(
     sky_dirs: jnp.ndarray | None = None,
     fused_mid: bool = False,
     mat_id_img: jnp.ndarray | None = None,
-    wp_from_depth: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     """The fragment stage over the visibility buffer. Returns (linear HDR
     [H,W,4], sky_rgb or None); misses contain garbage in the color — the
@@ -282,32 +281,14 @@ def _shade_pixels(
         if layout.texture_slots[1]:
             packed.append(vs.world_tangent)
         varying = interpolate(vis, tris, jnp.concatenate(packed, axis=-1), bary3)
-    if wp_from_depth:
-        # world_pos rode no varying lanes: reconstruct it from the depth
-        # buffer by unprojecting the pixel center through
-        # inv(view_projection) — exactly the interpolated value up to fp
-        # rounding (depth is ndc z; sx = (ndc_x*0.5+0.5)*W per
-        # ops/raster.setup_triangles). The classic deferred-shading
-        # position reconstruction; saves 3 raster payload lanes.
-        h_, w_ = vis.depth.shape
-        xs = ((jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 1) + 0.5)
-              / w_) * 2.0 - 1.0
-        ys = ((jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 0) + 0.5)
-              / h_) * 2.0 - 1.0
-        inv_vp = jnp.linalg.inv(scene.camera.view_projection)
-        wh = (
-            xs[..., None] * inv_vp[:, 0]
-            + ys[..., None] * inv_vp[:, 1]
-            + vis.depth[..., None] * inv_vp[:, 2]
-            + inv_vp[:, 3]
-        )  # [H,W,4]
-        world_pos = wh[..., :3] / jnp.where(
-            wh[..., 3:4] == 0.0, 1.0, wh[..., 3:4]
-        )
-        voff = 0
-    else:
-        world_pos = varying[..., 0:3]
-        voff = 3
+    # (Deferred-shading world_pos reconstruction from depth — unprojecting
+    # the pixel center through inv(view_projection) to drop 3 raster lanes —
+    # was implemented and A/B-measured on the flagship scene in r3:
+    # UNUSABLE in f32, the ill-conditioned perspective inverse glitters
+    # speculars and shifts shadow lookups; mean|HDR| 0.448 vs 0.556. The
+    # 3 world_pos lanes ride the deferred winner-row gather instead.)
+    world_pos = varying[..., 0:3]
+    voff = 3
     normal = normalize(varying[..., voff : voff + 3])
     # uv lanes exist only when a sampler reads them (untextured fused
     # varyings pack just [wp+]normal before the material lanes)
@@ -1124,7 +1105,6 @@ def forward_frame(
     fused_materials = False
     shade_fused_mid = False
     shade_mat_id_img = None
-    shade_wp_recon = False
     peel_exhausted = None
     if peel:
         vis, varying_img, ids_are_source, peel_exhausted = _alpha_peeled_raster(
@@ -1146,14 +1126,10 @@ def forward_frame(
         # costs ~1.9 ms of masked chunk reductions at 1080p/97k, and the
         # deferred winner-row gather ~0.5 ms/lane of gather width — so
         # every lane removed is won twice):
-        #   - world_pos COULD be reconstructed from depth
-        #     (inv(view_projection) unproject; RENDERER_WP_RECON=1), but
-        #     measured UNUSABLE in f32 on the flagship scene: the
-        #     perspective inverse is ill-conditioned and the cancellation
-        #     noise in reconstructed positions glitters the speculars and
-        #     shifts shadow lookups (TPU A/B r3: mean|HDR| 0.448 vs 0.556).
-        #     Default OFF — the 3 lanes ride the deferred winner-row
-        #     gather, which the optimization barrier made ~free.
+        #   - world_pos reconstruction from depth (dropping its 3 lanes)
+        #     was tried and DELETED: measured unusable in f32 (see the
+        #     _shade_pixels comment) — the lanes ride the deferred
+        #     winner-row gather, which the optimization barrier made ~free.
         #   - material parameters ride NO lanes at all when the id payload
         #     can pack (source_tri, material_id) into its 24 exact f32 bits:
         #     the shade stage re-expands them with a one-hot [H*W, M] @
@@ -1163,16 +1139,12 @@ def forward_frame(
         import os as _os_fm
 
         flat_mats = _os_fm.environ.get("RENDERER_FLAT_MATS", "0") != "0"
-        wp_recon = _os_fm.environ.get("RENDERER_WP_RECON", "0") == "1"
         n_mats = int(scene.materials.metallic.shape[0])
         src_bits = max(1, (layout.num_triangles - 1).bit_length())
         mat_bits = max(1, (n_mats - 1).bit_length())
         pack_ok = (not flat_mats) and (src_bits + mat_bits <= 24)
 
-        packed = []
-        if not wp_recon:
-            packed.append(vs.world_pos)
-        packed.append(vs.world_normal)
+        packed = [vs.world_pos, vs.world_normal]
         if layout.has_textures:
             # uv (and tangent) lanes only when a sampler will read them
             packed.append(scene.uvs)
@@ -1254,7 +1226,6 @@ def forward_frame(
         fused_materials = not pack_ok
         shade_fused_mid = fused_mid
         shade_mat_id_img = mat_id_img
-        shade_wp_recon = wp_recon
     elif stencil is not None:
         # stencil test/update state machine (scan path; ≙ the
         # StencilAttachment dynamic-rendering config, rendering.rs:537-648)
@@ -1363,7 +1334,6 @@ def forward_frame(
         sky_dirs=sky_dirs,
         fused_mid=(fuse and not peel and shade_fused_mid),
         mat_id_img=shade_mat_id_img,
-        wp_from_depth=shade_wp_recon and fuse and not peel,
     )
 
     bg = jnp.broadcast_to(
