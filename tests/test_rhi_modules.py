@@ -3,6 +3,7 @@ mirrors the reference's pure-logic test suites (swapchain choice functions
 swapchain.rs:730-893, shader validation shader.rs:466-525, command state
 machine, descriptor validation)."""
 
+import os
 import struct
 
 import numpy as np
@@ -466,3 +467,16 @@ def test_forward_frame_stencil_wiring():
     bg = out[0, 0]
     lit = np.abs(out - bg).sum(-1) > 1e-5
     np.testing.assert_array_equal(covered, lit)
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/shaders/spirv/triangle.vert.spv"),
+    reason="reference SPIR-V binaries not mounted",
+)
+def test_validate_reference_spirv_binaries():
+    """The reference's checked-in DXC-compiled SPIR-V (loaded by
+    Shader::from_spirv_file, shader.rs:244-257) passes our validation:
+    4-byte aligned, little-endian magic 0x07230203."""
+    for name in ("triangle.vert.spv", "triangle.frag.spv"):
+        with open(f"/root/reference/shaders/spirv/{name}", "rb") as f:
+            data = f.read()
+        assert validate_spirv(data) == "little"
