@@ -328,3 +328,32 @@ def test_pallas_le_ties_resolve_last_submitted():
     ids = np.asarray(vp.tri_id)
     assert ids.max() >= 24
     assert (ids[ids >= 0] >= 24).all()
+
+
+def test_defer_matmul_matches_slice_blend(monkeypatch):
+    """RENDERER_DEFER_MATMUL=1 (lane-masked weighted rows + constant 0/1
+    selection matmul) computes the same per-channel 3-product blend as the
+    default block-slice FMA — required before flipping the default."""
+    clip, tris = _scene(seed=12)
+    rng = np.random.default_rng(3)
+    attr = jnp.asarray(rng.random((clip.shape[0], 8), dtype=np.float32))
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    h, w = 64, 128
+    setup = setup_triangles(gather_triangle_clip(clip, tris), w, h, pipe)
+
+    vis_a, vary_a = rp.rasterize_binned_pallas(
+        setup, h, w, pipe, chunk=16, varyings=attr[tris],
+        skip_bary=True, defer_varyings=True,
+    )
+    monkeypatch.setenv("RENDERER_DEFER_MATMUL", "1")
+    vis_b, vary_b = rp.rasterize_binned_pallas(
+        setup, h, w, pipe, chunk=16, varyings=attr[tris],
+        skip_bary=True, defer_varyings=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vis_a.tri_id), np.asarray(vis_b.tri_id)
+    )
+    cov = np.asarray(vis_a.tri_id) >= 0
+    np.testing.assert_allclose(
+        np.asarray(vary_a)[cov], np.asarray(vary_b)[cov], atol=1e-6, rtol=1e-6
+    )
