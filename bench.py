@@ -41,6 +41,39 @@ def _bench_frame(frame, scene, frames):
     return frames / (time.perf_counter() - t0), out
 
 
+def _arm_watchdog():
+    """If the TPU tunnel is down, device discovery hangs indefinitely; emit
+    an explicit failure line instead of hanging the caller. The budget is
+    generous (cold persistent-cache compiles take 10+ min through the
+    remote-compile hop); override with BENCH_WATCHDOG_S, 0 disables."""
+    import threading
+
+    budget = float(os.environ.get("BENCH_WATCHDOG_S", "2700"))
+    if budget <= 0:
+        return
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "full_frame_fps_textured",
+                    "value": 0.0,
+                    "unit": "frames/sec (BENCH FAILED: watchdog expired — "
+                    "TPU tunnel unreachable or compile stalled)",
+                    "vs_baseline": 0.0,
+                    "error": f"watchdog expired after {budget:.0f}s",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(budget, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main() -> int:
     width, height = (1920, 1080)
     tri_budget = 100_000
@@ -48,6 +81,8 @@ def main() -> int:
     small = bool(os.environ.get("BENCH_SMALL"))
     if small:  # quick CPU smoke
         width, height, tri_budget, frames = 320, 240, 5_000, 4
+
+    wd = _arm_watchdog()
 
     import jax
 
@@ -190,6 +225,8 @@ def main() -> int:
             "device": str(jax.devices()[0]),
         }
     )
+    if wd is not None:
+        wd.cancel()
     print(json.dumps(result))
     return 0
 
