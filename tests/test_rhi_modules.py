@@ -480,3 +480,23 @@ def test_validate_reference_spirv_binaries():
         with open(f"/root/reference/shaders/spirv/{name}", "rb") as f:
             data = f.read()
         assert validate_spirv(data) == "little"
+
+
+def test_forward_frame_stencil_band_rejected():
+    """stencil and band sharding cannot combine (the stencil state machine
+    runs on the full-frame scan path) — must raise, not silently ignore the
+    band (advisor r2 finding)."""
+    from renderer_rs_tpu.app.scenes import triangle_scene
+    from renderer_rs_tpu.renderer.passes import ShadingModel, forward_frame
+    from renderer_rs_tpu.rhi.rendering import StencilAttachment, StencilOp
+
+    w, h = 64, 48
+    scene, layout, kwargs, _ = triangle_scene(w, h)
+    st = StencilAttachment(
+        clear_stencil=0, compare="always", pass_op=StencilOp.REPLACE, reference=7
+    )
+    with pytest.raises(ValueError, match="stencil and band"):
+        forward_frame(
+            scene, layout, kwargs["pipeline"], ShadingModel.FLAT, w, h,
+            stencil=st, band=(0, h),
+        )
