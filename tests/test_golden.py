@@ -26,6 +26,8 @@ def _render(scene_name):
 
     if scene_name == "full":
         scene, layout, kwargs, _ = full_scene(W, H, tri_budget=2000)
+    elif scene_name == "full_csm":
+        scene, layout, kwargs, _ = full_scene(W, H, tri_budget=2000, csm=True)
     else:
         scene, layout, kwargs, _ = SCENES[scene_name](W, H)
     pipeline = kwargs.get("pipeline") or GraphicsPipelineBuilder().build()
@@ -72,7 +74,8 @@ def _check(name, img):
 
 
 @pytest.mark.parametrize(
-    "scene", ["triangle", "cube", "blinnphong", "gltf-pbr", "full"]
+    "scene",
+    ["triangle", "cube", "blinnphong", "gltf-pbr", "full", "full_csm"],
 )
 def test_golden(scene):
     _check(scene, _render(scene))
