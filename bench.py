@@ -86,6 +86,10 @@ def main() -> int:
 
     import jax
 
+    from renderer_rs_tpu.core.config import ensure_f32_matmuls
+
+    ensure_f32_matmuls()
+
     if small:
         # force the CPU backend (the axon sitecustomize overrides
         # JAX_PLATFORMS, so the env var alone does not stick)

@@ -109,6 +109,9 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.backend)
 
     init_logging(args.log)
+    from renderer_rs_tpu.core.config import ensure_f32_matmuls
+
+    ensure_f32_matmuls()
     # a real display gets a real window (X11 blit via ctypes); otherwise the
     # surface is the PNG/array sink (≙ winit window vs headless capture)
     x11 = None

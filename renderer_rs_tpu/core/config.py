@@ -45,3 +45,20 @@ class RendererConfig:
 
     def with_size(self, width: int, height: int) -> "RendererConfig":
         return dataclasses.replace(self, width=width, height=height)
+
+
+def ensure_f32_matmuls() -> None:
+    """Pin the default matmul/einsum precision to f32-accurate (HIGHEST).
+
+    JAX's DEFAULT precision on TPU rounds f32 matmul operands to bf16
+    (8 mantissa bits): vertex positions through the [Nv,4]x[4,4] MVP
+    matmuls would land with ~0.2% coordinate error (≈ pixels at 1080p) and
+    the barycentric/UV interpolation einsums would shimmer. The reference
+    pipeline is f32 end-to-end (HLSL default precision), so every entry
+    point (app, bench, dryrun, profilers) calls this; tests set the same
+    flag in conftest. The affected matmuls are microseconds of MXU time —
+    full-precision passes cost nothing measurable at this scale.
+    """
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")

@@ -321,7 +321,12 @@ def _shade_pixels(
                 [bank, scene.textures.mat_set.astype(jnp.float32)[:, None]],
                 axis=-1,
             )
-        mat_px = oh @ bank  # [H,W,11(+1)]
+        # HIGHEST: the default TPU matmul multiplies in bf16 — material
+        # params would drift ~0.4% vs the gather paths and set ids above
+        # 2^9 would round; exact f32 keeps this bit-equal to bank[mat_id]
+        mat_px = jnp.matmul(
+            oh, bank, precision=jax.lax.Precision.HIGHEST
+        )  # [H,W,11(+1)]
         mid_from_oh = (
             mat_px[..., 11].astype(jnp.int32)
             if bank.shape[-1] == 12
