@@ -1,0 +1,98 @@
+"""Frame-level A/B of shade components on the cached textured 1080p scene."""
+import sys, os, time, json
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/probes")
+import jax, jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_default_matmul_precision", "highest")
+
+from scene_cache_tex import get_full_scene_tex
+from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+W, H = 1920, 1080
+scene, layout, kwargs = get_full_scene_tex()
+pipe = GraphicsPipelineBuilder().build()
+FRAMES = int(os.environ.get("AB_FRAMES", "16"))
+
+
+def bench(make_frame):
+    # eps-perturb the scene per iteration: defeats the tunnel's
+    # identical-dispatch result cache (probe_ab.py pattern)
+    @jax.jit
+    def f(eps):
+        s = scene.replace(positions=scene.positions + eps)
+        return make_frame(s)
+
+    out = f(jnp.float32(0.0))
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(FRAMES):
+        out = f(jnp.float32((i + 1) * 1e-12))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / FRAMES * 1000.0
+    return round(dt, 2)
+
+
+def frame_fn(s):
+    from renderer_rs_tpu.renderer.passes import forward_frame
+
+    return forward_frame(
+        s, layout, pipe, kwargs["shading"], W, H,
+        tonemap=kwargs.get("tonemap", "aces"),
+        shadow_map_size=kwargs.get("shadow_map_size", 1024),
+        shadow_params=kwargs.get("shadow_params"),
+    )
+
+
+res = {}
+which = sys.argv[1] if len(sys.argv) > 1 else "all"
+
+if which in ("all", "base"):
+    res["base"] = bench(frame_fn)
+    print("base", res["base"], flush=True)
+
+if which in ("all", "stub_atlas"):
+    # stub the material atlas fetch: constant neutral sample, keeps
+    # lanes + TBN + everything else
+    import renderer_rs_tpu.ops.sampling as sampling
+    import renderer_rs_tpu.renderer.passes as passes
+
+    real = sampling.sample_material_atlas_tri
+
+    def stub(atlas, offsets, sizes, n_levels, base_hw, c, mid, uv, sampler=None):
+        return jnp.ones(uv.shape[:-1] + (c,), jnp.float32) * (
+            uv[..., :1] * 1e-8 + 1.0
+        )
+
+    sampling.sample_material_atlas_tri = stub
+    res["stub_atlas"] = bench(frame_fn)
+    sampling.sample_material_atlas_tri = real
+    print("stub_atlas", res["stub_atlas"], flush=True)
+
+if which in ("all", "pcf1"):
+    os.environ["RENDERER_PCF_GROUP"] = "1"
+    res["pcf1"] = bench(frame_fn)
+    del os.environ["RENDERER_PCF_GROUP"]
+    print("pcf1", res["pcf1"], flush=True)
+
+if which in ("all", "defer0"):
+    os.environ["RENDERER_DEFER_VARY"] = "0"
+    res["defer0"] = bench(frame_fn)
+    del os.environ["RENDERER_DEFER_VARY"]
+    print("defer0", res["defer0"], flush=True)
+
+if which in ("all", "dmatmul"):
+    os.environ["RENDERER_DEFER_MATMUL"] = "1"
+    res["dmatmul"] = bench(frame_fn)
+    del os.environ["RENDERER_DEFER_MATMUL"]
+    print("dmatmul", res["dmatmul"], flush=True)
+
+if which in ("all", "flatmats"):
+    os.environ["RENDERER_FLAT_MATS"] = "1"
+    res["flatmats"] = bench(frame_fn)
+    del os.environ["RENDERER_FLAT_MATS"]
+    print("flatmats", res["flatmats"], flush=True)
+
+print(json.dumps(res))
