@@ -28,6 +28,10 @@ def _render(scene_name):
         scene, layout, kwargs, _ = full_scene(W, H, tri_budget=2000)
     elif scene_name == "full_csm":
         scene, layout, kwargs, _ = full_scene(W, H, tri_budget=2000, csm=True)
+    elif scene_name == "full_textured":
+        scene, layout, kwargs, _ = full_scene(
+            W, H, tri_budget=2000, textured=True
+        )
     else:
         scene, layout, kwargs, _ = SCENES[scene_name](W, H)
     pipeline = kwargs.get("pipeline") or GraphicsPipelineBuilder().build()
@@ -75,7 +79,8 @@ def _check(name, img):
 
 @pytest.mark.parametrize(
     "scene",
-    ["triangle", "cube", "blinnphong", "gltf-pbr", "full", "full_csm"],
+    ["triangle", "cube", "blinnphong", "gltf-pbr", "full", "full_csm",
+     "full_textured"],
 )
 def test_golden(scene):
     _check(scene, _render(scene))
