@@ -89,6 +89,12 @@ if which in ("all", "dmatmul"):
     del os.environ["RENDERER_DEFER_MATMUL"]
     print("dmatmul", res["dmatmul"], flush=True)
 
+if which in ("all", "dtbl"):
+    os.environ["RENDERER_DEFER_TBL"] = "einsum"
+    res["dtbl"] = bench(frame_fn)
+    del os.environ["RENDERER_DEFER_TBL"]
+    print("dtbl", res["dtbl"], flush=True)
+
 if which in ("all", "flatmats"):
     os.environ["RENDERER_FLAT_MATS"] = "1"
     res["flatmats"] = bench(frame_fn)

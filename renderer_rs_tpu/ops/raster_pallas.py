@@ -671,7 +671,35 @@ def rasterize_binned_pallas(
             fcols.append(fva[..., k])
     if defer and ids is not None:
         dcols.append(ids.astype(jnp.float32))  # deferred source-id payload
-    dtab = jnp.stack(dcols, axis=-1) if defer else None  # [t, 3+3K(+Kf)(+1)]
+    dtab = None
+    if defer:
+        import os as _os_tbl
+
+        if (
+            _os_tbl.environ.get("RENDERER_DEFER_TBL") == "einsum"
+            and n_vary
+        ):
+            # A/B variant: assemble the table from BLOCK ops instead of a
+            # 40-column jnp.stack (each stacked [t] column is a strided
+            # write pass). Same math: awk[t,i,k] = sum_j cb[t,i,j]*va[t,j,k]
+            # (the 3-FMA clip-frame compose), laid out vertex-major like
+            # the dcols order. HIGHEST keeps the f32 products exact on TPU.
+            awk = (
+                jnp.einsum(
+                    "tij,tjk->tik", cb, va,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                if cb is not None
+                else va
+            )
+            parts = [inv_w, awk.reshape(va.shape[0], 3 * n_vary)]
+            if n_flat:
+                parts.append(fva)
+            if ids is not None:
+                parts.append(ids.astype(jnp.float32)[:, None])
+            dtab = jnp.concatenate(parts, axis=-1)
+        else:
+            dtab = jnp.stack(dcols, axis=-1)  # [t, 3+3K(+Kf)(+1)]
     table = jnp.stack(cols, axis=-1)  # [t, 20(+3+3K)]
     # Lane-pad to 128 and add the all-zero pad row at index t: Mosaic only
     # supports 128-wide HBM DMA slabs, and the in-kernel column extraction

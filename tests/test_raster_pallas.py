@@ -304,6 +304,48 @@ def test_pallas_defer_varyings_bit_matches_fused():
     )
 
 
+def test_defer_tbl_einsum_matches_stack(monkeypatch):
+    """RENDERER_DEFER_TBL=einsum (block-assembled defer table: einsum
+    clip-frame compose + concat) produces the same resolved varyings and
+    ids as the default 40-column jnp.stack build — required before
+    flipping the default. Covers the flagship shape: clip mapping
+    (vary_src/vary_bary), flat varyings, and an ids payload."""
+    from renderer_rs_tpu.ops.clip import clip_triangles_near
+
+    clip, tris = _scene(60, seed=21)
+    rng = np.random.default_rng(7)
+    attr = jnp.asarray(rng.random((clip.shape[0], 6), dtype=np.float32))
+    t = tris.shape[0]
+    flat = jnp.asarray(rng.random((t, 2), dtype=np.float32))
+    ids = jnp.asarray(rng.integers(0, 1000, t).astype(np.int32))
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    h, w = 64, 128
+
+    tri_clip = gather_triangle_clip(clip, tris)
+    tri_clip2, valid, src, bary = clip_triangles_near(tri_clip)
+    setup = setup_triangles(tri_clip2, w, h, pipe, tri_valid=valid)
+
+    def run():
+        return rp.rasterize_binned_pallas(
+            setup, h, w, pipe, chunk=16,
+            varyings=attr[tris], vary_src=src, vary_bary=bary,
+            flat_varyings=flat, ids=ids[src], skip_bary=True,
+            defer_varyings=True,
+        )
+
+    vis_a, vary_a = run()
+    monkeypatch.setenv("RENDERER_DEFER_TBL", "einsum")
+    vis_b, vary_b = run()
+    np.testing.assert_array_equal(
+        np.asarray(vis_a.tri_id), np.asarray(vis_b.tri_id)
+    )
+    cov = np.asarray(vis_a.tri_id) >= 0
+    np.testing.assert_allclose(
+        np.asarray(vary_a)[cov], np.asarray(vary_b)[cov],
+        rtol=4e-6, atol=1e-6,
+    )
+
+
 def test_pallas_le_ties_resolve_last_submitted():
     """LESS_OR_EQUAL equal-depth ties pick the LAST submitted fragment in
     the Pallas kernel too (scan/binned/pallas stay bit-identical)."""
