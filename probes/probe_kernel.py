@@ -1,6 +1,6 @@
 """Isolate the two-level raster kernel regression: time kernel variants
 directly on the bench geometry. Usage:
-  PYTHONPATH=/root/repo:/root/.axon_site python probe_kernel.py
+  PYTHONPATH=/root/repo:/root/.axon_site python probes/probe_kernel.py
 """
 
 import json
@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
+    os.path.join("/root/repo", ".jax_cache_tpu"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

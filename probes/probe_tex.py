@@ -1,6 +1,6 @@
 """Triage the textured-frame cost: which part of the texture path eats the
 time? Times full-frame variants on the TPU.
-  PYTHONPATH=/root/repo:/root/.axon_site python probe_tex.py
+  PYTHONPATH=/root/repo:/root/.axon_site python probes/probe_tex.py
 """
 
 import json
@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"))
+                  os.path.join("/root/repo", ".jax_cache_tpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

@@ -19,11 +19,11 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from renderer_rs_tpu.mathx.vec import dot
+from renderer_rs_tpu.ops.shadow import grouped_window_reduce, pcf_group
 
 CASCADE_COUNT = 4  # ≙ shadow_csm.hlsli:19
 
@@ -58,16 +58,6 @@ def _project(m: jnp.ndarray, p: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.stack([u, v], axis=-1), ndc[..., 2]
 
 
-def _pcf_group(s: int) -> int:
-    """x-texels packed per window-table row (ops/shadow.py rationale: 2M-
-    pixel gather cost is table-size-bound; grouping 8 keeps 1024^2-class
-    maps under the ~256k-row gather cliff)."""
-    import os
-
-    group = int(os.environ.get("RENDERER_PCF_GROUP", "8"))
-    return group if group > 1 and s % group == 0 else 1
-
-
 def _cascade_pcf_window(shadow_maps: jnp.ndarray) -> jnp.ndarray:
     """Pre-shift the [C,S,S] cascade array into a flat edge-clamped 3x3
     window table so a pixel's full PCF footprint is ONE row gather (the
@@ -85,7 +75,7 @@ def _cascade_pcf_window(shadow_maps: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )  # [C,S,S,9]
-    g = _pcf_group(s)
+    g = pcf_group(s)
     return window.reshape(c * s * (s // g), g * 9)
 
 
@@ -132,19 +122,11 @@ def sample_cascade_pcf(
         # 3x3 neighborhood, so the window row IS the PCF footprint — same
         # math as the reference's 9 SampleCmp taps, shadow_csm.hlsli:122-138)
         window = pcf_window if pcf_window is not None else _cascade_pcf_window(shadow_maps)
-        g = _pcf_group(s)
+        g = pcf_group(s)
         rows = (cascade_index * s + iy) * (s // g) + ix // g
         wide = window[rows]  # [..., g*9] — the one (wide) gather
         if g > 1:
-            # compare all lanes, mask the pixel's sub-row block, reduce once
-            # (ops/shadow.py rationale: per-k lane slices relayout per slice)
-            sub = ix % g
-            lane = jax.lax.broadcasted_iota(
-                jnp.int32, (1,) * (wide.ndim - 1) + (g * 9,), wide.ndim - 1
-            )
-            sel = (lane // 9) == sub[..., None]
-            cmp = (wide >= current[..., None]) & sel
-            shadow = jnp.sum(cmp.astype(jnp.float32), axis=-1) * (1.0 / 9.0)
+            shadow = grouped_window_reduce(wide, ix % g, current, g)
         else:
             shadow = jnp.mean(
                 jnp.where(wide >= current[..., None], 1.0, 0.0), axis=-1

@@ -35,6 +35,37 @@ class ShadowParams:
     pcf: bool = True
 
 
+def pcf_group(width: int) -> int:
+    """x-texels packed per PCF window-table row (RENDERER_PCF_GROUP,
+    default 8). r3 calibration: 2M-pixel gather cost is TABLE-SIZE-bound
+    (1M-row tables ~11 ms, <=256k-row tables ~1.5 ms at any width), so
+    grouping a 1024^2-class map under the row cliff is what makes the
+    one-gather PCF fetch cheap. 1 restores the flat map (width must divide
+    by the group)."""
+    import os
+
+    group = int(os.environ.get("RENDERER_PCF_GROUP", "8"))
+    return group if group > 1 and width % group == 0 else 1
+
+
+def grouped_window_reduce(
+    wide: jnp.ndarray, sub: jnp.ndarray, current: jnp.ndarray, group: int
+) -> jnp.ndarray:
+    """3x3 PCF mean from a grouped window row: compare EVERY lane of the
+    gathered [..., group*9] row against `current`, mask to the pixel's
+    sub-row block [sub*9, sub*9+9), reduce once. The per-block lane slices
+    this replaces (wide[..., k*9:(k+1)*9]) forced a Mosaic relayout per
+    slice — the full-lane mask-reduce form measured ~4x faster at 1080p
+    (r3 probe). Sum of <=9 f32 ones is exact, so this bit-matches
+    taps-then-mean."""
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (1,) * (wide.ndim - 1) + (group * 9,), wide.ndim - 1
+    )
+    sel = (lane // 9) == sub[..., None]
+    cmp = (wide >= current[..., None]) & sel
+    return jnp.sum(cmp.astype(jnp.float32), axis=-1) * (1.0 / 9.0)
+
+
 def _project_to_shadow_uv(
     light_space_matrix: jnp.ndarray, world_pos: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -129,30 +160,15 @@ def calculate_shadow(
         )  # [H,W,9]
         ix = jnp.clip(jnp.floor(uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
         iy = jnp.clip(jnp.floor(uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
-        import os as _os
-
-        group = int(_os.environ.get("RENDERER_PCF_GROUP", "8"))
-        if w % max(group, 1) != 0:
-            group = 1
+        group = pcf_group(w)
         if group > 1:
             rows = window.reshape(h, w // group, group * 9)
             flat = rows.reshape(h * (w // group), group * 9)
             row_id = iy * (w // group) + ix // group
             sub = ix % group
             wide = flat[row_id]  # [..., group*9] — the one (wide) gather
-            # Compare EVERY lane against current, mask to the pixel's
-            # sub-row (lane block [sub*9, sub*9+9)), reduce once. The
-            # previous per-k lane slices (wide[..., k*9:(k+1)*9]) forced a
-            # Mosaic relayout per slice — the full-lane mask-reduce form
-            # measured ~4x faster at 1080p (r3 probe). Sum of <=9 f32 ones
-            # is exact, so this bit-matches taps-then-mean. Single consumer
-            # of the gather -> no optimization barrier needed.
-            lane = jax.lax.broadcasted_iota(
-                jnp.int32, (1,) * (wide.ndim - 1) + (group * 9,), wide.ndim - 1
-            )
-            sel = (lane // 9) == sub[..., None]
-            cmp = (wide >= current[..., None]) & sel
-            shadow = jnp.sum(cmp.astype(jnp.float32), axis=-1) * (1.0 / 9.0)
+            # single consumer of the gather -> no optimization barrier needed
+            shadow = grouped_window_reduce(wide, sub, current, group)
         else:
             taps = window[iy, ix]  # [...,9]
             shadow = jnp.mean(
