@@ -1,0 +1,116 @@
+"""Fresh stage decomposition at current HEAD (textured 1080p scene)."""
+import sys, os, time, json
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/probes")
+import jax, jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from scene_cache_tex import get_full_scene_tex
+from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+W, H = 1920, 1080
+scene, layout, kwargs = get_full_scene_tex()
+pipe = GraphicsPipelineBuilder().build()
+FRAMES = int(os.environ.get("AB_FRAMES", "16"))
+
+
+def bench(make):
+    @jax.jit
+    def f(eps):
+        s = scene.replace(positions=scene.positions + eps)
+        return make(s)
+
+    out = f(jnp.float32(0.0))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(FRAMES):
+        out = f(jnp.float32((i + 1) * 1e-12))
+    jax.block_until_ready(out)
+    return round((time.perf_counter() - t0) / FRAMES * 1000.0, 2)
+
+
+from renderer_rs_tpu.ops.clip import clip_triangles_near
+from renderer_rs_tpu.ops.raster import gather_triangle_clip, setup_triangles
+from renderer_rs_tpu.ops.raster_binned import bin_triangles_compact
+from renderer_rs_tpu.renderer.passes import (
+    forward_frame, shadow_map_pass, vertex_stage,
+)
+from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
+
+T = layout.num_triangles
+res = {}
+which = sys.argv[1:] or ["all"]
+want = lambda k: "all" in which or k in which
+
+
+def geom(s):
+    vs = vertex_stage(s, layout)
+    tri_clip = gather_triangle_clip(vs.clip, s.tris)
+    tri_clip, clip_valid, clip_src, clip_bary = clip_triangles_near(tri_clip)
+    setup = setup_triangles(tri_clip, W, H, pipe, tri_valid=clip_valid)
+    return vs, setup, clip_src, clip_bary
+
+
+if want("frame"):
+    def f(s):
+        return forward_frame(
+            s, layout, pipe, kwargs["shading"], W, H,
+            tonemap=kwargs.get("tonemap", "aces"),
+            shadow_map_size=kwargs.get("shadow_map_size", 1024),
+            shadow_params=kwargs.get("shadow_params"),
+        )
+    res["frame"] = bench(f)
+    print("frame", res["frame"], flush=True)
+
+if want("shadow"):
+    res["shadow"] = bench(
+        lambda s: shadow_map_pass(s, layout, kwargs.get("shadow_map_size", 1024)).sum()
+    )
+    print("shadow", res["shadow"], flush=True)
+
+if want("geom"):
+    res["geom"] = bench(lambda s: geom(s)[1].z.sum())
+    print("geom", res["geom"], flush=True)
+
+if want("bin"):
+    def f(s):
+        _, setup, _, _ = geom(s)
+        st, seg, nby, nbx, ov = bin_triangles_compact(
+            setup, H, W, 16, 128, small_limit=T
+        )
+        return st.sum() + seg.sum()
+    res["bin"] = bench(f)
+    print("bin", res["bin"], flush=True)
+
+if want("vis"):
+    def f(s):
+        _, setup, clip_src, _ = geom(s)
+        vis = rasterize_binned_pallas(
+            setup, H, W, pipe, ids=clip_src, small_limit=T
+        )
+        return vis.depth.sum() + vis.tri_id.sum()
+    res["vis"] = bench(f)
+    print("vis", res["vis"], flush=True)
+
+if want("defer"):
+    # the live fused path: deferred varyings + packed ids, skip_bary
+    def f(s):
+        vs, setup, clip_src, clip_bary = geom(s)
+        packed = [vs.world_pos, vs.world_normal, s.uvs, vs.world_tangent]
+        attr = jnp.concatenate(packed, axis=-1)
+        n_mats = int(s.materials.metallic.shape[0])
+        src_bits = max(1, (T - 1).bit_length())
+        ids_payload = clip_src | (s.tri_material[clip_src] << src_bits)
+        vis, vary = rasterize_binned_pallas(
+            setup, H, W, pipe,
+            varyings=attr[s.tris], vary_src=clip_src, vary_bary=clip_bary,
+            ids=ids_payload, skip_bary=True, small_limit=T,
+            defer_varyings=True,
+        )
+        return vis.depth.sum() + vary.sum()
+    res["defer"] = bench(f)
+    print("defer", res["defer"], flush=True)
+
+print(json.dumps(res))
