@@ -101,4 +101,22 @@ if want("kernel"):
     res["kernel_cum"] = bench(f)
     print("kernel_cum", res["kernel_cum"], flush=True)
 
+if want("knobs"):
+    # env-knob sweep (RENDERER_SHADOW_* / RENDERER_CAP_BIG read at trace
+    # time): one probe run covers the candidate settings. cap overrides
+    # can DROP candidates if set below the live big-class count — check
+    # `classes` first; production overflow telemetry guards bench.
+    for name, env in [
+        ("sub32", {"RENDERER_SHADOW_SUB_H": "32"}),
+        ("chunk32", {"RENDERER_SHADOW_CHUNK": "32"}),
+        ("chunk128", {"RENDERER_SHADOW_CHUNK": "128"}),
+        ("cap1024", {"RENDERER_CAP_BIG": "1024"}),
+        ("tile16", {"RENDERER_SHADOW_TILE_H": "16"}),
+    ]:
+        os.environ.update(env)
+        res[name] = bench(lambda s: shadow_map_pass(s, layout, SM).sum())
+        for k in env:
+            del os.environ[k]
+        print(name, res[name], flush=True)
+
 print(json.dumps(res))

@@ -313,8 +313,14 @@ def bin_triangles_compact(
     if cap_big is None:
         # low-triangle scenes project LARGE triangles (many land in the big
         # class), high-triangle scenes small ones — a flat fraction starves
-        # the former (bench smoke measured 270 dropped at 4k tris)
-        cap_big = max(2048, t // 32)
+        # the former (bench smoke measured 270 dropped at 4k tris).
+        # RENDERER_CAP_BIG overrides for probe-time sort-size tuning (the
+        # big class contributes cap_big*big_span slots to the fused-key
+        # sort; overflow telemetry catches a too-small cap).
+        import os
+
+        env = os.environ.get("RENDERER_CAP_BIG")
+        cap_big = int(env) if env else max(2048, t // 32)
     tx0, tx1, ty0, ty1, alive = _tile_ranges(
         setup, height, width, bin_h, bin_w, nby, nbx, y_offset, y_stride
     )

@@ -195,6 +195,25 @@ def _rasterize_dispatch(setup, height, width, pipeline, num_triangles,
     return rasterize(setup, height, width, pipeline, depth_init=depth_init)
 
 
+def _shadow_kernel_knobs() -> dict:
+    """Depth-only raster knobs, env-overridable for probe-time tuning
+    (RENDERER_SHADOW_TILE_H / _SUB_H / _CHUNK — no code edit between
+    probe_shadow runs; light-space candidate distributions differ enough
+    from screen space that the forward defaults may not be optimal)."""
+    import os
+
+    out = {}
+    for env, kw in (
+        ("RENDERER_SHADOW_TILE_H", "tile_h"),
+        ("RENDERER_SHADOW_SUB_H", "sub_h"),
+        ("RENDERER_SHADOW_CHUNK", "chunk"),
+    ):
+        v = os.environ.get(env)
+        if v:
+            out[kw] = int(v)
+    return out
+
+
 def shadow_map_pass(
     scene: GpuScene, layout: SceneLayout, size: int, light_matrix=None
 ) -> jnp.ndarray:
@@ -208,7 +227,8 @@ def shadow_map_pass(
             from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
 
             return rasterize_binned_pallas(
-                setup, size, size, _SHADOW_PIPELINE, depth_only=True
+                setup, size, size, _SHADOW_PIPELINE, depth_only=True,
+                **_shadow_kernel_knobs(),
             )
         cap = _binned_cap(layout.num_triangles, size, size)
         return rasterize_depth_only_binned(setup, size, size, _SHADOW_PIPELINE, cap=cap)
@@ -237,7 +257,9 @@ def csm_shadow_pass(scene: GpuScene, layout: SceneLayout, size: int) -> jnp.ndar
                     _SHADOW_PIPELINE,
                 )
             )
-        return rasterize_depth_only_batch(setups, size, size, _SHADOW_PIPELINE)
+        return rasterize_depth_only_batch(
+            setups, size, size, _SHADOW_PIPELINE, **_shadow_kernel_knobs()
+        )
     return jnp.stack(
         [
             shadow_map_pass(scene, layout, size, scene.csm_matrices[c])

@@ -78,6 +78,14 @@ def test_pallas_depth_only_matches():
     dx = rasterize_binned(setup, h, w, pipe, cap=256).depth
     dp = rp.rasterize_binned_pallas(setup, h, w, pipe, depth_only=True)
     np.testing.assert_array_equal(np.asarray(dx), np.asarray(dp))
+    # the shadow-tuning knob combos (renderer.passes._shadow_kernel_knobs)
+    # must stay bit-identical at any tile/sub/chunk shape
+    for knobs in ({"tile_h": 16, "sub_h": 16, "chunk": 32},
+                  {"tile_h": 32, "sub_h": 32, "chunk": 16}):
+        dk = rp.rasterize_binned_pallas(
+            setup, h, w, pipe, depth_only=True, **knobs
+        )
+        np.testing.assert_array_equal(np.asarray(dx), np.asarray(dk))
 
 
 def test_pallas_fused_varyings_match_deferred():
