@@ -74,6 +74,25 @@ if want("geom"):
     res["geom"] = bench(lambda s: geom(s)[1].z.sum())
     print("geom", res["geom"], flush=True)
 
+if want("vstage"):
+    # vertex stage alone: ~4 ops x n_objects of small-matmul dispatches —
+    # if this dominates `geom`, batch the per-object loop
+    def f(s):
+        vs = vertex_stage(s, layout)
+        return vs.clip.sum() + vs.world_normal.sum() + vs.world_tangent.sum()
+    res["vstage"] = bench(f)
+    print("vstage", res["vstage"], flush=True)
+
+if want("clip"):
+    # geom minus setup: vertex stage + triangle gather + near clip
+    def f(s):
+        vs = vertex_stage(s, layout)
+        tri_clip = gather_triangle_clip(vs.clip, s.tris)
+        tri_clip, clip_valid, _, cb = clip_triangles_near(tri_clip)
+        return tri_clip.sum() + cb.sum()
+    res["clip"] = bench(f)
+    print("clip", res["clip"], flush=True)
+
 if want("bin"):
     def f(s):
         _, setup, _, _ = geom(s)
