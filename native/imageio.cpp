@@ -88,4 +88,46 @@ int64_t encode_png(const uint8_t* data, int64_t h, int64_t w,
   return static_cast<int64_t>(png.size());
 }
 
+// Decode new-style RLE Radiance (.hdr) scanlines into [h, w, 4] RGBE bytes.
+// `data` points at the pixel stream (immediately after the text header and
+// resolution line); semantics match resources/hdr.py's Python fallback
+// (each scanline: a (2, 2, hi, lo) marker, then four run-length-encoded
+// component planes; runs are n>128 repeats, else n literal bytes). The
+// reference decodes .hdr natively through Rust's `image` crate — this keeps
+// the rebuild's asset path native too (a 4k equirect is ~2k scanlines of
+// Python loop otherwise). Returns the number of input bytes consumed, or
+// -1 on malformed/truncated input.
+int64_t decode_hdr_rle(const uint8_t* data, int64_t len, int64_t h,
+                       int64_t w, uint8_t* out) {
+  if (h <= 0 || w < 8 || w > 32767) return -1;
+  int64_t p = 0;
+  for (int64_t y = 0; y < h; ++y) {
+    if (p + 4 > len || data[p] != 2 || data[p + 1] != 2 ||
+        ((static_cast<int64_t>(data[p + 2]) << 8) | data[p + 3]) != w) {
+      return -1;
+    }
+    p += 4;
+    for (int c = 0; c < 4; ++c) {
+      uint8_t* row = out + (y * w) * 4 + c;
+      int64_t x = 0;
+      while (x < w) {
+        if (p >= len) return -1;
+        int64_t n = data[p++];
+        if (n > 128) {          // run of a repeated byte
+          n -= 128;
+          if (p >= len || x + n > w) return -1;
+          uint8_t v = data[p++];
+          for (int64_t i = 0; i < n; ++i) row[(x + i) * 4] = v;
+        } else {                // literal dump of n bytes
+          if (p + n > len || x + n > w) return -1;
+          for (int64_t i = 0; i < n; ++i) row[(x + i) * 4] = data[p + i];
+          p += n;
+        }
+        x += n;
+      }
+    }
+  }
+  return p;
+}
+
 }  // extern "C"

@@ -18,6 +18,40 @@ import numpy as np
 
 from renderer_rs_tpu.core.errors import ResourceError
 
+_LIB: object = False  # False = not probed; None = unavailable
+
+
+def _native_imageio():
+    """ctypes handle to native/libimageio.so's decode_hdr_rle, or None
+    (RENDERER_NO_NATIVE_HDR=1 forces the Python fallback, e.g. in tests)."""
+    global _LIB
+    import os
+
+    if os.environ.get("RENDERER_NO_NATIVE_HDR"):
+        return None
+    if _LIB is not False:
+        return _LIB
+    import ctypes
+
+    lib_path = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "native",
+        "libimageio.so",
+    )
+    try:
+        lib = ctypes.CDLL(lib_path)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.decode_hdr_rle.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p,
+        ]
+        lib.decode_hdr_rle.restype = ctypes.c_int64
+        _LIB = lib
+    except (OSError, AttributeError):  # not built / stale lib without symbol
+        _LIB = None
+    return _LIB
+
 
 def _decode_rgbe(rgbe: np.ndarray) -> np.ndarray:
     """[..., 4] uint8 RGBE -> [..., 3] float32 linear."""
@@ -86,6 +120,25 @@ def load_hdr(path: str) -> np.ndarray:
             raw[: height * width * 4].reshape(height, width, 4)
         )
 
+    # native fast path: the RLE inner loop is per-byte — C++ via ctypes
+    # (native/imageio.cpp::decode_hdr_rle, same semantics as the Python
+    # fallback below; a 4k equirect is ~2k scanlines x 4 planes)
+    lib = _native_imageio()
+    if lib is not None:
+        import ctypes
+
+        buf = np.ascontiguousarray(raw)
+        consumed = lib.decode_hdr_rle(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(buf.size),
+            ctypes.c_int64(height),
+            ctypes.c_int64(width),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if consumed < 0:
+            raise ResourceError("malformed .hdr RLE pixel data")
+        return _decode_rgbe(out)
+
     p = 0
     for y in range(height):
         if not (
@@ -140,11 +193,35 @@ def encode_hdr(path: str, rgb: np.ndarray) -> None:
         body += bytes([2, 2, (w >> 8) & 0xFF, w & 0xFF])
         for c in range(4):
             col = rgbe[y, :, c]
-            x = 0
-            while x < w:  # literal chunks only (valid RLE, simply encoded)
-                n = min(128, w - x)
-                body += bytes([n]) + col[x : x + n].tobytes()
-                x += n
+            # real RLE: emit runs (n>128) for >=4 repeated bytes (the
+            # spec's break-even), literal chunks otherwise
+            runs = np.flatnonzero(np.diff(col) != 0) + 1
+            starts = np.concatenate([[0], runs])
+            ends = np.concatenate([runs, [w]])
+            lit_start = None
+            for s0, e0 in zip(starts, ends):
+                n = int(e0 - s0)
+                if n >= 4:
+                    if lit_start is not None:
+                        x = lit_start
+                        while x < s0:
+                            k = min(128, int(s0) - x)
+                            body += bytes([k]) + col[x : x + k].tobytes()
+                            x += k
+                        lit_start = None
+                    x = int(s0)
+                    while x < e0:
+                        k = min(127, int(e0) - x)
+                        body += bytes([128 + k, int(col[x])])
+                        x += k
+                elif lit_start is None:
+                    lit_start = int(s0)
+            if lit_start is not None:
+                x = lit_start
+                while x < w:
+                    k = min(128, w - x)
+                    body += bytes([k]) + col[x : x + k].tobytes()
+                    x += k
     with open(path, "wb") as f:
         f.writelines(lines)
         f.write(bytes(body))

@@ -113,3 +113,28 @@ def test_full_scene_ibl_from_hdr():
     down = sky[3].mean(axis=(0, 1))
     assert up[2] > up[0] * 1.02, f"zenith not blue-dominant: {up}"
     assert down.mean() < up.mean(), "nadir brighter than zenith (flipped?)"
+
+
+def test_native_rle_decode_matches_python(tmp_path, monkeypatch):
+    """The C++ RLE decoder (native/imageio.cpp::decode_hdr_rle) is
+    bit-equal to the Python fallback on both the checked-in asset and a
+    synthetic roundtrip with long runs (worst-case RLE shapes)."""
+    from renderer_rs_tpu.resources import hdr as H
+
+    if H._native_imageio() is None:
+        import pytest
+
+        pytest.skip("native/libimageio.so not built")
+
+    rng = np.random.default_rng(3)
+    img = (rng.random((17, 256, 3)) * 8.0).astype(np.float32)
+    img[:, 40:200] = 0.25  # constant span -> repeated-byte runs
+    p = str(tmp_path / "rt.hdr")
+    H.encode_hdr(p, img)
+
+    for path in (ASSET, p):
+        native = H.load_hdr(path)
+        monkeypatch.setenv("RENDERER_NO_NATIVE_HDR", "1")
+        python = H.load_hdr(path)
+        monkeypatch.delenv("RENDERER_NO_NATIVE_HDR")
+        np.testing.assert_array_equal(native, python)
