@@ -32,6 +32,15 @@ def _render(scene_name):
         scene, layout, kwargs, _ = full_scene(
             W, H, tri_budget=2000, textured=True
         )
+    elif scene_name == "full_hdr":
+        # locks the whole IBL-from-file chain (load_hdr -> equirect ->
+        # irradiance/prefilter/LUT -> shade + fused skybox) to pixels
+        scene, layout, kwargs, _ = full_scene(
+            W, H, tri_budget=2000,
+            hdr=os.path.join(
+                os.path.dirname(__file__), "assets", "sky_equirect_64x32.hdr"
+            ),
+        )
     else:
         scene, layout, kwargs, _ = SCENES[scene_name](W, H)
     pipeline = kwargs.get("pipeline") or GraphicsPipelineBuilder().build()
@@ -80,7 +89,7 @@ def _check(name, img):
 @pytest.mark.parametrize(
     "scene",
     ["triangle", "cube", "blinnphong", "gltf-pbr", "full", "full_csm",
-     "full_textured"],
+     "full_textured", "full_hdr"],
 )
 def test_golden(scene):
     _check(scene, _render(scene))
