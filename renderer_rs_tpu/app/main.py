@@ -156,7 +156,13 @@ def main(argv=None) -> int:
     t = 0.0
     for frame in range(args.frames):
         input_state.begin_frame()  # ≙ about_to_wait (main.rs:99-104)
-        if ctl_mode:
+        if x11 is not None:
+            # live input: real X key/button/motion events drive InputState
+            # (≙ winit KeyboardInput/MouseInput arms, app/src/main.rs:85-97)
+            if not x11.pump_events(input_state):
+                log.info("window closed")
+                break
+        elif ctl_mode:
             inject_scripted_events(input_state, ctl_mode, frame)
         dt = timer.tick()
         t += dt if frame > 0 else 0.0
@@ -171,9 +177,6 @@ def main(argv=None) -> int:
         if animate is not None:
             renderer.update_scene(animate(renderer._scene, t, dt))
         renderer.render_frame()
-        if x11 is not None and not x11.pump_events():
-            log.info("window closed")  # ≙ CloseRequested -> exit loop
-            break
     # drain the in-flight queue so every frame is presented
     for fb in renderer.frame_manager.wait_for_all_frames():
         from renderer_rs_tpu.utils.image_io import framebuffer_to_u8

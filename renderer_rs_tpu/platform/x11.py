@@ -34,7 +34,79 @@ from renderer_rs_tpu.core.errors import WindowError
 log = logging.getLogger("renderer_rs_tpu.platform.x11")
 
 _ZPixmap = 2
+_KeyPress = 2
+_KeyRelease = 3
+_ButtonPress = 4
+_ButtonRelease = 5
+_MotionNotify = 6
 _ClientMessage = 33
+
+# X.h event masks — the inputs the reference's winit loop subscribes to
+# (app/src/main.rs:61-104: keyboard, mouse buttons, cursor motion)
+_INPUT_EVENT_MASK = (
+    (1 << 0)   # KeyPressMask
+    | (1 << 1)  # KeyReleaseMask
+    | (1 << 2)  # ButtonPressMask
+    | (1 << 3)  # ButtonReleaseMask
+    | (1 << 6)  # PointerMotionMask
+)
+
+# X11 keysyms (X11/keysymdef.h) -> platform KeyCode — the keys the
+# reference app handles (app/src/main.rs:85-97 winit KeyboardInput arm)
+_KEYSYM_TO_KEYCODE = {
+    0x0077: "KEY_W", 0x0061: "KEY_A", 0x0073: "KEY_S", 0x0064: "KEY_D",
+    0x0071: "KEY_Q", 0x0065: "KEY_E", 0x0020: "SPACE",
+    0xFFE1: "SHIFT_LEFT", 0xFFE3: "CONTROL_LEFT", 0xFF1B: "ESCAPE",
+    0xFF52: "ARROW_UP", 0xFF54: "ARROW_DOWN",
+    0xFF51: "ARROW_LEFT", 0xFF53: "ARROW_RIGHT",
+}
+
+
+def decode_event(raw: bytes) -> tuple[int, int, int, int]:
+    """Decode the fields this backend consumes from a raw XEvent (LP64
+    layout, see XKeyEvent/XButtonEvent/XMotionEvent in Xlib.h):
+    returns (type, detail, x, y) where detail = keycode (Key*) or button
+    number (Button*); x/y are window-relative pointer coords. Pure —
+    unit-testable without a display."""
+    etype = int.from_bytes(raw[0:4], "little")
+    x = int.from_bytes(raw[64:68], "little", signed=True)
+    y = int.from_bytes(raw[68:72], "little", signed=True)
+    detail = int.from_bytes(raw[84:88], "little")
+    return etype, detail, x, y
+
+
+def apply_event(input_state, etype: int, detail: int, x: int, y: int,
+                keysym_of=None) -> None:
+    """Feed one decoded X event into an InputState (≙ the reference's
+    winit -> InputState dispatch, app/src/main.rs:61-104). keysym_of maps
+    a hardware keycode -> keysym (display-dependent; tests inject one)."""
+    from renderer_rs_tpu.platform.input import InputState, KeyCode, MouseButton
+
+    assert isinstance(input_state, InputState)
+    if etype in (_KeyPress, _KeyRelease) and keysym_of is not None:
+        name = _KEYSYM_TO_KEYCODE.get(int(keysym_of(detail)))
+        if name is None:
+            return
+        key = KeyCode[name]
+        if etype == _KeyPress:
+            input_state.on_key_press(key)
+        else:
+            input_state.on_key_release(key)
+    elif etype in (_ButtonPress, _ButtonRelease):
+        if detail in (4, 5):  # scroll wheel rides button events in X11
+            if etype == _ButtonPress:
+                input_state.on_scroll(1.0 if detail == 4 else -1.0)
+            return
+        btn = {1: MouseButton.LEFT, 2: MouseButton.MIDDLE,
+               3: MouseButton.RIGHT}.get(detail)
+        if btn is None:
+            return
+        if etype == _ButtonPress:
+            input_state.on_mouse_press(btn)
+        else:
+            input_state.on_mouse_release(btn)
+    elif etype == _MotionNotify:
+        input_state.on_mouse_move(float(x), float(y))
 
 
 def display_available() -> bool:
@@ -75,6 +147,8 @@ class X11Window:
         self._wm_delete = x.XInternAtom(dpy, b"WM_DELETE_WINDOW", 0)
         atom = ctypes.c_ulong(self._wm_delete)
         x.XSetWMProtocols(dpy, ctypes.c_ulong(self._win), ctypes.byref(atom), 1)
+        x.XSelectInput(dpy, ctypes.c_ulong(self._win), _INPUT_EVENT_MASK)
+        x.XKeycodeToKeysym.restype = ctypes.c_ulong
         x.XMapWindow(dpy, ctypes.c_ulong(self._win))
         x.XFlush(dpy)
         self._gc = x.XDefaultGC(dpy, screen)
@@ -114,22 +188,28 @@ class X11Window:
         )[2] = None
         x.XDestroyImage(ctypes.c_void_p(img))
 
-    def pump_events(self) -> bool:
+    def pump_events(self, input_state=None) -> bool:
         """Drain pending X events; returns False when the window was closed
-        (≙ the winit event loop's CloseRequested, app/src/main.rs:61-66)."""
+        (≙ the winit event loop's CloseRequested, app/src/main.rs:61-66).
+        When ``input_state`` is given, key/button/motion events are fed
+        into it (≙ the winit KeyboardInput/MouseInput/CursorMoved arms,
+        app/src/main.rs:85-97) — the app's live-input path."""
         if self._closed:
             return False
         x, dpy = self._x, ctypes.c_void_p(self._dpy)
         event = (ctypes.c_char * 192)()  # XEvent is 192 bytes on LP64
+        keysym_of = lambda kc: x.XKeycodeToKeysym(dpy, kc, 0)  # noqa: E731
         while x.XPending(dpy) > 0:
             x.XNextEvent(dpy, event)
-            etype = int.from_bytes(event.raw[:4], "little")
+            etype, detail, ex, ey = decode_event(event.raw)
             if etype == _ClientMessage:
                 # ClientMessage data starts at offset 56 on LP64
                 data0 = int.from_bytes(event.raw[56:64], "little")
                 if data0 == self._wm_delete:
                     self._closed = True
                     return False
+            elif input_state is not None:
+                apply_event(input_state, etype, detail, ex, ey, keysym_of)
         return True
 
     def close(self) -> None:
