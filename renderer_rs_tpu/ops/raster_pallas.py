@@ -484,7 +484,7 @@ def rasterize_depth_only_batch(
         num_scalar_prefetch=3,
         grid=(n_batch * n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # compact slab stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # compact slab stays in HBM
             pl.BlockSpec(
                 (1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -779,7 +779,7 @@ def rasterize_binned_pallas(
         num_scalar_prefetch=3,  # seg starts, tilepos, band y-offset
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # compact slab stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # compact slab stays in HBM
             pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
         + (
