@@ -75,6 +75,12 @@ class Renderer:
         # swapchain: rotating present slots behind the Surface (≙ Renderer
         # owning the Swapchain, renderer.rs:55-86); resize marks it stale
         self.swapchain = Swapchain(window.width, window.height)
+        # depth attachment parameters (≙ renderer-owned DepthBuffer,
+        # depth_buffer.rs:117-228; recreated with the swapchain on resize) —
+        # its clear value seeds the frame's DepthAttachment below
+        from renderer_rs_tpu.renderer.depth_buffer import DepthBuffer
+
+        self.depth_buffer = DepthBuffer(window.width, window.height)
         self._pending_slots: list[int] = []  # acquired indices of in-flight frames
         self._scene: GpuScene | None = None
         self._layout: SceneLayout | None = None
@@ -142,6 +148,12 @@ class Renderer:
         self._pending_slots.clear()
         self.config = self.config.with_size(self.window.width, self.window.height)
         self.swapchain.recreate(self.config.width, self.config.height)
+        from renderer_rs_tpu.renderer.depth_buffer import DepthBuffer
+
+        # ≙ DepthBuffer recreated alongside the swapchain (depth_buffer.rs)
+        self.depth_buffer = DepthBuffer(
+            self.config.width, self.config.height, self.depth_buffer.clear_depth
+        )
         self._frame_fn = None  # re-jit for the new extent
         self._framebuffer_resized = False
         log.debug("framebuffer recreated: %dx%d", self.config.width, self.config.height)
@@ -228,7 +240,9 @@ class Renderer:
             width=width,
             height=height,
             color=ColorAttachment(clear_color=tuple(self.clear_color)),
-            depth=DepthAttachment(),
+            # the depth attachment's clear value comes from the renderer's
+            # DepthBuffer (≙ the DepthBuffer image bound as depth attachment)
+            depth=DepthAttachment(clear_depth=self.depth_buffer.clear_depth),
         )
 
         if split_shadow:

@@ -272,3 +272,24 @@ def test_shadow_cache_survives_reallocation_races():
     r.render_frame(present=False)
     assert r._shadow_cache is cache1
     r.wait_idle()
+
+
+def test_depth_buffer_tracks_extent_and_feeds_attachment():
+    """The Renderer owns a DepthBuffer (≙ depth_buffer.rs:117-228) that is
+    recreated with the swapchain on resize, and whose clear value seeds the
+    frame's DepthAttachment (via the RenderingConfig in _build_frame_fn)."""
+    r, window = _make()
+    assert r.depth_buffer.extent == (64, 48)
+    assert r.depth_buffer.clear_depth == 1.0
+    r.resize(96, 64)
+    for _ in range(3):
+        r.render_frame()
+    assert r.depth_buffer.extent == (96, 64)
+    # a custom clear value survives the recreate (same contract as
+    # Swapchain.recreate preserving format choices)
+    r.depth_buffer.clear_depth = 0.5
+    r.resize(64, 48)
+    for _ in range(3):
+        r.render_frame()
+    assert r.depth_buffer.extent == (64, 48)
+    assert r.depth_buffer.clear_depth == 0.5
