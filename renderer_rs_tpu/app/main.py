@@ -134,6 +134,10 @@ def main(argv=None) -> int:
         window, RendererConfig(width=args.width, height=args.height), **kwargs
     )
     renderer.set_scene(scene, layout)
+    if x11 is not None:
+        # WM resize -> deferred swapchain/frame-fn recreate (≙ Resized arm,
+        # app/src/main.rs:67-75; renderer.resize also resizes the Window)
+        x11.on_resize = renderer.resize
 
     ctl_mode = "orbit" if args.orbit else ("fly" if args.fly else None)
     controller = None

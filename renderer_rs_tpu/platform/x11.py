@@ -39,16 +39,19 @@ _KeyRelease = 3
 _ButtonPress = 4
 _ButtonRelease = 5
 _MotionNotify = 6
+_ConfigureNotify = 22
 _ClientMessage = 33
 
 # X.h event masks — the inputs the reference's winit loop subscribes to
-# (app/src/main.rs:61-104: keyboard, mouse buttons, cursor motion)
+# (app/src/main.rs:61-104: keyboard, mouse buttons, cursor motion) plus
+# structure notifies for the Resized arm (app/src/main.rs:67-75)
 _INPUT_EVENT_MASK = (
     (1 << 0)   # KeyPressMask
     | (1 << 1)  # KeyReleaseMask
     | (1 << 2)  # ButtonPressMask
     | (1 << 3)  # ButtonReleaseMask
     | (1 << 6)  # PointerMotionMask
+    | (1 << 17)  # StructureNotifyMask (ConfigureNotify = resize)
 )
 
 # X11 keysyms (X11/keysymdef.h) -> platform KeyCode — the keys the
@@ -73,6 +76,14 @@ def decode_event(raw: bytes) -> tuple[int, int, int, int]:
     y = int.from_bytes(raw[68:72], "little", signed=True)
     detail = int.from_bytes(raw[84:88], "little")
     return etype, detail, x, y
+
+
+def decode_configure(raw: bytes) -> tuple[int, int]:
+    """(width, height) of an XConfigureEvent (LP64: ints at offsets 56/60).
+    Pure — unit-testable without a display."""
+    w = int.from_bytes(raw[56:60], "little", signed=True)
+    h = int.from_bytes(raw[60:64], "little", signed=True)
+    return w, h
 
 
 def apply_event(input_state, etype: int, detail: int, x: int, y: int,
@@ -155,6 +166,10 @@ class X11Window:
         self._depth = x.XDefaultDepth(dpy, screen)
         self._visual = ctypes.c_void_p(x.XDefaultVisual(dpy, screen))
         self._closed = False
+        # invoked with (width, height) when the WM resizes the window
+        # (≙ WindowEvent::Resized -> window.resize + renderer.resize,
+        # app/src/main.rs:67-75); the app wires renderer.resize here
+        self.on_resize = None
         log.info("X11 window %dx%d on %s", width, height, os.environ.get("DISPLAY"))
 
     def present(self, frame_u8: np.ndarray, _frame_index: int = 0) -> None:
@@ -208,6 +223,12 @@ class X11Window:
                 if data0 == self._wm_delete:
                     self._closed = True
                     return False
+            elif etype == _ConfigureNotify:
+                w_, h_ = decode_configure(event.raw)
+                if (w_, h_) != (self.width, self.height) and w_ > 0 and h_ > 0:
+                    self.width, self.height = w_, h_
+                    if self.on_resize is not None:
+                        self.on_resize(w_, h_)
             elif input_state is not None:
                 apply_event(input_state, etype, detail, ex, ey, keysym_of)
         return True

@@ -99,3 +99,14 @@ def test_apply_event_mouse_and_scroll():
     apply_event(inp, *decode_event(_raw_event(6, x=100, y=60)))
     apply_event(inp, *decode_event(_raw_event(6, x=110, y=55)))
     assert inp.mouse_delta == (10.0, -5.0)
+
+
+def test_decode_configure():
+    """ConfigureNotify width/height land at LP64 offsets 56/60."""
+    from renderer_rs_tpu.platform.x11 import decode_configure
+
+    raw = bytearray(192)
+    raw[0:4] = (22).to_bytes(4, "little")
+    raw[56:60] = (1024).to_bytes(4, "little", signed=True)
+    raw[60:64] = (768).to_bytes(4, "little", signed=True)
+    assert decode_configure(bytes(raw)) == (1024, 768)
