@@ -18,7 +18,7 @@ test-seq:
 
 # ≙ `just clippy` (strict lint, justfile:36-38): compile-check + import check
 lint:
-	$(PY) -m compileall -q renderer_rs_tpu bench.py __graft_entry__.py probes
+	$(PY) -m compileall -q renderer_rs_tpu bench.py __graft_entry__.py profile_frame.py probes
 	$(PY) -c "import renderer_rs_tpu"
 
 # ≙ `just run` (justfile:19-21) — headless demo frame

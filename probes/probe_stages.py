@@ -6,6 +6,7 @@ import jax, jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_default_matmul_precision", "highest")
 
 from scene_cache_tex import get_full_scene_tex
 from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder

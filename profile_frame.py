@@ -40,9 +40,9 @@ def main():
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from renderer_rs_tpu.core.config import ensure_f32_matmuls  # noqa: E402
+    from renderer_rs_tpu.core.config import ensure_f32_matmuls
 
-ensure_f32_matmuls()
+    ensure_f32_matmuls()
 
     from renderer_rs_tpu.app.scenes import full_scene
     from renderer_rs_tpu.ops.clip import clip_triangles_near

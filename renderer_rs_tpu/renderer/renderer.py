@@ -285,8 +285,16 @@ class Renderer:
     def _ensure_compiled(self) -> None:
         if self._needs_shadow() and self._shadow_fn is None:
             self._shadow_fn = self._build_shadow_fn()
-        if self._frame_fn is None:
-            key = (self.config.width, self.config.height)
+        # the clear state is baked into the specialization (it flows through
+        # the RenderingConfig at trace time), so it is part of the cache key
+        # and re-resolved every frame: changing clear_color/clear_depth (or
+        # resizing back to a seen extent after such a change) swaps to the
+        # matching compile instead of silently reusing a stale one
+        key = (
+            self.config.width, self.config.height,
+            self.clear_color, self.depth_buffer.clear_depth,
+        )
+        if self._frame_fn is None or self._fn_cache.get(key) is not self._frame_fn:
             if key not in self._fn_cache:
                 self._fn_cache[key] = self._build_frame_fn()
             self._frame_fn = self._fn_cache[key]

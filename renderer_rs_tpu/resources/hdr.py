@@ -188,6 +188,14 @@ def encode_hdr(path: str, rgb: np.ndarray) -> None:
 
     lines = [b"#?RADIANCE\n", b"FORMAT=32-bit_rle_rgbe\n", b"\n"]
     lines.append(f"-Y {h} +X {w}\n".encode())
+    if not 8 <= w < 32768:
+        # the spec restricts new-style RLE scanlines to widths in
+        # [8, 32768); outside it decoders (incl. load_hdr) read flat RGBE —
+        # emitting RLE markers here would be decoded as pixel bytes
+        with open(path, "wb") as f:
+            f.writelines(lines)
+            f.write(rgbe.tobytes())
+        return
     body = bytearray()
     for y in range(h):
         body += bytes([2, 2, (w >> 8) & 0xFF, w & 0xFF])

@@ -138,3 +138,20 @@ def test_native_rle_decode_matches_python(tmp_path, monkeypatch):
         python = H.load_hdr(path)
         monkeypatch.delenv("RENDERER_NO_NATIVE_HDR")
         np.testing.assert_array_equal(native, python)
+
+
+def test_encode_narrow_width_roundtrip(tmp_path):
+    """Widths outside [8, 32768) must emit flat RGBE (the spec forbids
+    new-style RLE there); load_hdr round-trips them exactly."""
+    import numpy as np
+
+    from renderer_rs_tpu.resources.hdr import encode_hdr, load_hdr
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0.0, 4.0, (5, 4, 3)).astype(np.float32)
+    p = str(tmp_path / "narrow.hdr")
+    encode_hdr(p, img)
+    out = load_hdr(p)
+    assert out.shape == (5, 4, 3)
+    # RGBE is lossy (8-bit shared-exponent mantissa): relative error < 1%
+    assert np.all(np.abs(out - img) <= 0.01 * np.maximum(img.max(-1, keepdims=True), 1e-6))

@@ -293,3 +293,28 @@ def test_depth_buffer_tracks_extent_and_feeds_attachment():
         r.render_frame()
     assert r.depth_buffer.extent == (64, 48)
     assert r.depth_buffer.clear_depth == 0.5
+
+
+def test_clear_state_change_respecializes():
+    """The clear state is baked into the compiled frame fn, so mutating it
+    must swap specializations (not silently reuse the stale compile) — and
+    resizing back to a seen extent must pick the matching clear state."""
+    r, _ = _make()
+    u8 = None
+    for _ in range(3):
+        u8 = r.render_frame()
+    corner_before = tuple(u8[0, 0])
+    fn_before = r._frame_fn
+    orig_clear = r.clear_color
+    r.clear_color = (1.0, 0.0, 0.0, 1.0)
+    for _ in range(3):
+        u8 = r.render_frame()
+    assert r._frame_fn is not fn_before  # new specialization
+    assert tuple(u8[0, 0]) != corner_before
+    assert u8[0, 0, 0] == 255  # red background
+    # flipping back reuses the original compile from the cache
+    r.clear_color = orig_clear
+    for _ in range(3):
+        u8 = r.render_frame()
+    assert r._frame_fn is fn_before
+    assert tuple(u8[0, 0]) == corner_before
