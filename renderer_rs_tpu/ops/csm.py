@@ -47,17 +47,6 @@ def select_cascade(split_depths: jnp.ndarray, clip_depth: jnp.ndarray) -> jnp.nd
     return idx
 
 
-def _project(m: jnp.ndarray, p: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Light-space projection -> (uv, depth) with Vulkan Y-flip UV."""
-    clip = p @ m[:3, :3].T + m[:3, 3]
-    w = jnp.sum(p * m[3, :3], axis=-1) + m[3, 3]
-    ndc = clip / jnp.where(w == 0.0, 1.0, w)[..., None]
-    u = ndc[..., 0] * 0.5 + 0.5
-    # no Y-flip: sampler v == framebuffer row in this renderer (see shadow.py)
-    v = ndc[..., 1] * 0.5 + 0.5
-    return jnp.stack([u, v], axis=-1), ndc[..., 2]
-
-
 def _cascade_pcf_window(shadow_maps: jnp.ndarray) -> jnp.ndarray:
     """Pre-shift the [C,S,S] cascade array into a flat edge-clamped 3x3
     window table so a pixel's full PCF footprint is ONE row gather (the
@@ -224,14 +213,22 @@ def fit_cascades(
     sun_direction,
     count: int = CASCADE_COUNT,
     lam: float = 0.75,
+    caster_margin: float | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Fit per-cascade ortho light boxes around camera-frustum slices.
 
     Returns (cascade_matrices [C,4,4], split_depths_ndc [C]) where split
     depths are converted to the camera's NDC z (what SV_Position.z holds,
     which SelectCascade compares against).
+
+    caster_margin extends the light-space near side by a world-space
+    distance so casters OUTSIDE the frustum slice (a tower above a near
+    slice, terrain toward the sun) still land in the cascade's depth render
+    — the standard near-plane extension that stands in for depth pancaking.
+    Defaults to the camera's far distance, which bounds any caster the
+    camera could also see; pass the scene radius for tighter fits.
     """
-    from renderer_rs_tpu.mathx import look_at_rh, orthographic_rh, transform_points
+    from renderer_rs_tpu.mathx import look_at_rh, orthographic_rh
     from renderer_rs_tpu.mathx.mat4 import vulkan_y_flip
 
     proj = camera.projection
@@ -267,10 +264,16 @@ def fit_cascades(
         up = np.array([0, 0, 1], np.float32) if abs(sun[1]) > 0.99 else np.array(
             [0, 1, 0], np.float32
         )
-        view = np.asarray(look_at_rh(center - sun * 2.0 * radius, center, up))
+        margin = float(far) if caster_margin is None else float(caster_margin)
+        view = np.asarray(
+            look_at_rh(center - sun * (2.0 * radius + margin), center, up)
+        )
         ortho = np.asarray(
             vulkan_y_flip(
-                orthographic_rh(-radius, radius, -radius, radius, 0.1, 4.0 * radius)
+                orthographic_rh(
+                    -radius, radius, -radius, radius, 0.1,
+                    4.0 * radius + margin,
+                )
             )
         )
         mats.append(ortho @ view)

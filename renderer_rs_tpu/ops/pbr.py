@@ -135,6 +135,9 @@ def calculate_ibl(
     irradiance_mips: tuple,
     prefiltered_mips: tuple,
     brdf_lut: jnp.ndarray,
+    prefiltered_atlas: jnp.ndarray | None = None,
+    prefiltered_atlas_offsets=None,
+    prefiltered_atlas_sizes=None,
 ) -> jnp.ndarray:
     """≙ CalculateIBL split-sum (pbr.hlsli:399-466).
 
@@ -162,7 +165,12 @@ def calculate_ibl(
 
     # Specular: prefiltered map at mip = roughness * max_lod (pbr.hlsli:444-450)
     max_lod = float(len(prefiltered_mips) - 1)
-    prefiltered = sample_cubemap_lod(prefiltered_mips, r, roughness * max_lod)[..., :3]
+    prefiltered = sample_cubemap_lod(
+        prefiltered_mips, r, roughness * max_lod,
+        atlas=prefiltered_atlas,
+        offsets=prefiltered_atlas_offsets,
+        sizes=prefiltered_atlas_sizes,
+    )[..., :3]
     # BRDF LUT indexed by (NdotV, roughness) (pbr.hlsli:456-457) — 2x2 window
     # packed into channels so the bilinear fetch is one gather per pixel
     lut = brdf_lut

@@ -362,7 +362,16 @@ def bin_triangles_compact(
         key = jnp.where(ok, bins * (t + 1) + tri, n_bins * (t + 1) + t)
         return key.reshape(-1)
 
-    assert (n_bins + 1) * (t + 1) < 2**31, "fused bin key overflows int32"
+    if (n_bins + 1) * (t + 1) >= 2**31:
+        # the segment searchsorted also rides the fused key, so unlike
+        # bin_triangles there is no cheap two-key fallback here; fail with
+        # the workaround instead of a bare assert (~4M tris at 1080p tiles)
+        raise NotImplementedError(
+            f"compact binning's fused int32 (bin, tri) key overflows at "
+            f"{n_bins} bins x {t} triangles; route through rasterize_binned "
+            f"(bin_triangles degrades to a two-key lexsort) or use larger "
+            f"tiles"
+        )
     # small class: direct [sl, 2, 2] expansion (the common case)
     sy = jnp.arange(2, dtype=jnp.int32)
     sx = jnp.arange(2, dtype=jnp.int32)
@@ -620,9 +629,10 @@ def rasterize_binned(
         full = tiles.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3)
         return full.reshape(hp, wp)[:height, :width]
 
-    # NOTE on depth semantics when depth_write is off: the carry only tracks
-    # written depth, matching the scan path (test-only pipelines compare
-    # against depth_init throughout — Vulkan-exact since nothing writes).
+    # NOTE on depth semantics when depth_write is off: the chunk reduce
+    # would pick the nearest fragment while scan/Vulkan keep the LAST
+    # passing one — supports_binned routes test-on/write-off pipelines to
+    # the scan path, so this function never sees them via the dispatcher.
     return VisibilityBuffer(
         tri_id=stitch(tid_t),
         depth=stitch(depth_t),
@@ -645,6 +655,13 @@ def rasterize_depth_only_binned(
     tile — order-free and several times cheaper than the full visibility
     kernel (no winner selection at all). ≙ the depth-only shadow pipeline
     (vertex/shadow.hlsl + empty PS)."""
+    assert pipeline.depth_test_enable and pipeline.depth_compare_op in (
+        BINNED_COMPARE_OPS
+    ), (
+        "rasterize_depth_only_binned requires a min/max-reducible depth "
+        f"test (got {pipeline.depth_compare_op}, "
+        f"test_enable={pipeline.depth_test_enable})"
+    )
     greater = pipeline.depth_compare_op in (
         CompareOp.GREATER,
         CompareOp.GREATER_OR_EQUAL,
@@ -739,5 +756,11 @@ def supports_binned(
     if not pipeline.depth_test_enable:
         # without a depth test the last-submitted triangle must win; the
         # chunk argmin picks the nearest instead -> scan path only
+        return False
+    if not pipeline.depth_write_enable:
+        # test-on/write-off: nothing updates the depth carry, so every
+        # fragment passing vs depth_init must LAST-write the id (scan /
+        # Vulkan semantics); the chunk reduce would pick the nearest
+        # instead -> scan path only
         return False
     return num_triangles >= threshold

@@ -87,7 +87,11 @@ def sample_bilinear(
 
 
 def _sample_level(mips: tuple, level: int, uv: jnp.ndarray, sampler: Sampler) -> jnp.ndarray:
-    if sampler.mag_filter == Filter.NEAREST:
+    # Vulkan selects mag_filter at lod <= 0 and min_filter beyond; with the
+    # static level unroll, level 0 is the magnification regime and every
+    # deeper mip is minification (VkSamplerCreateInfo magFilter/minFilter)
+    f = sampler.mag_filter if level == 0 else sampler.min_filter
+    if f == Filter.NEAREST:
         return sample_nearest(mips[level], uv, sampler)
     return sample_bilinear(mips[level], uv, sampler)
 
@@ -256,8 +260,10 @@ def sample_cubemap(
     y = uv[..., 1] * h - 0.5
     if not bilinear:
         flat = faces.reshape(6 * h, w, c)
-        ix = jnp.clip(jnp.round(x).astype(jnp.int32), 0, w - 1)
-        iy = jnp.clip(jnp.round(y).astype(jnp.int32), 0, h - 1)
+        # floor(u*w), the sample_nearest convention — round(u*w-0.5) would
+        # banker's-round to the even neighbor at exact texel boundaries
+        ix = jnp.clip(jnp.floor(uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+        iy = jnp.clip(jnp.floor(uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
         return flat[row0 + iy, ix]
     # Pack each texel's 2x2 neighborhood (clamp-to-edge) into channels so the
     # whole bilinear footprint is ONE row gather per pixel (the 4-gather
@@ -348,23 +354,37 @@ def _cube_atlas_fetch(atlas, offsets, sizes, level, face, uv, c):
     return _blend_window(_once(atlas[idx]), fx, fy, c)
 
 
-def sample_cubemap_lod(mips: tuple, d: jnp.ndarray, lod: jnp.ndarray) -> jnp.ndarray:
+def sample_cubemap_lod(
+    mips: tuple,
+    d: jnp.ndarray,
+    lod: jnp.ndarray,
+    atlas: jnp.ndarray | None = None,
+    offsets=None,
+    sizes=None,
+) -> jnp.ndarray:
     """Trilinear cubemap sampling at explicit LOD (prefiltered IBL lookup).
 
     All levels are packed into one flat window atlas so a per-pixel dynamic
     LOD costs exactly TWO gathers (lo/hi level) instead of evaluating every
     level and selecting.
+
+    Pass a PREBUILT (atlas, offsets, sizes) — e.g. GpuEnvironment.atlas from
+    scene_build — to skip the window repack: mips are frame inputs under
+    jit, so the 4x-copy concat below would otherwise re-execute every frame.
+    Extra trailing segments in a prebuilt atlas (the skybox) are unreached
+    because lod clamps to len(mips)-1.
     """
     n = len(mips)
     c = mips[0].shape[3]
-    atlas = jnp.concatenate([_cube_window_flat(m) for m in mips], axis=0)
-    sizes_l, offsets_l, off = [], [], 0
-    for m in mips:
-        sizes_l.append(m.shape[1])
-        offsets_l.append(off)
-        off += 6 * m.shape[1] * m.shape[1]
-    sizes = jnp.asarray(sizes_l, jnp.int32)
-    offsets = jnp.asarray(offsets_l, jnp.int32)
+    if atlas is None:
+        atlas = jnp.concatenate([_cube_window_flat(m) for m in mips], axis=0)
+        sizes_l, offsets_l, off = [], [], 0
+        for m in mips:
+            sizes_l.append(m.shape[1])
+            offsets_l.append(off)
+            off += 6 * m.shape[1] * m.shape[1]
+        sizes = jnp.asarray(sizes_l, jnp.int32)
+        offsets = jnp.asarray(offsets_l, jnp.int32)
 
     face, uv = direction_to_cube_uv(d)
     lod = jnp.clip(lod, 0.0, n - 1.0)

@@ -768,6 +768,12 @@ def _shade_pixels(
                 env.irradiance_mips,
                 env.prefiltered_mips,
                 env.brdf_lut,
+                # reuse the prebuilt window atlas (scene_build) when bound:
+                # rebuilding it in-jit re-executes the 4x-copy repack of the
+                # whole prefiltered chain every frame
+                prefiltered_atlas=env.atlas,
+                prefiltered_atlas_offsets=env.atlas_offsets,
+                prefiltered_atlas_sizes=env.atlas_sizes,
             )
         else:
             # hemisphere fallback (model_pbr.hlsl ambient, pbr.hlsli:480-490)
@@ -1291,6 +1297,10 @@ def forward_frame(
             # bin only the band's rows (band-space tiles) and offset the
             # kernel's pixel rows — multi-chip no longer pays the O(T)
             # sequential scan per device
+            band_dinit = (
+                None if depth_clear == 1.0
+                else jnp.full((out_h, width), depth_clear, jnp.float32)
+            )
             if _use_pallas():
                 from renderer_rs_tpu.ops.raster_pallas import (
                     rasterize_binned_pallas,
@@ -1298,6 +1308,7 @@ def forward_frame(
 
                 vis = rasterize_binned_pallas(
                     setup, out_h, width, pipeline,
+                    depth_init=band_dinit,
                     y_offset=y_offset, y_stride=y_stride,
                     small_limit=bin_small_limit,
                 )
@@ -1305,6 +1316,7 @@ def forward_frame(
                 vis = rasterize_binned(
                     setup, out_h, width, pipeline,
                     cap=_binned_cap(n_raster_tris, height, width),
+                    depth_init=band_dinit,
                     y_offset=y_offset, y_stride=y_stride,
                     small_limit=bin_small_limit,
                 )

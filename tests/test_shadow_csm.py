@@ -255,3 +255,26 @@ def test_csm_pcf_group_bit_identical(monkeypatch):
             calculate_shadow_csm(maps, ident, splits, pos, n, n, depth, params)
         )
     np.testing.assert_array_equal(outs["1"], outs["8"])
+
+
+def test_fit_cascades_caster_margin_catches_out_of_slice_casters():
+    """A caster ABOVE a near cascade's frustum slice (toward the sun) must
+    still land inside that cascade's ortho volume — the near-plane extension
+    standing in for depth pancaking. Without the margin the light eye sits
+    only 2*radius behind the slice and such casters fall behind the near
+    plane, silently vanishing from the shadow map."""
+    cam = Camera(Projection.perspective(math.radians(60), 16 / 9, 0.1, 50.0))
+    cam.position = np.array([0.0, 2.0, 5.0], np.float32)
+    cam.look_at([0.0, 0.0, 0.0])
+    sun = np.array([0.0, -1.0, 0.0], np.float32)  # straight down
+    mats, _ = fit_cascades(cam, sun)
+    # a tall blocker 30 world units above the near-slice center: well above
+    # the slice (cascade-0 radius is ~1-2 here) but inside the camera far
+    blocker = np.array([0.0, 30.0, 4.0, 1.0], np.float32)
+    h = mats[0] @ blocker
+    ndc = h[:3] / h[3]
+    assert 0.0 <= ndc[2] <= 1.0, f"caster clipped from cascade 0: z={ndc[2]}"
+    # tight fit (margin=0) reproduces the old clipping behavior
+    mats0, _ = fit_cascades(cam, sun, caster_margin=0.0)
+    h0 = mats0[0] @ blocker
+    assert not 0.0 <= (h0[:3] / h0[3])[2] <= 1.0
