@@ -535,6 +535,7 @@ def rasterize_binned_pallas(
     y_stride: int = 1,
     small_limit: int | None = None,
     defer_varyings: bool = False,
+    defer_dtype: str | None = None,
 ):
     """Binned rasterization with per-tile dynamic trip counts (see module
     docstring). Returns VisibilityBuffer, or just the depth array when
@@ -573,7 +574,15 @@ def rasterize_binned_pallas(
     [chunk, sub_h, tile_w] reductions PER CHUNK (candidate-count-
     proportional), while the deferred gather is pixel-proportional; r3
     frame probes measured the 20-lane raster at ~62 ms vs ~5 ms of
-    deferred-side work."""
+    deferred-side work.
+
+    defer_dtype: "bf16" stores the DEFERRED attribute table in bfloat16,
+    halving the winner-row gather traffic (the largest defer-resolve item).
+    A quality/speed knob ≙ HLSL min16float interpolation qualifiers:
+    attributes quantize to 8 mantissa bits (~0.4% of range; integer lanes
+    like material ids stay exact up to 256). Requires ids=None (a 24-bit
+    ids payload would round: the caller must map ids arithmetically or
+    by lane instead)."""
     t = setup.num_triangles
 
     slab_ids, seg, nty, ntx, _overflow = _bin_compact(
@@ -853,12 +862,22 @@ def rasterize_binned_pallas(
         # (masked sums only ever added zeros -> bit-identical).
         slot = jnp.maximum(vis.tri_id, 0)
         width_c = 3 + 3 * n_vary + n_flat + (1 if ids is not None else 0)
+        if defer_dtype == "bf16":
+            assert ids is None, (
+                "bf16 defer table cannot carry an exact ids payload "
+                "(24-bit ids round at 8 mantissa bits)"
+            )
+            dtab = dtab.astype(jnp.bfloat16)
         rows = dtab[slot]  # [H,W,width_c] — compact table, narrow gather
         # Materialize the gathered rows ONCE: without the barrier XLA fuses
         # the gather into every per-channel consumer below and re-runs it
         # K+ times (r3 calibration: the gather itself is ~1.5 ms, but the
         # un-barriered defer resolve measured ~40 ms — fusion duplication)
         (rows,) = jax.lax.optimization_barrier((rows,))
+        if rows.dtype != jnp.float32:
+            # one cast pass; the barrier held the half-width rows so both
+            # the gather and its materialization ran at bf16 traffic
+            rows = rows.astype(jnp.float32)
         b0 = vis.bary[..., 0]
         b1 = vis.bary[..., 1]
         b2 = 1.0 - b0 - b1
@@ -878,20 +897,31 @@ def rasterize_binned_pallas(
             # relayouts the [H,W,width_c] rows), then fold the three blocks
             # with a constant 0/1 selection matmul on the MXU. Same f32
             # formula per channel (3 products + 2 adds); precision=HIGHEST
-            # keeps f32-accurate accumulation.
+            # keeps f32-accurate accumulation. Flat lanes fold into the
+            # SAME matmul with weight 1 (winner-select passthrough), so no
+            # post-blend concat/slice relayout remains.
             import numpy as _np_dm
 
             lane = jax.lax.broadcasted_iota(
                 jnp.int32, (1, 1, rows.shape[-1]), 2
             )
             in_vary = (lane >= 3) & (lane < 3 + 3 * n_vary)
+            in_flat = (lane >= 3 + 3 * n_vary) & (
+                lane < 3 + 3 * n_vary + n_flat
+            )
             blk = (lane - 3) // max(n_vary, 1)
             wvec = jnp.where(blk == 0, aw0, jnp.where(blk == 1, aw1, aw2))
-            weighted = rows * jnp.where(in_vary, wvec, 0.0)
-            sel = _np_dm.zeros((rows.shape[-1], n_vary), _np_dm.float32)
+            weighted = rows * jnp.where(
+                in_vary, wvec, jnp.where(in_flat, 1.0, 0.0)
+            )
+            sel = _np_dm.zeros(
+                (rows.shape[-1], n_vary + n_flat), _np_dm.float32
+            )
             for i in range(3):
                 for k in range(n_vary):
                     sel[3 + i * n_vary + k, k] = 1.0
+            for f in range(n_flat):
+                sel[3 + 3 * n_vary + f, n_vary + f] = 1.0
             vary_img = jnp.einsum(
                 "hwc,ck->hwk", weighted, jnp.asarray(sel),
                 precision=jax.lax.Precision.HIGHEST,
@@ -903,11 +933,11 @@ def rasterize_binned_pallas(
             vb_ = rows[..., 3 + n_vary : 3 + 2 * n_vary]
             vc_ = rows[..., 3 + 2 * n_vary : 3 + 3 * n_vary]
             vary_img = aw0 * va_ + aw1 * vb_ + aw2 * vc_  # [H,W,K]
-        off = 3 + 3 * n_vary
-        if n_flat:
-            vary_img = jnp.concatenate(
-                [vary_img, rows[..., off : off + n_flat]], axis=-1
-            )
+            off = 3 + 3 * n_vary
+            if n_flat:
+                vary_img = jnp.concatenate(
+                    [vary_img, rows[..., off : off + n_flat]], axis=-1
+                )
         # materialize the resolved varyings once as well: the K channels
         # fan out to many shade consumers (world_pos alone feeds the
         # shadow projection and every light term)

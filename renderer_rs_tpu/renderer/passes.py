@@ -1176,6 +1176,30 @@ def forward_frame(
         src_bits = max(1, (layout.num_triangles - 1).bit_length())
         mat_bits = max(1, (n_mats - 1).bit_length())
         pack_ok = (not flat_mats) and (src_bits + mat_bits <= 24)
+        defer_on = _os_fm.environ.get("RENDERER_DEFER_VARY", "1") != "0"
+        # Arithmetic source mapping (default on the deferred path): the
+        # near-clip source map is clip_src == slot % T BY CONSTRUCTION
+        # (ops/clip.py emits [primary(T), secondary(T)]), so the deferred
+        # ids payload is redundant — source ids come from one subtract and
+        # the material id rides a flat table lane instead (an exact small
+        # int, winner-selected). This frees the defer table of every
+        # f32-exactness-bound column, enabling the bf16 table diet
+        # (RENDERER_DEFER_DTYPE=bf16). RENDERER_PACK_IDS=1 restores the
+        # packed-ids payload for A/B.
+        arith_src = (
+            defer_on
+            and not flat_mats
+            and _os_fm.environ.get("RENDERER_PACK_IDS", "0") == "0"
+        )
+        defer_dtype = (
+            "bf16"
+            if (
+                arith_src
+                and n_mats <= 256  # ids stay exact at 8 mantissa bits
+                and _os_fm.environ.get("RENDERER_DEFER_DTYPE") == "bf16"
+            )
+            else None
+        )
 
         packed = [vs.world_pos, vs.world_normal]
         if layout.has_textures:
@@ -1188,7 +1212,11 @@ def forward_frame(
         # clip frame happens per column inside the kernel prep (vary_bary).
         fused_mid = False
         mat_flat = None
-        if pack_ok:
+        if arith_src:
+            # material id as a flat table lane; no ids payload at all
+            ids_payload = None
+            mat_flat = scene.tri_material[:, None].astype(jnp.float32)
+        elif pack_ok:
             # id payload = source_tri | material_id << src_bits (exact:
             # src_bits + mat_bits <= 24); unpacked right after the raster
             ids_payload = clip_src | (
@@ -1236,9 +1264,23 @@ def forward_frame(
             # kernel lanes cost candidate-proportional masked reductions;
             # the post-kernel wide-row gather is pixel-proportional.
             # RENDERER_DEFER_VARY=0 restores the in-kernel lanes for A/B.
-            defer_varyings=_os_fm.environ.get("RENDERER_DEFER_VARY", "1") != "0",
+            defer_varyings=defer_on,
+            defer_dtype=defer_dtype,
         )
-        if pack_ok:
+        if arith_src:
+            # winner slot -> (source triangle, material id): src is slot
+            # mod T by clip construction; the material id is the trailing
+            # flat lane (exact winner-selected int)
+            mat_id_img = jnp.where(
+                vis.tri_id >= 0, varying_img[..., -1].astype(jnp.int32), 0
+            )
+            t0 = layout.num_triangles
+            vis = vis.replace(
+                tri_id=jnp.where(
+                    vis.tri_id >= t0, vis.tri_id - t0, vis.tri_id
+                )
+            )
+        elif pack_ok:
             # unpack (source_tri, material_id) from the winner payload
             mat_id_img = jnp.where(
                 vis.tri_id >= 0, vis.tri_id >> src_bits, 0
@@ -1256,7 +1298,7 @@ def forward_frame(
         y_offset = 0
         bary3 = None  # unused: varyings are already interpolated
         ids_are_source = True
-        fused_materials = not pack_ok
+        fused_materials = not (pack_ok or arith_src)
         shade_fused_mid = fused_mid
         shade_mat_id_img = mat_id_img
     elif stencil is not None:

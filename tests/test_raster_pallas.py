@@ -265,6 +265,72 @@ def test_fused_forward_frame_matches_deferred(monkeypatch):
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
 
 
+def test_fused_frame_arith_src_matches_packed_ids(monkeypatch):
+    """The arithmetic source mapping (src = slot mod T + material-id flat
+    lane, the defer-path default) is BIT-identical to the packed-ids
+    payload scheme (RENDERER_PACK_IDS=1): same source ids, same material
+    ids, same shaded image."""
+    import renderer_rs_tpu.renderer.passes as passes
+    from renderer_rs_tpu.app.scenes import full_scene
+    from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+    w, h = 128, 64
+    scene, layout, kwargs, _ = full_scene(
+        w, h, tri_budget=300, ibl=False, textured=True
+    )
+    pipe = GraphicsPipelineBuilder().build()
+    monkeypatch.setattr(passes, "_use_pallas", lambda: True)
+
+    def frame():
+        return np.asarray(
+            passes.forward_frame(
+                scene, layout, pipe, kwargs["shading"], w, h,
+                shadow_map_size=64, shadow_params=kwargs["shadow_params"],
+            )
+        )
+
+    arith = frame()
+    monkeypatch.setenv("RENDERER_PACK_IDS", "1")
+    packed = frame()
+    np.testing.assert_array_equal(arith, packed)
+
+
+def test_fused_frame_bf16_defer_table(monkeypatch):
+    """RENDERER_DEFER_DTYPE=bf16 (half-width defer-table gather) renders a
+    finite image close to the f32 path: attributes quantize to 8 mantissa
+    bits but integer lanes (material id) stay exact, so shading must agree
+    to bf16-level tolerance with NO structural differences (same coverage,
+    same materials)."""
+    import renderer_rs_tpu.renderer.passes as passes
+    from renderer_rs_tpu.app.scenes import full_scene
+    from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+    w, h = 128, 64
+    scene, layout, kwargs, _ = full_scene(
+        w, h, tri_budget=300, ibl=False, textured=True
+    )
+    pipe = GraphicsPipelineBuilder().build()
+    monkeypatch.setattr(passes, "_use_pallas", lambda: True)
+
+    def frame():
+        return np.asarray(
+            passes.forward_frame(
+                scene, layout, pipe, kwargs["shading"], w, h,
+                shadow_map_size=64, shadow_params=kwargs["shadow_params"],
+            )
+        )
+
+    ref = frame()
+    monkeypatch.setenv("RENDERER_DEFER_DTYPE", "bf16")
+    out = frame()
+    assert np.isfinite(out).all()
+    # bf16 attribute quantization: ~0.4% of range; shadow-boundary pixels
+    # can flip, so compare the bulk (99.5th percentile error small)
+    err = np.abs(out - ref)
+    assert np.quantile(err, 0.995) < 0.05
+    assert np.median(err) < 0.005
+
+
 def test_pallas_defer_varyings_bit_matches_fused():
     """defer_varyings=True (visibility kernel + post-hoc wide-row gather)
     must reproduce the in-kernel fused-varying output on covered pixels:
@@ -406,4 +472,50 @@ def test_defer_matmul_matches_slice_blend(monkeypatch):
     cov = np.asarray(vis_a.tri_id) >= 0
     np.testing.assert_allclose(
         np.asarray(vary_a)[cov], np.asarray(vary_b)[cov], atol=1e-6, rtol=1e-6
+    )
+
+
+def test_defer_matmul_folds_flat_lanes(monkeypatch):
+    """RENDERER_DEFER_MATMUL=1 with flat varyings AND an ids payload: the
+    flat lanes fold into the selection matmul (weight 1, winner-select
+    passthrough) and must equal the slice-blend path exactly; the ids
+    payload must stay exact."""
+    from renderer_rs_tpu.ops.clip import clip_triangles_near
+
+    clip, tris = _scene(60, seed=17)
+    rng = np.random.default_rng(5)
+    attr = jnp.asarray(rng.random((clip.shape[0], 4), dtype=np.float32))
+    t = tris.shape[0]
+    flat = jnp.asarray(rng.random((t, 3), dtype=np.float32))
+    ids = jnp.asarray(rng.integers(0, 1000, t).astype(np.int32))
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    h, w = 64, 128
+
+    tri_clip = gather_triangle_clip(clip, tris)
+    tri_clip2, valid, src, bary = clip_triangles_near(tri_clip)
+    setup = setup_triangles(tri_clip2, w, h, pipe, tri_valid=valid)
+
+    def run():
+        return rp.rasterize_binned_pallas(
+            setup, h, w, pipe, chunk=16,
+            varyings=attr[tris], vary_src=src, vary_bary=bary,
+            flat_varyings=flat, ids=ids[src], skip_bary=True,
+            defer_varyings=True,
+        )
+
+    vis_a, vary_a = run()
+    monkeypatch.setenv("RENDERER_DEFER_MATMUL", "1")
+    vis_b, vary_b = run()
+    np.testing.assert_array_equal(
+        np.asarray(vis_a.tri_id), np.asarray(vis_b.tri_id)
+    )
+    cov = np.asarray(vis_a.tri_id) >= 0
+    # smooth lanes: same 3-product formula, MXU accumulation at HIGHEST
+    np.testing.assert_allclose(
+        np.asarray(vary_a)[..., :4][cov], np.asarray(vary_b)[..., :4][cov],
+        atol=1e-6, rtol=1e-6,
+    )
+    # flat lanes: winner-select passthrough, exact either way
+    np.testing.assert_array_equal(
+        np.asarray(vary_a)[..., 4:][cov], np.asarray(vary_b)[..., 4:][cov]
     )
