@@ -362,23 +362,69 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, 
 _THRESH_COLS = (4, 9, 14)  # per-edge coverage-threshold columns
 
 
-def _depth_coef_table(setup: TriangleSetup, t: int) -> jnp.ndarray:
+def _canonical_edges_block(xy, s, valid=None):
+    """_canonical_edges vectorized over the EDGE axis, returning one
+    [T, 15] block (edge-major: ax, ay, sdx, sdy, thresh per edge — the
+    exact column order the kernel reads). Identical elementwise formulas
+    as the per-edge dict form -> bit-equal values; the payoff is the
+    ASSEMBLY: one 5-field stack + reshape instead of 15 per-column
+    strided writes (each [T] column stacked into a padded table is its
+    own relayout pass — the defer-table einsum finding)."""
+    # edge i is opposite vertex i: a = vertex (i+1)%3, b = vertex (i+2)%3
+    a = jnp.roll(xy, -1, axis=1)  # [T,3,2]
+    b = jnp.roll(xy, 1, axis=1)
+    ax, ay = a[..., 0], a[..., 1]  # [T,3]
+    bx, by = b[..., 0], b[..., 1]
+    swap = (ay > by) | ((ay == by) & (ax > bx))
+    cax = jnp.where(swap, bx, ax)
+    cay = jnp.where(swap, by, ay)
+    cbx = jnp.where(swap, ax, bx)
+    cby = jnp.where(swap, ay, by)
+    s3 = s[:, None]
+    sgn = jnp.where(swap, -s3, s3)
+    dx = s3 * (bx - ax)
+    dy = s3 * (by - ay)
+    tl = (dy < 0.0) | ((dy == 0.0) & (dx > 0.0))
+    thresh = jnp.where(tl, 0.0, _COV_MIN_NORMAL).astype(jnp.float32)
+    if valid is not None:
+        thresh = jnp.where(valid[:, None], thresh, jnp.inf)
+    e = jnp.stack(
+        [cax, cay, sgn * (cbx - cax), sgn * (cby - cay), thresh], axis=-1
+    )  # [T, 3, 5]
+    return e.reshape(xy.shape[0], 15)
+
+
+def _base_coef_table(setup: TriangleSetup, ids_col: jnp.ndarray) -> jnp.ndarray:
     """The 20-column per-slot coefficient table of the kernel contract
-    (edges/z/inv_area/id — see rasterize_binned_pallas), lane-padded to 128
-    with the pad row at index t (whose thresholds are +inf -> never covers)."""
+    (edges x 5, z x 3, inv_area, ids — see rasterize_binned_pallas), NOT
+    yet lane-padded. RENDERER_KTBL=block assembles it from [T,k] blocks
+    (vectorized edges + concat) instead of 20 per-column stacked writes —
+    bit-equal values (tests assert), A/B-gated like the defer-table
+    einsum."""
+    import os
+
     s = jnp.sign(setup.area2)
     area_abs = jnp.abs(setup.area2)
     inv_area = jnp.where(area_abs > 0.0, 1.0 / jnp.maximum(area_abs, 1e-30), 0.0)
+    if os.environ.get("RENDERER_KTBL") == "block":
+        e15 = _canonical_edges_block(setup.xy, s, valid=setup.valid)
+        return jnp.concatenate(
+            [e15, setup.z, inv_area[:, None], ids_col[:, None]], axis=-1
+        )
     edges = _canonical_edges(setup.xy, s, valid=setup.valid)
     cols = []
     for e in edges:
         cols += [e["ax"], e["ay"], e["sdx"], e["sdy"], e["thresh"]]
     cols += [setup.z[..., 0], setup.z[..., 1], setup.z[..., 2]]
-    cols += [
-        inv_area,
-        jnp.arange(t, dtype=jnp.float32),
-    ]
-    table = jnp.stack(cols, axis=-1)
+    cols += [inv_area, ids_col]
+    return jnp.stack(cols, axis=-1)
+
+
+def _depth_coef_table(setup: TriangleSetup, t: int) -> jnp.ndarray:
+    """The 20-column per-slot coefficient table of the kernel contract
+    (edges/z/inv_area/id — see rasterize_binned_pallas), lane-padded to 128
+    with the pad row at index t (whose thresholds are +inf -> never covers)."""
+    table = _base_coef_table(setup, jnp.arange(t, dtype=jnp.float32))
     table = jnp.pad(table, ((0, 1), (0, 128 - table.shape[-1])))
     return table.at[t, jnp.asarray(_THRESH_COLS)].set(jnp.inf)
 
@@ -604,23 +650,16 @@ def rasterize_binned_pallas(
     # by ONE contiguous row gather — not per-column [n_tiles, cap] gathers,
     # which cost ~50 gather ops over 6x more rows. Row t is the pad row
     # (thresholds +inf -> never covers), which the bin padding selects.
-    s = jnp.sign(setup.area2)
-    area_abs = jnp.abs(setup.area2)
-    inv_area = jnp.where(area_abs > 0.0, 1.0 / jnp.maximum(area_abs, 1e-30), 0.0)
-    edges = _canonical_edges(setup.xy, s, valid=setup.valid)
-    cols = []
-    for e in edges:
-        cols += [e["ax"], e["ay"], e["sdx"], e["sdy"], e["thresh"]]
     defer = defer_varyings and varyings is not None and not depth_only
-    cols += [setup.z[..., 0], setup.z[..., 1], setup.z[..., 2]]
-    cols += [
-        inv_area,
+    base_table = _base_coef_table(
+        setup,
         # defer mode needs the kernel to report the winner SLOT (the table
         # row to gather); the ids payload then rides a trailing table column
         ids.astype(jnp.float32)
         if (ids is not None and not defer)
         else jnp.arange(t, dtype=jnp.float32),
-    ]
+    )
+    cols: list = []  # extra non-defer varying/flat columns (stacked)
     n_vary = 0
     dcols: list = []  # defer-mode columns live in their OWN compact table
     if varyings is not None and not depth_only:
@@ -709,7 +748,11 @@ def rasterize_binned_pallas(
             dtab = jnp.concatenate(parts, axis=-1)
         else:
             dtab = jnp.stack(dcols, axis=-1)  # [t, 3+3K(+Kf)(+1)]
-    table = jnp.stack(cols, axis=-1)  # [t, 20(+3+3K)]
+    table = (
+        jnp.concatenate([base_table, jnp.stack(cols, axis=-1)], axis=-1)
+        if cols
+        else base_table
+    )  # [t, 20(+3+3K)]
     # Lane-pad to 128 and add the all-zero pad row at index t: Mosaic only
     # supports 128-wide HBM DMA slabs, and the in-kernel column extraction
     # needs candidates in SUBLANES (lane->sublane reshapes don't lower).

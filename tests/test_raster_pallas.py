@@ -420,6 +420,45 @@ def test_defer_tbl_einsum_matches_stack(monkeypatch):
     )
 
 
+def test_ktbl_block_bit_matches_stack(monkeypatch):
+    """RENDERER_KTBL=block (edge-vectorized block-assembled kernel table)
+    is BIT-identical to the per-column stack build: same visibility, same
+    barycentrics, same varyings — required before flipping the default.
+    Covers near-clip invalid slots (thresh=inf folding), depth-only, and
+    the fused-varyings path."""
+    from renderer_rs_tpu.ops.clip import clip_triangles_near
+
+    clip, tris = _scene(80, seed=19)
+    rng = np.random.default_rng(2)
+    attr = jnp.asarray(rng.random((clip.shape[0], 4), dtype=np.float32))
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    h, w = 96, 256
+
+    tri_clip = gather_triangle_clip(clip, tris)
+    tri_clip2, valid, src, bary = clip_triangles_near(tri_clip)
+    setup = setup_triangles(tri_clip2, w, h, pipe, tri_valid=valid)
+
+    def runs():
+        vis = rp.rasterize_binned_pallas(setup, h, w, pipe, chunk=16)
+        d = rp.rasterize_binned_pallas(setup, h, w, pipe, depth_only=True)
+        vv, vy = rp.rasterize_binned_pallas(
+            setup, h, w, pipe, chunk=16,
+            varyings=attr[tris], vary_src=src, vary_bary=bary,
+            skip_bary=True, defer_varyings=True,
+        )
+        return vis, d, vv, vy
+
+    a = runs()
+    monkeypatch.setenv("RENDERER_KTBL", "block")
+    b = runs()
+    np.testing.assert_array_equal(np.asarray(a[0].tri_id), np.asarray(b[0].tri_id))
+    np.testing.assert_array_equal(np.asarray(a[0].depth), np.asarray(b[0].depth))
+    np.testing.assert_array_equal(np.asarray(a[0].bary), np.asarray(b[0].bary))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_array_equal(np.asarray(a[2].tri_id), np.asarray(b[2].tri_id))
+    np.testing.assert_array_equal(np.asarray(a[3]), np.asarray(b[3]))
+
+
 def test_pallas_le_ties_resolve_last_submitted():
     """LESS_OR_EQUAL equal-depth ties pick the LAST submitted fragment in
     the Pallas kernel too (scan/binned/pallas stay bit-identical)."""
