@@ -101,4 +101,39 @@ if which in ("all", "flatmats"):
     del os.environ["RENDERER_FLAT_MATS"]
     print("flatmats", res["flatmats"], flush=True)
 
+if which in ("all", "packed"):
+    # r3 packed-ids payload (the pre-arith default): arith src mapping is
+    # the new base, so this measures what the old scheme costs
+    os.environ["RENDERER_PACK_IDS"] = "1"
+    res["packed"] = bench(frame_fn)
+    del os.environ["RENDERER_PACK_IDS"]
+    print("packed", res["packed"], flush=True)
+
+if which in ("all", "bf16d"):
+    # bf16 defer table: halves the winner-row gather traffic (quality knob)
+    os.environ["RENDERER_DEFER_DTYPE"] = "bf16"
+    res["bf16d"] = bench(frame_fn)
+    del os.environ["RENDERER_DEFER_DTYPE"]
+    print("bf16d", res["bf16d"], flush=True)
+
+if which in ("all", "ktbl"):
+    # block-assembled kernel coefficient table (bit-identical)
+    os.environ["RENDERER_KTBL"] = "block"
+    res["ktbl"] = bench(frame_fn)
+    del os.environ["RENDERER_KTBL"]
+    print("ktbl", res["ktbl"], flush=True)
+
+if which in ("all", "best"):
+    # the expected-winner combo: measure interactions, not just singles
+    os.environ["RENDERER_DEFER_MATMUL"] = "1"
+    os.environ["RENDERER_DEFER_TBL"] = "einsum"
+    os.environ["RENDERER_KTBL"] = "block"
+    res["best"] = bench(frame_fn)
+    os.environ["RENDERER_DEFER_DTYPE"] = "bf16"
+    res["best_bf16"] = bench(frame_fn)
+    for k in ("RENDERER_DEFER_MATMUL", "RENDERER_DEFER_TBL",
+              "RENDERER_KTBL", "RENDERER_DEFER_DTYPE"):
+        del os.environ[k]
+    print("best", res["best"], "best_bf16", res["best_bf16"], flush=True)
+
 print(json.dumps(res))
