@@ -17,12 +17,14 @@ pipe = GraphicsPipelineBuilder().build()
 FRAMES = int(os.environ.get("AB_FRAMES", "16"))
 
 
-def bench(make_frame):
+def bench(make_frame, scene_override=None):
     # eps-perturb the scene per iteration: defeats the tunnel's
     # identical-dispatch result cache (probe_ab.py pattern)
+    base = scene if scene_override is None else scene_override
+
     @jax.jit
     def f(eps):
-        s = scene.replace(positions=scene.positions + eps)
+        s = base.replace(positions=base.positions + eps)
         return make_frame(s)
 
     out = f(jnp.float32(0.0))
@@ -122,6 +124,19 @@ if which in ("all", "ktbl"):
     res["ktbl"] = bench(frame_fn)
     del os.environ["RENDERER_KTBL"]
     print("ktbl", res["ktbl"], flush=True)
+
+if which in ("all", "cubebf16"):
+    # bf16 specular/sky cube atlas (cast the cached scene's atlas in place;
+    # fresh builds get it via RENDERER_CUBE_DTYPE=bf16)
+    env_ = scene.environment
+    if env_ is not None and env_.atlas_tri is not None:
+        s_bf = scene.replace(
+            environment=env_.replace(
+                atlas_tri=env_.atlas_tri.astype(jnp.bfloat16)
+            )
+        )
+        res["cubebf16"] = bench(frame_fn, scene_override=s_bf)
+        print("cubebf16", res["cubebf16"], flush=True)
 
 if which in ("all", "best"):
     # the expected-winner combo: measure interactions, not just singles

@@ -671,7 +671,15 @@ def build_cube_trilinear_atlas(segments: list) -> jnp.ndarray:
         else:
             parent = np.zeros((child.shape[0], 9 * c), child.dtype)
         rows.append(np.concatenate([child, parent], axis=-1))
-    return jnp.asarray(np.concatenate(rows, axis=0))  # [R, 13C]
+    out = np.concatenate(rows, axis=0)  # [R, 13C]
+    import os
+
+    if os.environ.get("RENDERER_CUBE_DTYPE") == "bf16":
+        # half the per-pixel gather traffic of the specular/sky fetch;
+        # radiance quantizes to 8 mantissa bits (<=0.4% relative — a
+        # quality/speed knob, A/B-gated like the material atlas' bf16)
+        return jnp.asarray(out, jnp.bfloat16)
+    return jnp.asarray(out)
 
 
 def cube_trilinear_fetch(
@@ -742,6 +750,8 @@ def cube_trilinear_fetch(
         idx = offsets[lo_level] + (face * si + y0c) * si + x0c
         taps = _once(atlas13[idx])  # [..., 13C]
 
+    if taps.dtype != jnp.float32:
+        taps = taps.astype(jnp.float32)  # bf16 atlas: blend math stays f32
     t00 = taps[..., 0:c]
     t10 = taps[..., c : 2 * c]
     t01 = taps[..., 2 * c : 3 * c]

@@ -251,6 +251,31 @@ def test_cube_trilinear_single_gather_matches_pair():
     got = cube_trilinear_fetch(atlas13, offsets, sizes, lo_l, frac, face, uv, 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
+    # bf16 atlas knob (RENDERER_CUBE_DTYPE=bf16 at build / cast in place):
+    # same fetch path, taps quantized to 8 mantissa bits -> 0.4%-of-range
+    # agreement; blend math must stay f32 (no compounding)
+    got_bf = cube_trilinear_fetch(
+        atlas13.astype(jnp.bfloat16), offsets, sizes, lo_l, frac, face, uv, 3
+    )
+    assert got_bf.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got_bf), np.asarray(ref), atol=5e-3)
+
+
+def test_build_cube_trilinear_atlas_bf16_env(monkeypatch):
+    """RENDERER_CUBE_DTYPE=bf16 makes the build emit a bfloat16 atlas."""
+    import jax.numpy as jnp
+
+    from renderer_rs_tpu.ops.sampling import build_cube_trilinear_atlas
+
+    rng = np.random.default_rng(3)
+    segments = [
+        jnp.asarray(rng.random((6, s, s, 3)).astype(np.float32))
+        for s in (8, 4)
+    ] + [jnp.asarray(rng.random((6, 16, 16, 3)).astype(np.float32))]
+    monkeypatch.setenv("RENDERER_CUBE_DTYPE", "bf16")
+    atlas = build_cube_trilinear_atlas(segments)
+    assert atlas.dtype == jnp.bfloat16
+
 
 def test_material_atlas_tri_matches_two_gather():
     """The single-gather bf16 trilinear material atlas matches the exact
