@@ -1,0 +1,84 @@
+"""Image-drift check for the bf16 quality/speed knobs on the flagship
+textured 1080p frame (run on the TPU after probe_frame_ab shows a win).
+
+Prints per-knob: mean abs error, p99 abs error, max abs error of the
+tonemapped frame vs the all-f32 reference — the accept gate for flipping
+a bf16 knob default is p99 < 0.01 (≈ 2.5 u8 steps) and mean < 0.002.
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/probes")
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_default_matmul_precision", "highest")
+
+from scene_cache_tex import get_full_scene_tex
+from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+W, H = 1920, 1080
+scene, layout, kwargs = get_full_scene_tex()
+pipe = GraphicsPipelineBuilder().build()
+
+
+def frame(s):
+    from renderer_rs_tpu.renderer.passes import forward_frame
+
+    return forward_frame(
+        s, layout, pipe, kwargs["shading"], W, H,
+        tonemap=kwargs.get("tonemap", "aces"),
+        shadow_map_size=kwargs.get("shadow_map_size", 1024),
+        shadow_params=kwargs.get("shadow_params"),
+    )
+
+
+def render(env=None, scene_override=None):
+    env = env or {}
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        s = scene_override if scene_override is not None else scene
+        return np.asarray(jax.jit(frame)(s))
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+ref = render()
+res = {}
+variants = {
+    "bf16d": dict(env={"RENDERER_DEFER_DTYPE": "bf16"}),
+}
+env_ = scene.environment
+if env_ is not None and env_.atlas_tri is not None:
+    s_bf = scene.replace(
+        environment=env_.replace(atlas_tri=env_.atlas_tri.astype(jnp.bfloat16))
+    )
+    variants["cubebf16"] = dict(scene_override=s_bf)
+    variants["both"] = dict(
+        env={"RENDERER_DEFER_DTYPE": "bf16"}, scene_override=s_bf
+    )
+
+for name, kw in variants.items():
+    out = render(**kw)
+    err = np.abs(out - ref)
+    res[name] = {
+        "mean": round(float(err.mean()), 6),
+        "p99": round(float(np.quantile(err, 0.99)), 6),
+        "max": round(float(err.max()), 4),
+        "accept": bool(
+            np.quantile(err, 0.99) < 0.01 and err.mean() < 0.002
+        ),
+    }
+    print(name, res[name], flush=True)
+
+print(json.dumps(res))
