@@ -8,11 +8,29 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_default_matmul_precision", "highest")
 
-from scene_cache_tex import get_full_scene_tex
 from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
 
-W, H = 1920, 1080
-scene, layout, kwargs = get_full_scene_tex()
+if os.environ.get("PROBE_SMALL"):
+    # CPU smoke: every variant must RUN (validates the unattended
+    # recovery-window ladder); timings are meaningless here
+    jax.config.update("jax_platforms", "cpu")
+    import renderer_rs_tpu.renderer.passes as _passes
+
+    _passes._use_pallas = lambda: True  # interpret-mode kernel
+    import jax.experimental.pallas as _pl
+    import renderer_rs_tpu.ops.raster_pallas as _rp
+
+    _orig_pc = _pl.pallas_call
+    _rp.pl.pallas_call = lambda *a, **k: _orig_pc(*a, **{**k, "interpret": True})
+    from renderer_rs_tpu.app.scenes import full_scene
+
+    W, H = 256, 128
+    scene, layout, kwargs, _ = full_scene(W, H, tri_budget=800, textured=True)
+else:
+    from scene_cache_tex import get_full_scene_tex
+
+    W, H = 1920, 1080
+    scene, layout, kwargs = get_full_scene_tex()
 pipe = GraphicsPipelineBuilder().build()
 FRAMES = int(os.environ.get("AB_FRAMES", "16"))
 

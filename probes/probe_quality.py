@@ -19,11 +19,28 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_default_matmul_precision", "highest")
 
-from scene_cache_tex import get_full_scene_tex
 from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
 
-W, H = 1920, 1080
-scene, layout, kwargs = get_full_scene_tex()
+if os.environ.get("PROBE_SMALL"):
+    # CPU smoke: validates every variant runs (see probe_frame_ab)
+    jax.config.update("jax_platforms", "cpu")
+    import renderer_rs_tpu.renderer.passes as _passes
+
+    _passes._use_pallas = lambda: True
+    import jax.experimental.pallas as _pl
+    import renderer_rs_tpu.ops.raster_pallas as _rp
+
+    _orig_pc = _pl.pallas_call
+    _rp.pl.pallas_call = lambda *a, **k: _orig_pc(*a, **{**k, "interpret": True})
+    from renderer_rs_tpu.app.scenes import full_scene
+
+    W, H = 256, 128
+    scene, layout, kwargs, _ = full_scene(W, H, tri_budget=800, textured=True)
+else:
+    from scene_cache_tex import get_full_scene_tex
+
+    W, H = 1920, 1080
+    scene, layout, kwargs = get_full_scene_tex()
 pipe = GraphicsPipelineBuilder().build()
 
 
@@ -44,7 +61,10 @@ def render(env=None, scene_override=None):
     os.environ.update(env)
     try:
         s = scene_override if scene_override is not None else scene
-        return np.asarray(jax.jit(frame)(s))
+        # fresh function OBJECT per render: pjit's trace cache keys on the
+        # callable identity, so reusing `frame` would silently serve the
+        # previous env's trace (env knobs are read at trace time)
+        return np.asarray(jax.jit(lambda x: frame(x))(s))
     finally:
         for k, v in old.items():
             if v is None:

@@ -327,6 +327,7 @@ def test_fused_frame_bf16_defer_table(monkeypatch):
     # bf16 attribute quantization: ~0.4% of range; shadow-boundary pixels
     # can flip, so compare the bulk (99.5th percentile error small)
     err = np.abs(out - ref)
+    assert err.max() > 0, "bf16 knob silently inert (trace-cache or plumbing)"
     assert np.quantile(err, 0.995) < 0.05
     assert np.median(err) < 0.005
 
