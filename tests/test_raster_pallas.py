@@ -265,6 +265,36 @@ def test_fused_forward_frame_matches_deferred(monkeypatch):
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
 
 
+def test_fused_frame_csm_matches_deferred(monkeypatch):
+    """forward_frame's fused path under CSM (batched cascade raster +
+    blended cascade select reading vis.depth) matches the deferred CPU
+    path — the composition behind the --csm TPU screenshot."""
+    import renderer_rs_tpu.renderer.passes as passes
+    from renderer_rs_tpu.app.scenes import full_scene
+    from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+    w, h = 128, 64
+    scene, layout, kwargs, _ = full_scene(
+        w, h, tri_budget=300, ibl=False, textured=True, csm=True
+    )
+    assert layout.has_csm
+    pipe = GraphicsPipelineBuilder().build()
+
+    def frame():
+        return np.asarray(
+            passes.forward_frame(
+                scene, layout, pipe, kwargs["shading"], w, h,
+                shadow_map_size=64, shadow_params=kwargs["shadow_params"],
+            )
+        )
+
+    ref = frame()
+    monkeypatch.setattr(passes, "_use_pallas", lambda: True)
+    out = frame()
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
 def test_fused_frame_arith_src_matches_packed_ids(monkeypatch):
     """The arithmetic source mapping (src = slot mod T + material-id flat
     lane, the defer-path default) is BIT-identical to the packed-ids
