@@ -265,6 +265,37 @@ def test_fused_forward_frame_matches_deferred(monkeypatch):
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
 
 
+def test_fused_frame_ibl_matches_deferred(monkeypatch):
+    """The flagship bench combination (textured PBR + IBL fast-ambient +
+    merged specular/skybox fetch) through the fused path matches the
+    deferred CPU path."""
+    import renderer_rs_tpu.renderer.passes as passes
+    from renderer_rs_tpu.app.scenes import full_scene
+    from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+    w, h = 128, 64
+    scene, layout, kwargs, _ = full_scene(
+        w, h, tri_budget=300, ibl=True, textured=True
+    )
+    assert layout.has_environment
+    pipe = GraphicsPipelineBuilder().build()
+
+    def frame():
+        return np.asarray(
+            passes.forward_frame(
+                scene, layout, pipe, kwargs["shading"], w, h,
+                tonemap=kwargs.get("tonemap", "aces"),
+                shadow_map_size=64, shadow_params=kwargs["shadow_params"],
+            )
+        )
+
+    ref = frame()
+    monkeypatch.setattr(passes, "_use_pallas", lambda: True)
+    out = frame()
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
 def test_fused_frame_csm_matches_deferred(monkeypatch):
     """forward_frame's fused path under CSM (batched cascade raster +
     blended cascade select reading vis.depth) matches the deferred CPU
