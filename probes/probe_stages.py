@@ -115,18 +115,17 @@ if want("vis"):
     print("vis", res["vis"], flush=True)
 
 if want("defer"):
-    # the live fused path: deferred varyings + packed ids, skip_bary
+    # the live fused path (r3 fourth revision): deferred varyings, arith
+    # source mapping (no ids payload), material id as a flat table lane
     def f(s):
         vs, setup, clip_src, clip_bary = geom(s)
         packed = [vs.world_pos, vs.world_normal, s.uvs, vs.world_tangent]
         attr = jnp.concatenate(packed, axis=-1)
-        n_mats = int(s.materials.metallic.shape[0])
-        src_bits = max(1, (T - 1).bit_length())
-        ids_payload = clip_src | (s.tri_material[clip_src] << src_bits)
+        mat_flat = s.tri_material[:, None].astype(jnp.float32)
         vis, vary = rasterize_binned_pallas(
             setup, H, W, pipe,
             varyings=attr[s.tris], vary_src=clip_src, vary_bary=clip_bary,
-            ids=ids_payload, skip_bary=True, small_limit=T,
+            flat_varyings=mat_flat, skip_bary=True, small_limit=T,
             defer_varyings=True,
         )
         return vis.depth.sum() + vary.sum()
