@@ -137,11 +137,12 @@ if which in ("all", "bf16d"):
     print("bf16d", res["bf16d"], flush=True)
 
 if which in ("all", "ktbl"):
-    # block-assembled kernel coefficient table (bit-identical)
-    os.environ["RENDERER_KTBL"] = "block"
-    res["ktbl"] = bench(frame_fn)
+    # per-column stacked kernel coefficient table (the pre-r3 default;
+    # block assembly won the A/B and is now the default)
+    os.environ["RENDERER_KTBL"] = "stack"
+    res["ktbl_stack"] = bench(frame_fn)
     del os.environ["RENDERER_KTBL"]
-    print("ktbl", res["ktbl"], flush=True)
+    print("ktbl_stack", res["ktbl_stack"], flush=True)
 
 if which in ("all", "cubebf16"):
     # bf16 specular/sky cube atlas (cast the cached scene's atlas in place;

@@ -483,11 +483,11 @@ def test_defer_tbl_einsum_matches_stack(monkeypatch):
 
 
 def test_ktbl_block_bit_matches_stack(monkeypatch):
-    """RENDERER_KTBL=block (edge-vectorized block-assembled kernel table)
-    is BIT-identical to the per-column stack build: same visibility, same
-    barycentrics, same varyings — required before flipping the default.
-    Covers near-clip invalid slots (thresh=inf folding), depth-only, and
-    the fused-varyings path."""
+    """RENDERER_KTBL=block (the default: edge-vectorized block-assembled
+    kernel table) is BIT-identical to the per-column stack build
+    (RENDERER_KTBL=stack): same visibility, same barycentrics, same
+    varyings. Covers near-clip invalid slots (thresh=inf folding),
+    depth-only, and the fused-varyings path."""
     from renderer_rs_tpu.ops.clip import clip_triangles_near
 
     clip, tris = _scene(80, seed=19)
@@ -510,6 +510,7 @@ def test_ktbl_block_bit_matches_stack(monkeypatch):
         )
         return vis, d, vv, vy
 
+    monkeypatch.setenv("RENDERER_KTBL", "stack")
     a = runs()
     monkeypatch.setenv("RENDERER_KTBL", "block")
     b = runs()
