@@ -175,4 +175,21 @@ for g in (4, 16):
         del os.environ["RENDERER_PCF_GROUP"]
         print(key, res[key], flush=True)
 
+if want("pcf_group_layout"):
+    # the pre-halo window layout (72-lane rows, 9-plane build); halo
+    # (30-lane rows, 3-plane build + x-halo select) is the default
+    os.environ["RENDERER_PCF_LAYOUT"] = "group"
+    res["pcf_group_layout"] = bench(frame_fn)
+    del os.environ["RENDERER_PCF_LAYOUT"]
+    print("pcf_group_layout", res["pcf_group_layout"], flush=True)
+
+if want("pcf_halo16"):
+    # halo at group=16: 54-lane rows, 65k-row table
+    os.environ["RENDERER_PCF_LAYOUT"] = "halo"
+    os.environ["RENDERER_PCF_GROUP"] = "16"
+    res["pcf_halo16"] = bench(frame_fn)
+    del os.environ["RENDERER_PCF_GROUP"]
+    del os.environ["RENDERER_PCF_LAYOUT"]
+    print("pcf_halo16", res["pcf_halo16"], flush=True)
+
 print(json.dumps(res))

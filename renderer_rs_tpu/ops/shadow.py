@@ -48,6 +48,54 @@ def pcf_group(width: int) -> int:
     return group if group > 1 and width % group == 0 else 1
 
 
+def pcf_layout() -> str:
+    """PCF window-table layout (RENDERER_PCF_LAYOUT): "group" packs n
+    x-texels x the full 9-tap window per row (n*9 lanes); "halo" packs
+    3 dy-planes x (n+2) x-texels-with-halo per row (3*(n+2) lanes — 30
+    vs 72 at n=8), trading lane width for a 2-compare block select.
+    Bit-identical tap sets (tests assert); A/B at frame level before
+    flipping."""
+    import os
+
+    return os.environ.get("RENDERER_PCF_LAYOUT", "halo")
+
+
+def build_halo_rows(shadow_map: jnp.ndarray, group: int) -> jnp.ndarray:
+    """[h*(w/group), 3*(group+2)] PCF table: lane = dy*(group+2) + xh
+    holds map[clamp(y+dy-1), clamp(group*k + xh - 1)] — every 3x3 tap of
+    every pixel in group-row k appears exactly once (the x halo shares
+    neighbor texels across the group instead of duplicating the 9-lane
+    window per texel, shrinking the row 72 -> 30 lanes at group=8 and
+    the table build 9 -> 3 shifted planes)."""
+    h, w = shadow_map.shape[0], shadow_map.shape[1]
+    padded = jnp.pad(shadow_map, 1, mode="edge")
+    span = group + 2
+    cols = []
+    for dy in range(3):
+        plane = padded[dy : dy + h, :]
+        for xh in range(span):
+            cols.append(plane[:, xh : xh + w : group])
+    return jnp.stack(cols, axis=-1).reshape(h * (w // group), 3 * span)
+
+
+def halo_window_reduce(
+    wide: jnp.ndarray, sub: jnp.ndarray, current: jnp.ndarray, group: int
+) -> jnp.ndarray:
+    """3x3 PCF mean from a halo row (build_halo_rows layout): compare all
+    3*(group+2) lanes against `current`, select the pixel's 3-lane x-span
+    per dy-plane ((lane % span) - sub in [0,3)), reduce once. Same
+    full-lane mask-reduce shape as grouped_window_reduce (lane slices
+    relayout; masks don't); sum of <=9 f32 ones is exact."""
+    span = group + 2
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (1,) * (wide.ndim - 1) + (3 * span,), wide.ndim - 1
+    )
+    d = (lane % span) - sub[..., None]
+    sel = (d >= 0) & (d < 3)
+    cmp = (wide >= current[..., None]) & sel
+    return jnp.sum(cmp.astype(jnp.float32), axis=-1) * (1.0 / 9.0)
+
+
 def grouped_window_reduce(
     wide: jnp.ndarray, sub: jnp.ndarray, current: jnp.ndarray, group: int
 ) -> jnp.ndarray:
@@ -149,19 +197,25 @@ def calculate_shadow(
         # (1M-row tables ~11 ms, <=256k-row tables ~1.5 ms at any width),
         # so grouping a 1024^2 map into 1024*(1024/8) rows takes the PCF
         # fetch off the gather cliff. Default 8; =1 restores the flat map.
-        padded = jnp.pad(shadow_map, 1, mode="edge")
-        window = jnp.stack(
-            [
-                padded[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
-                for dy in (-1, 0, 1)
-                for dx in (-1, 0, 1)
-            ],
-            axis=-1,
-        )  # [H,W,9]
         ix = jnp.clip(jnp.floor(uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
         iy = jnp.clip(jnp.floor(uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
         group = pcf_group(w)
-        if group > 1:
+        if group > 1 and pcf_layout() == "halo":
+            flat = build_halo_rows(shadow_map, group)
+            row_id = iy * (w // group) + ix // group
+            sub = ix % group
+            wide = flat[row_id]  # [..., 3*(group+2)] — the one (wide) gather
+            shadow = halo_window_reduce(wide, sub, current, group)
+        elif group > 1:
+            padded = jnp.pad(shadow_map, 1, mode="edge")
+            window = jnp.stack(
+                [
+                    padded[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ],
+                axis=-1,
+            )  # [H,W,9]
             rows = window.reshape(h, w // group, group * 9)
             flat = rows.reshape(h * (w // group), group * 9)
             row_id = iy * (w // group) + ix // group
@@ -170,6 +224,15 @@ def calculate_shadow(
             # single consumer of the gather -> no optimization barrier needed
             shadow = grouped_window_reduce(wide, sub, current, group)
         else:
+            padded = jnp.pad(shadow_map, 1, mode="edge")
+            window = jnp.stack(
+                [
+                    padded[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ],
+                axis=-1,
+            )  # [H,W,9]
             taps = window[iy, ix]  # [...,9]
             shadow = jnp.mean(
                 jnp.where(taps >= current[..., None], 1.0, 0.0), axis=-1

@@ -199,10 +199,14 @@ def _shadow_kernel_knobs() -> dict:
     """Depth-only raster knobs, env-overridable for probe-time tuning
     (RENDERER_SHADOW_TILE_H / _SUB_H / _CHUNK — no code edit between
     probe_shadow runs; light-space candidate distributions differ enough
-    from screen space that the forward defaults may not be optimal)."""
+    from screen space that the forward defaults may not be optimal).
+    Default chunk=32: the shadow candidate lists are shorter than the
+    forward pass's (97k tris -> ~62k (bin,tri) pairs at 1024^2), and the
+    r3 probe_shadow sweep measured chunk32 at 10.8 ms cumulative vs 11.5
+    for the forward default chunk=64."""
     import os
 
-    out = {}
+    out = {"chunk": 32}
     for env, kw in (
         ("RENDERER_SHADOW_TILE_H", "tile_h"),
         ("RENDERER_SHADOW_SUB_H", "sub_h"),

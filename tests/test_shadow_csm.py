@@ -278,3 +278,35 @@ def test_fit_cascades_caster_margin_catches_out_of_slice_casters():
     mats0, _ = fit_cascades(cam, sun, caster_margin=0.0)
     h0 = mats0[0] @ blocker
     assert not 0.0 <= (h0[:3] / h0[3])[2] <= 1.0
+
+
+def test_pcf_halo_layout_bit_identical(monkeypatch):
+    """RENDERER_PCF_LAYOUT=halo (3 dy-planes x (group+2) x-halo lanes,
+    30 lanes at group=8) must be bit-identical to the "group" layout
+    (full 9-tap window per x-texel, 72 lanes) AND to the ungrouped
+    per-texel table: all three enumerate the same edge-clamped 3x3 taps
+    and sum <=9 exact f32 ones. Random points include off-edge UVs so the
+    clamp rows/cols are exercised."""
+    rng = np.random.default_rng(11)
+    s = 32
+    sm = jnp.asarray(rng.random((s, s), dtype=np.float32))
+    lsm = jnp.asarray(
+        directional_light_matrix(
+            jnp.array([0.3, -1.0, 0.2]), jnp.zeros(3), 4.0
+        )
+    )
+    n_pts = 513
+    pos = jnp.asarray(rng.uniform(-4.5, 4.5, (n_pts, 3)).astype(np.float32))
+    nrm = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), (n_pts, 3))
+    ldir = jnp.broadcast_to(jnp.array([-0.3, 1.0, -0.2]), (n_pts, 3))
+    params = ShadowParams(pcf=True)
+
+    outs = {}
+    for layout, group in (("halo", "8"), ("group", "8"), ("group", "1")):
+        monkeypatch.setenv("RENDERER_PCF_LAYOUT", layout)
+        monkeypatch.setenv("RENDERER_PCF_GROUP", group)
+        outs[(layout, group)] = np.asarray(
+            calculate_shadow(sm, lsm, pos, nrm, ldir, params)
+        )
+    np.testing.assert_array_equal(outs[("halo", "8")], outs[("group", "8")])
+    np.testing.assert_array_equal(outs[("halo", "8")], outs[("group", "1")])
