@@ -183,6 +183,60 @@ if want("pcf_group_layout"):
     del os.environ["RENDERER_PCF_LAYOUT"]
     print("pcf_group_layout", res["pcf_group_layout"], flush=True)
 
+if want("pcf_build0"):
+    # halo-table BUILD cost: constant table (same shape), keeps the
+    # gather + reduce live via a tiny data dependence
+    import renderer_rs_tpu.ops.shadow as shadow_mod
+
+    real = shadow_mod.build_halo_rows
+
+    def stub(shadow_map, group):
+        h, w = shadow_map.shape[0], shadow_map.shape[1]
+        return jnp.full(
+            (h * (w // group), 3 * (group + 2)), 0.5, jnp.float32
+        ) + shadow_map[0, 0] * 1e-12
+
+    shadow_mod.build_halo_rows = stub
+    res["pcf_build0"] = bench(frame_fn)
+    shadow_mod.build_halo_rows = real
+    print("pcf_build0", res["pcf_build0"], flush=True)
+
+if want("pcf_reduce0"):
+    # mask-REDUCE cost: keep build+gather, reduce -> first lane
+    import renderer_rs_tpu.ops.shadow as shadow_mod
+
+    real = shadow_mod.halo_window_reduce
+
+    def stub(wide, sub, current, group):
+        return wide[..., 0] * 1e-12 + 0.9 + current * 1e-12
+
+    shadow_mod.halo_window_reduce = stub
+    res["pcf_reduce0"] = bench(frame_fn)
+    shadow_mod.halo_window_reduce = real
+    print("pcf_reduce0", res["pcf_reduce0"], flush=True)
+
+if want("pcf_proj0"):
+    # PROJECTION cost (runs twice: bounds + offset): cheap linear stand-in
+    import renderer_rs_tpu.ops.shadow as shadow_mod
+
+    real = shadow_mod._project_to_shadow_uv
+
+    def stub(lsm, p):
+        uv = p[..., :2] * 0.05 + 0.5 + lsm[0, 0] * 1e-12
+        return uv, p[..., 2] * 0.05 + 0.5
+
+    shadow_mod._project_to_shadow_uv = stub
+    res["pcf_proj0"] = bench(frame_fn)
+    shadow_mod._project_to_shadow_uv = real
+    print("pcf_proj0", res["pcf_proj0"], flush=True)
+
+if want("pcf_halo4"):
+    # halo at group=4: 18-lane rows, 262k-row table
+    os.environ["RENDERER_PCF_GROUP"] = "4"
+    res["pcf_halo4"] = bench(frame_fn)
+    del os.environ["RENDERER_PCF_GROUP"]
+    print("pcf_halo4", res["pcf_halo4"], flush=True)
+
 if want("pcf_halo16"):
     # halo at group=16: 54-lane rows, 65k-row table
     os.environ["RENDERER_PCF_LAYOUT"] = "halo"
