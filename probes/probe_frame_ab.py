@@ -91,29 +91,6 @@ if which in ("all", "stub_atlas"):
     sampling.sample_material_atlas_tri = real
     print("stub_atlas", res["stub_atlas"], flush=True)
 
-if which in ("all", "pcf_scalar9"):
-    # 9 scalar taps straight off the flat map (no window table) — the r3
-    # narrow-gather calibration said 1-lane gathers are ~free standalone
-    # but 9-in-one-program read 157 ms in a microprobe; the frame decides
-    os.environ["RENDERER_PCF_LAYOUT"] = "scalar9"
-    res["pcf_scalar9"] = bench(frame_fn)
-    del os.environ["RENDERER_PCF_LAYOUT"]
-    print("pcf_scalar9", res["pcf_scalar9"], flush=True)
-
-if which in ("all", "atlas_split"):
-    # 8 narrow same-index gathers instead of the one [.., 8C] row gather
-    os.environ["RENDERER_ATLAS_SPLIT"] = "1"
-    res["atlas_split"] = bench(frame_fn)
-    del os.environ["RENDERER_ATLAS_SPLIT"]
-    print("atlas_split", res["atlas_split"], flush=True)
-
-if which in ("all", "defer_split"):
-    # 5-6 narrow same-index gathers instead of the one [.., 40] row gather
-    os.environ["RENDERER_DEFER_SPLIT"] = "1"
-    res["defer_split"] = bench(frame_fn)
-    del os.environ["RENDERER_DEFER_SPLIT"]
-    print("defer_split", res["defer_split"], flush=True)
-
 if which in ("all", "pcf1"):
     os.environ["RENDERER_PCF_GROUP"] = "1"
     res["pcf1"] = bench(frame_fn)

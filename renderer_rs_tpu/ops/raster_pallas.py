@@ -906,52 +906,6 @@ def rasterize_binned_pallas(
         # (masked sums only ever added zeros -> bit-identical).
         slot = jnp.maximum(vis.tri_id, 0)
         width_c = 3 + 3 * n_vary + n_flat + (1 if ids is not None else 0)
-        import os as _os_ds
-
-        if (
-            _os_ds.environ.get("RENDERER_DEFER_SPLIT", "0") == "1"
-            and n_vary
-            and n_vary <= 16
-            and defer_dtype != "bf16"
-        ):
-            # Narrow-gather split (r3 calibration: <=16-lane gathers sit far
-            # off the wide-gather cliff): gather each consumer segment of
-            # the winner row as its own narrow gather — the [H,W,width_c]
-            # row array is never materialized. Same math/order as the wide
-            # path below (bit-identical; tests assert).
-            def seg(j0, j1):
-                (g,) = jax.lax.optimization_barrier((dtab[:, j0:j1][slot],))
-                return g
-
-            w3 = seg(0, 3)
-            b0 = vis.bary[..., 0]
-            b1 = vis.bary[..., 1]
-            b2 = 1.0 - b0 - b1
-            wb0 = b0 * w3[..., 0]
-            wb1 = b1 * w3[..., 1]
-            wb2 = b2 * w3[..., 2]
-            denom = wb0 + wb1 + wb2
-            inv_d = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
-            aw0 = (wb0 * inv_d)[..., None]
-            aw1 = (wb1 * inv_d)[..., None]
-            aw2 = (wb2 * inv_d)[..., None]
-            vary_img = (
-                aw0 * seg(3, 3 + n_vary)
-                + aw1 * seg(3 + n_vary, 3 + 2 * n_vary)
-                + aw2 * seg(3 + 2 * n_vary, 3 + 3 * n_vary)
-            )
-            off = 3 + 3 * n_vary
-            if n_flat:
-                vary_img = jnp.concatenate(
-                    [vary_img, seg(off, off + n_flat)], axis=-1
-                )
-            (vary_img,) = jax.lax.optimization_barrier((vary_img,))
-            if ids is not None:
-                src_id = seg(width_c - 1, width_c)[..., 0].astype(jnp.int32)
-                vis = vis.replace(
-                    tri_id=jnp.where(vis.tri_id >= 0, src_id, vis.tri_id)
-                )
-            return vis, vary_img
         if defer_dtype == "bf16":
             assert ids is None, (
                 "bf16 defer table cannot carry an exact ids payload "

@@ -924,26 +924,6 @@ def sample_material_atlas_tri(
             idx = jnp.where(sel, idx_l, idx)
             fx = jnp.where(sel[..., None], fx_l, fx)
             fy = jnp.where(sel[..., None], fy_l, fy)
-    import os as _os_sp
-
-    if _os_sp.environ.get("RENDERER_ATLAS_SPLIT", "0") == "1":
-        # Narrow-gather split (r3 calibration: gathers with <=16 lanes are
-        # far off the wide-gather cliff): fetch each of the 8 bilinear taps
-        # as its own C-lane gather and blend the narrow pieces directly —
-        # the [.., 8C] row is never materialized. Same values, same blend
-        # order as the wide path (bit-identical; tests assert).
-        def tap(k):
-            blk = atlas[:, k * c : (k + 1) * c]
-            return _once(blk[idx]).astype(jnp.float32)
-
-        def blend4(t00, t10, t01, t11):
-            top = t00 * (1 - fx) + t10 * fx
-            bot = t01 * (1 - fx) + t11 * fx
-            return top * (1 - fy) + bot * fy
-
-        f_lo = blend4(tap(0), tap(1), tap(2), tap(3))
-        f_hi = blend4(tap(4), tap(5), tap(6), tap(7))
-        return f_lo * (1.0 - frac[..., None]) + f_hi * frac[..., None]
     taps = _once(atlas[idx])  # [..., 8C] bf16 — THE one gather
     f_lo = _blend_window(taps[..., : 4 * c].astype(jnp.float32), fx, fy, c)
     f_hi = _blend_window(taps[..., 4 * c :].astype(jnp.float32), fx, fy, c)

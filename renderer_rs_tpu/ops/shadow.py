@@ -52,11 +52,9 @@ def pcf_layout() -> str:
     """PCF window-table layout (RENDERER_PCF_LAYOUT): "group" packs n
     x-texels x the full 9-tap window per row (n*9 lanes); "halo" packs
     3 dy-planes x (n+2) x-texels-with-halo per row (3*(n+2) lanes — 30
-    vs 72 at n=8), trading lane width for a 2-compare block select;
-    "scalar9" skips the window table entirely and takes the 9 taps as
-    separate scalar (1-lane) gathers from the flat map (r3 narrow-gather
-    calibration). Bit-identical tap sets (tests assert); A/B at frame
-    level before flipping."""
+    vs 72 at n=8), trading lane width for a 2-compare block select.
+    Bit-identical tap sets (tests assert); A/B at frame level before
+    flipping."""
     import os
 
     return os.environ.get("RENDERER_PCF_LAYOUT", "halo")
@@ -202,21 +200,7 @@ def calculate_shadow(
         ix = jnp.clip(jnp.floor(uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
         iy = jnp.clip(jnp.floor(uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
         group = pcf_group(w)
-        if pcf_layout() == "scalar9":
-            # 9 scalar (1-lane) taps straight off the flat map — no window
-            # table. Each tap clamps its own coordinate, matching the
-            # edge-pad semantics of the window layouts (bit-identical tap
-            # set; tests assert).
-            flat = shadow_map.reshape(-1)
-            acc = None
-            for dy in (-1, 0, 1):
-                sy = jnp.clip(iy + dy, 0, h - 1)
-                for dx in (-1, 0, 1):
-                    sx = jnp.clip(ix + dx, 0, w - 1)
-                    hit = (flat[sy * w + sx] >= current).astype(jnp.float32)
-                    acc = hit if acc is None else acc + hit
-            shadow = acc * (1.0 / 9.0)
-        elif group > 1 and pcf_layout() == "halo":
+        if group > 1 and pcf_layout() == "halo":
             flat = build_halo_rows(shadow_map, group)
             row_id = iy * (w // group) + ix // group
             sub = ix % group

@@ -482,47 +482,6 @@ def test_defer_tbl_einsum_matches_stack(monkeypatch):
     )
 
 
-def test_defer_split_matches_wide(monkeypatch):
-    """RENDERER_DEFER_SPLIT=1 (per-segment narrow gathers of the winner
-    row instead of the one wide-row gather) resolves the same varyings
-    and ids as the wide path — same values gathered, same blend op
-    order. Required before flipping the default."""
-    from renderer_rs_tpu.ops.clip import clip_triangles_near
-
-    clip, tris = _scene(60, seed=21)
-    rng = np.random.default_rng(7)
-    attr = jnp.asarray(rng.random((clip.shape[0], 6), dtype=np.float32))
-    t = tris.shape[0]
-    flat = jnp.asarray(rng.random((t, 2), dtype=np.float32))
-    ids = jnp.asarray(rng.integers(0, 1000, t).astype(np.int32))
-    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
-    h, w = 64, 128
-
-    tri_clip = gather_triangle_clip(clip, tris)
-    tri_clip2, valid, src, bary = clip_triangles_near(tri_clip)
-    setup = setup_triangles(tri_clip2, w, h, pipe, tri_valid=valid)
-
-    def run():
-        return rp.rasterize_binned_pallas(
-            setup, h, w, pipe, chunk=16,
-            varyings=attr[tris], vary_src=src, vary_bary=bary,
-            flat_varyings=flat, ids=ids[src], skip_bary=True,
-            defer_varyings=True,
-        )
-
-    vis_a, vary_a = run()
-    monkeypatch.setenv("RENDERER_DEFER_SPLIT", "1")
-    vis_b, vary_b = run()
-    np.testing.assert_array_equal(
-        np.asarray(vis_a.tri_id), np.asarray(vis_b.tri_id)
-    )
-    cov = np.asarray(vis_a.tri_id) >= 0
-    np.testing.assert_allclose(
-        np.asarray(vary_a)[cov], np.asarray(vary_b)[cov],
-        rtol=4e-6, atol=1e-6,
-    )
-
-
 def test_ktbl_block_bit_matches_stack(monkeypatch):
     """RENDERER_KTBL=block (the default: edge-vectorized block-assembled
     kernel table) is BIT-identical to the per-column stack build

@@ -375,42 +375,3 @@ def test_material_atlas_tri_exact_at_integer_lod():
         tri, tuple(offs_t), sizes_t, len(mips), shapes[0], 4, mid, uv
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(exact), atol=5e-3)
-
-
-def test_material_atlas_split_bit_matches_wide(monkeypatch):
-    """RENDERER_ATLAS_SPLIT=1 (8 narrow per-tap gathers instead of the one
-    [.., 8C] row gather) is bit-identical to the wide path: same taps,
-    same blend op order. Required before flipping the default."""
-    from renderer_rs_tpu.ops.sampling import (
-        build_material_atlas_tri,
-        sample_material_atlas_tri,
-    )
-
-    rng = np.random.default_rng(5)
-    n_tex, s = 3, 16
-    base = rng.random((n_tex, s, s, 4)).astype(np.float32)
-    mips = [jnp.asarray(base)]
-    lvl = base
-    while lvl.shape[1] > 1:
-        lvl = lvl.reshape(
-            n_tex, lvl.shape[1] // 2, 2, lvl.shape[2] // 2, 2, 4
-        ).mean(axis=(2, 4))
-        mips.append(jnp.asarray(lvl))
-    mips = tuple(mips)
-    slots = (0, 1, 2, 3, 4)
-    tex_ids = np.array([[0, 1, 2, -1, 0], [2, -1, 0, 1, -1]], np.int64)
-    tri, offs_t, sizes_t = build_material_atlas_tri(mips, tex_ids, slots)
-
-    h = w = 24
-    uv = jnp.asarray(rng.random((h, w, 2)) * 1.4 - 0.2, jnp.float32)
-    mid = jnp.asarray(rng.integers(0, 2, (h, w)), jnp.int32)
-    shapes = tuple((int(m.shape[1]), int(m.shape[2])) for m in mips)
-
-    wide = sample_material_atlas_tri(
-        tri, tuple(offs_t), sizes_t, len(mips), shapes[0], 13, mid, uv
-    )
-    monkeypatch.setenv("RENDERER_ATLAS_SPLIT", "1")
-    split = sample_material_atlas_tri(
-        tri, tuple(offs_t), sizes_t, len(mips), shapes[0], 13, mid, uv
-    )
-    np.testing.assert_array_equal(np.asarray(split), np.asarray(wide))

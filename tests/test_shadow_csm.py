@@ -302,12 +302,7 @@ def test_pcf_halo_layout_bit_identical(monkeypatch):
     params = ShadowParams(pcf=True)
 
     outs = {}
-    for layout, group in (
-        ("halo", "8"),
-        ("group", "8"),
-        ("group", "1"),
-        ("scalar9", "8"),
-    ):
+    for layout, group in (("halo", "8"), ("group", "8"), ("group", "1")):
         monkeypatch.setenv("RENDERER_PCF_LAYOUT", layout)
         monkeypatch.setenv("RENDERER_PCF_GROUP", group)
         outs[(layout, group)] = np.asarray(
@@ -315,4 +310,3 @@ def test_pcf_halo_layout_bit_identical(monkeypatch):
         )
     np.testing.assert_array_equal(outs[("halo", "8")], outs[("group", "8")])
     np.testing.assert_array_equal(outs[("halo", "8")], outs[("group", "1")])
-    np.testing.assert_array_equal(outs[("halo", "8")], outs[("scalar9", "8")])
