@@ -70,12 +70,23 @@ def build_halo_rows(shadow_map: jnp.ndarray, group: int) -> jnp.ndarray:
     h, w = shadow_map.shape[0], shadow_map.shape[1]
     padded = jnp.pad(shadow_map, 1, mode="edge")
     span = group + 2
-    cols = []
+    k = w // group
+    planes = []
     for dy in range(3):
         plane = padded[dy : dy + h, :]
-        for xh in range(span):
-            cols.append(plane[:, xh : xh + w : group])
-    return jnp.stack(cols, axis=-1).reshape(h * (w // group), 3 * span)
+        # lanes 0..group-1 (xh < group) are exactly plane[:, 0:w] regrouped
+        # by k — ONE reshape instead of `group` strided slices; the 2 halo
+        # lanes (xh = group, group+1) stay strided slices. Same lane order
+        # as the slice-per-lane form (dy-major, xh-minor; tests assert).
+        main = plane[:, :w].reshape(h, k, group)
+        halo0 = plane[:, group : group + (k - 1) * group + 1 : group]
+        halo1 = plane[:, group + 1 : group + 1 + (k - 1) * group + 1 : group]
+        planes.append(
+            jnp.concatenate(
+                [main, halo0[..., None], halo1[..., None]], axis=-1
+            )
+        )
+    return jnp.concatenate(planes, axis=-1).reshape(h * k, 3 * span)
 
 
 def halo_window_reduce(
