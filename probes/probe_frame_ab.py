@@ -136,6 +136,16 @@ if which in ("all", "bf16d"):
     del os.environ["RENDERER_DEFER_DTYPE"]
     print("bf16d", res["bf16d"], flush=True)
 
+if which in ("all", "sub"):
+    # vertex-sublane defer table [t,3,L]: einsum build (no 40-col stack),
+    # 3-D winner gather, sublane-reduce blend (no vertex-block lane slices)
+    os.environ["RENDERER_DEFER_SUBLANE"] = "table"
+    res["sub_table"] = bench(frame_fn)
+    os.environ["RENDERER_DEFER_SUBLANE"] = "reshape"
+    res["sub_reshape"] = bench(frame_fn)
+    del os.environ["RENDERER_DEFER_SUBLANE"]
+    print("sub_table", res["sub_table"], "sub_reshape", res["sub_reshape"], flush=True)
+
 if which in ("all", "ktbl"):
     # per-column stacked kernel coefficient table (the pre-r3 default;
     # block assembly won the A/B and is now the default)

@@ -652,6 +652,22 @@ def rasterize_binned_pallas(
     # which cost ~50 gather ops over 6x more rows. Row t is the pad row
     # (thresholds +inf -> never covers), which the bin padding selects.
     defer = defer_varyings and varyings is not None and not depth_only
+    import os as _os_sub
+
+    # RENDERER_DEFER_SUBLANE: vertex-SUBLANE defer-table layout [t, 3, L]
+    # (lane 0 = inv_w_i, lanes 1..K = clip-composed attributes, trailing
+    # lanes on vertex 0 only = flats + ids). Kills BOTH relayout hotspots
+    # of the flat layout: the 3+3K+Kf column jnp.stack (a strided write
+    # per column) and the 3 vertex-block lane slices of the gathered
+    # [H,W,3+3K+Kf] rows (each a relayout pass) — the blend becomes one
+    # elementwise multiply + a 3-sublane reduce. "table" gathers from the
+    # 3-D table directly; "reshape" keeps the table flat [t, 3L] and
+    # reshapes the gathered rows once.
+    sub_mode = (
+        _os_sub.environ.get("RENDERER_DEFER_SUBLANE", "0") if defer else "0"
+    )
+    if sub_mode not in ("0", "1", "table", "reshape"):
+        sub_mode = "0"
     base_table = _base_coef_table(
         setup,
         # defer mode needs the kernel to report the winner SLOT (the table
@@ -692,7 +708,9 @@ def rasterize_binned_pallas(
         # offset slices (each lane-offset slice of the gathered rows is a
         # relayout pass).
         order = (
-            [(i, k) for i in range(3) for k in range(n_vary)]
+            []
+            if sub_mode != "0"  # sublane table builds from one einsum below
+            else [(i, k) for i in range(3) for k in range(n_vary)]
             if defer
             else [(i, k) for k in range(n_vary) for i in range(3)]
         )
@@ -716,12 +734,42 @@ def rasterize_binned_pallas(
             jnp.arange(t), flat_varyings.shape[0] - 1
         )
         fva = flat_varyings[fsrc]  # [t, Kf]
-        for k in range(n_flat):
+        for k in range(n_flat if sub_mode == "0" else 0):
             fcols.append(fva[..., k])
-    if defer and ids is not None:
+    if defer and ids is not None and sub_mode == "0":
         dcols.append(ids.astype(jnp.float32))  # deferred source-id payload
     dtab = None
-    if defer:
+    if defer and sub_mode != "0":
+        # [t, 3, L] (or flat [t, 3L] for "reshape"): the clip-frame compose
+        # is ONE einsum into the natural vertex-major block shape — no
+        # per-column stack. Trailing exact lanes (flats, ids) ride vertex 0
+        # and read back with a sublane-0 slice (winner passthrough).
+        awk = (
+            jnp.einsum(
+                "tij,tjk->tik", cb, va,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            if cb is not None
+            else va
+        )
+        parts = [inv_w[..., None], awk]
+        trail = []
+        if n_flat:
+            trail.append(fva)
+        if ids is not None:
+            trail.append(ids.astype(jnp.float32)[:, None])
+        if trail:
+            tr = jnp.concatenate(trail, axis=-1)  # [t, Kt]
+            parts.append(
+                jnp.concatenate(
+                    [tr[:, None, :], jnp.zeros((tr.shape[0], 2) + tr.shape[-1:], tr.dtype)],
+                    axis=1,
+                )
+            )
+        dtab = jnp.concatenate(parts, axis=-1)  # [t, 3, L]
+        if sub_mode == "reshape":
+            dtab = dtab.reshape(dtab.shape[0], -1)  # [t, 3L]
+    elif defer:
         import os as _os_tbl
 
         if (
@@ -912,6 +960,40 @@ def rasterize_binned_pallas(
                 "(24-bit ids round at 8 mantissa bits)"
             )
             dtab = dtab.astype(jnp.bfloat16)
+        if sub_mode != "0":
+            lanes = dtab.shape[-1] if sub_mode != "reshape" else dtab.shape[-1] // 3
+            rows = dtab[slot]  # [H,W,3,L] (or [H,W,3L] for "reshape")
+            (rows,) = jax.lax.optimization_barrier((rows,))
+            if rows.dtype != jnp.float32:
+                rows = rows.astype(jnp.float32)
+            if sub_mode == "reshape":
+                rows = rows.reshape(rows.shape[:-1] + (3, lanes))
+            b0 = vis.bary[..., 0]
+            b1 = vis.bary[..., 1]
+            w3 = jnp.concatenate(
+                [vis.bary, (1.0 - b0 - b1)[..., None]], axis=-1
+            )  # [H,W,3]
+            wb = w3 * rows[..., 0]
+            denom = jnp.sum(wb, axis=-1)
+            inv_d = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
+            aw = wb * inv_d[..., None]  # [H,W,3]
+            # one multiply + 3-sublane reduce replaces the vertex-block
+            # lane slices; lane 0 (inv_w) and the vertex-0-only trailing
+            # lanes blend to garbage and are ignored by the slices below
+            vary_all = jnp.sum(aw[..., None] * rows, axis=-2)  # [H,W,L]
+            vary_img = vary_all[..., 1 : 1 + n_vary]
+            if n_flat:
+                vary_img = jnp.concatenate(
+                    [vary_img, rows[..., 0, 1 + n_vary : 1 + n_vary + n_flat]],
+                    axis=-1,
+                )
+            (vary_img,) = jax.lax.optimization_barrier((vary_img,))
+            if ids is not None:
+                src_id = rows[..., 0, 1 + n_vary + n_flat].astype(jnp.int32)
+                vis = vis.replace(
+                    tri_id=jnp.where(vis.tri_id >= 0, src_id, vis.tri_id)
+                )
+            return vis, vary_img
         rows = dtab[slot]  # [H,W,width_c] — compact table, narrow gather
         # Materialize the gathered rows ONCE: without the barrier XLA fuses
         # the gather into every per-channel consumer below and re-runs it

@@ -440,6 +440,55 @@ def test_pallas_defer_varyings_bit_matches_fused():
     )
 
 
+@pytest.mark.parametrize("mode", ["table", "reshape"])
+def test_defer_sublane_matches_flat(monkeypatch, mode):
+    """RENDERER_DEFER_SUBLANE (vertex-sublane defer table [t,3,L]: one
+    einsum build, 3-D winner gather, sublane-reduce blend) produces the
+    same resolved varyings, exact flat lanes, and exact ids as the default
+    flat-table layout — required before flipping the default. Covers the
+    flagship shape: clip mapping, flat varyings, and an ids payload."""
+    from renderer_rs_tpu.ops.clip import clip_triangles_near
+
+    clip, tris = _scene(60, seed=21)
+    rng = np.random.default_rng(7)
+    attr = jnp.asarray(rng.random((clip.shape[0], 6), dtype=np.float32))
+    t = tris.shape[0]
+    flat = jnp.asarray(rng.random((t, 2), dtype=np.float32))
+    ids = jnp.asarray(rng.integers(0, 1000, t).astype(np.int32))
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    h, w = 64, 128
+
+    tri_clip = gather_triangle_clip(clip, tris)
+    tri_clip2, valid, src, bary = clip_triangles_near(tri_clip)
+    setup = setup_triangles(tri_clip2, w, h, pipe, tri_valid=valid)
+
+    def run():
+        return rp.rasterize_binned_pallas(
+            setup, h, w, pipe, chunk=16,
+            varyings=attr[tris], vary_src=src, vary_bary=bary,
+            flat_varyings=flat, ids=ids[src], skip_bary=True,
+            defer_varyings=True,
+        )
+
+    vis_a, vary_a = run()
+    monkeypatch.setenv("RENDERER_DEFER_SUBLANE", mode)
+    vis_b, vary_b = run()
+    np.testing.assert_array_equal(
+        np.asarray(vis_a.tri_id), np.asarray(vis_b.tri_id)
+    )
+    cov = np.asarray(vis_a.tri_id) >= 0
+    nv = attr.shape[-1]
+    # interpolated varyings: ulp-level (einsum vs per-column FMA compose)
+    np.testing.assert_allclose(
+        np.asarray(vary_a)[cov][:, :nv], np.asarray(vary_b)[cov][:, :nv],
+        rtol=4e-6, atol=1e-6,
+    )
+    # flat lanes ride vertex-0 lanes and stay winner-select EXACT
+    np.testing.assert_array_equal(
+        np.asarray(vary_a)[cov][:, nv:], np.asarray(vary_b)[cov][:, nv:]
+    )
+
+
 def test_defer_tbl_einsum_matches_stack(monkeypatch):
     """RENDERER_DEFER_TBL=einsum (block-assembled defer table: einsum
     clip-frame compose + concat) produces the same resolved varyings and
