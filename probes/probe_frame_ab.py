@@ -146,6 +146,23 @@ if which in ("all", "sub"):
     del os.environ["RENDERER_DEFER_SUBLANE"]
     print("sub_table", res["sub_table"], "sub_reshape", res["sub_reshape"], flush=True)
 
+if which in ("all", "blend"):
+    # full-lane weighted window blends (no per-window slice relayouts) on
+    # the material + cube atlas fetches: selection-matmul / reshape-reduce
+    os.environ["RENDERER_BLEND"] = "matmul"
+    res["blend_matmul"] = bench(frame_fn)
+    os.environ["RENDERER_BLEND"] = "reshape"
+    res["blend_reshape"] = bench(frame_fn)
+    del os.environ["RENDERER_BLEND"]
+    print("blend_matmul", res["blend_matmul"], "blend_reshape", res["blend_reshape"], flush=True)
+
+if which in ("all", "merge"):
+    # PCF window row + cube trilinear row in ONE gather (pass-count diet)
+    os.environ["RENDERER_MERGE_GATHER"] = "1"
+    res["merge"] = bench(frame_fn)
+    del os.environ["RENDERER_MERGE_GATHER"]
+    print("merge", res["merge"], flush=True)
+
 if which in ("all", "ktbl"):
     # per-column stacked kernel coefficient table (the pre-r3 default;
     # block assembly won the A/B and is now the default)

@@ -34,6 +34,52 @@ def _once(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.optimization_barrier((x,))[0]
 
 
+def _blend_mode() -> str:
+    """Window-blend strategy for the wide-row atlas fetches
+    (RENDERER_BLEND): "matmul" (default — won the r3 frame A/B 61.4 vs
+    62.9 ms) weights ALL lanes in one fused elementwise pass (per-window
+    weights broadcast through an iota-derived select chain) and reduces
+    window->channel with a constant 0/1 selection matmul (MXU); "reshape"
+    reduces via [.., n_win, c] reshape + sublane sum (measured 63.5);
+    "slice" restores the per-window lane-offset slices + FMA chain (each
+    slice of a gathered row is a relayout pass — 8 on the material atlas,
+    13 on the cube)."""
+    import os
+
+    return os.environ.get("RENDERER_BLEND", "matmul")
+
+
+def _weighted_lane_reduce(taps, ws, c, mode):
+    """sum_k ws[k] * taps[..., k*c:(k+1)*c] without per-window lane slices.
+
+    taps: [..., n_win*c] f32; ws: list of n_win per-window weights shaped
+    [..., 1]. One fused elementwise pass builds the per-lane weight via an
+    iota select chain and multiplies; the window->channel reduction is a
+    constant selection matmul ("matmul", exact f32 via HIGHEST) or a
+    reshape + sum over the window axis ("reshape")."""
+    import numpy as np
+
+    n_win = len(ws)
+    lanes = n_win * c
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (1,) * (taps.ndim - 1) + (lanes,), taps.ndim - 1
+    )
+    k = lane // c
+    wl = ws[-1]
+    for kk in range(n_win - 2, -1, -1):
+        wl = jnp.where(k == kk, ws[kk], wl)
+    weighted = taps * wl
+    if mode == "matmul":
+        sel = np.zeros((lanes, c), np.float32)
+        sel[np.arange(lanes), np.arange(lanes) % c] = 1.0
+        return jnp.einsum(
+            "...l,lc->...c", weighted, jnp.asarray(sel),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    w3 = weighted.reshape(taps.shape[:-1] + (n_win, c))
+    return jnp.sum(w3, axis=-2)
+
+
 def _wrap_coord(x: jnp.ndarray, size: int, mode: WrapMode) -> jnp.ndarray:
     """Wrap integer texel coords per VkSamplerAddressMode semantics."""
     if mode == WrapMode.REPEAT:
@@ -682,6 +728,42 @@ def build_cube_trilinear_atlas(segments: list) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
+def cube_trilinear_plan(offsets, sizes, lo_level, face, uv):
+    """The index-side half of cube_trilinear_fetch for STATIC (python-
+    sequence) mip geometry: per-pixel atlas row index + blend operands
+    (fx, fy, fxh, fyh, jx, jy). Exposed so callers can merge the cube
+    gather with other per-pixel table gathers into one gather op, then
+    finish with cube_trilinear_blend — bit-identical to the composed
+    cube_trilinear_fetch."""
+    n = len(sizes)
+    acc = None
+    for l in range(n):
+        si = int(sizes[l])
+        x0c_l, y0c_l, fx_l, fy_l = _cube_footprint(si, uv)
+        idx_l = offsets[l] + (face * si + y0c_l) * si + x0c_l
+        sh_l = int(sizes[min(l + 1, n - 1)])
+        xh = uv[..., 0] * sh_l - 0.5
+        yh = uv[..., 1] * sh_l - 0.5
+        x0h = jnp.floor(xh).astype(jnp.int32)
+        y0h = jnp.floor(yh).astype(jnp.int32)
+        fxh_l = (xh - x0h)[..., None]
+        fyh_l = (yh - y0h)[..., None]
+        fxh_l = jnp.where((x0h < 0)[..., None], 0.0, fxh_l)
+        fyh_l = jnp.where((y0h < 0)[..., None], 0.0, fyh_l)
+        jx_l = jnp.where(jnp.clip(x0h, 0, sh_l - 1) < x0c_l // 2, 0, 1)
+        jy_l = jnp.where(jnp.clip(y0h, 0, sh_l - 1) < y0c_l // 2, 0, 1)
+        vals_l = (idx_l, fx_l, fy_l, fxh_l, fyh_l, jx_l, jy_l)
+        if acc is None:
+            acc = vals_l
+        else:
+            sel = lo_level == l
+            acc = tuple(
+                jnp.where(sel[..., None] if v.ndim > sel.ndim else sel, vl, v)
+                for v, vl in zip(acc, vals_l)
+            )
+    return acc
+
+
 def cube_trilinear_fetch(
     atlas13, offsets, sizes, lo_level, frac, face, uv, c
 ):
@@ -694,33 +776,9 @@ def cube_trilinear_fetch(
     footprint math into selects — no tiny-table gathers.
     """
     if isinstance(offsets, (list, tuple)):
-        n = len(sizes)
-        acc = None
-        for l in range(n):
-            si = int(sizes[l])
-            x0c_l, y0c_l, fx_l, fy_l = _cube_footprint(si, uv)
-            idx_l = offsets[l] + (face * si + y0c_l) * si + x0c_l
-            sh_l = int(sizes[min(l + 1, n - 1)])
-            xh = uv[..., 0] * sh_l - 0.5
-            yh = uv[..., 1] * sh_l - 0.5
-            x0h = jnp.floor(xh).astype(jnp.int32)
-            y0h = jnp.floor(yh).astype(jnp.int32)
-            fxh_l = (xh - x0h)[..., None]
-            fyh_l = (yh - y0h)[..., None]
-            fxh_l = jnp.where((x0h < 0)[..., None], 0.0, fxh_l)
-            fyh_l = jnp.where((y0h < 0)[..., None], 0.0, fyh_l)
-            jx_l = jnp.where(jnp.clip(x0h, 0, sh_l - 1) < x0c_l // 2, 0, 1)
-            jy_l = jnp.where(jnp.clip(y0h, 0, sh_l - 1) < y0c_l // 2, 0, 1)
-            vals_l = (idx_l, fx_l, fy_l, fxh_l, fyh_l, jx_l, jy_l)
-            if acc is None:
-                acc = vals_l
-            else:
-                sel = lo_level == l
-                acc = tuple(
-                    jnp.where(sel[..., None] if v.ndim > sel.ndim else sel, vl, v)
-                    for v, vl in zip(acc, vals_l)
-                )
-        idx, fx, fy, fxh, fyh, jx, jy = acc
+        idx, fx, fy, fxh, fyh, jx, jy = cube_trilinear_plan(
+            offsets, sizes, lo_level, face, uv
+        )
         taps = _once(atlas13[idx])
     else:
         s = sizes[lo_level].astype(jnp.float32)
@@ -750,8 +808,44 @@ def cube_trilinear_fetch(
         idx = offsets[lo_level] + (face * si + y0c) * si + x0c
         taps = _once(atlas13[idx])  # [..., 13C]
 
+    return cube_trilinear_blend(taps, fx, fy, fxh, fyh, jx, jy, frac, c)
+
+
+def cube_trilinear_blend(taps, fx, fy, fxh, fyh, jx, jy, frac, c):
+    """Blend-side half of cube_trilinear_fetch: child 2x2 bilinear +
+    parent 3x3 separable bilinear, lerped by frac. taps may carry trailing
+    pad lanes beyond 13c (merged-gather tables pad to a shared width)."""
+    if taps.shape[-1] > 13 * c:
+        taps = taps[..., : 13 * c]
     if taps.dtype != jnp.float32:
         taps = taps.astype(jnp.float32)  # bf16 atlas: blend math stays f32
+    mode = _blend_mode()
+    if mode != "slice":
+        # all 13 window blocks (child 2x2 + parent 3x3) weighted in ONE
+        # elementwise pass, the lo/hi lerp folded into the weights
+        fr0 = frac[..., None] if frac.ndim < fx.ndim else frac
+        lo_w = 1.0 - fr0
+        fyh1 = fyh[..., 0] if fyh.ndim > jy.ndim else fyh
+        fxh1 = fxh[..., 0] if fxh.ndim > jx.ndim else fxh
+        wy = [
+            jnp.where(jy == r, 1.0 - fyh1, jnp.where(jy + 1 == r, fyh1, 0.0))
+            for r in range(3)
+        ]
+        wx = [
+            jnp.where(jx == cc, 1.0 - fxh1, jnp.where(jx + 1 == cc, fxh1, 0.0))
+            for cc in range(3)
+        ]
+        ws = [
+            (1.0 - fx) * (1.0 - fy) * lo_w,
+            fx * (1.0 - fy) * lo_w,
+            (1.0 - fx) * fy * lo_w,
+            fx * fy * lo_w,
+        ] + [
+            (wy[r] * wx[cc])[..., None] * fr0
+            for r in range(3)
+            for cc in range(3)
+        ]
+        return _weighted_lane_reduce(taps, ws, c, mode)
     t00 = taps[..., 0:c]
     t10 = taps[..., c : 2 * c]
     t01 = taps[..., 2 * c : 3 * c]
@@ -925,6 +1019,21 @@ def sample_material_atlas_tri(
             fx = jnp.where(sel[..., None], fx_l, fx)
             fy = jnp.where(sel[..., None], fy_l, fy)
     taps = _once(atlas[idx])  # [..., 8C] bf16 — THE one gather
+    mode = _blend_mode()
+    if mode != "slice":
+        # fold the child/parent lerp into the per-window weights: ONE
+        # elementwise pass over all 8C lanes + one window->channel reduce
+        # (vs 8 lane-offset slice relayouts + the FMA chains)
+        taps_f = taps.astype(jnp.float32)
+        lo = (1.0 - frac)[..., None]
+        hi = frac[..., None]
+        w00 = (1.0 - fx) * (1.0 - fy)
+        w10 = fx * (1.0 - fy)
+        w01 = (1.0 - fx) * fy
+        w11 = fx * fy
+        ws = [w00 * lo, w10 * lo, w01 * lo, w11 * lo,
+              w00 * hi, w10 * hi, w01 * hi, w11 * hi]
+        return _weighted_lane_reduce(taps_f, ws, c, mode)
     f_lo = _blend_window(taps[..., : 4 * c].astype(jnp.float32), fx, fy, c)
     f_hi = _blend_window(taps[..., 4 * c :].astype(jnp.float32), fx, fy, c)
     return f_lo * (1.0 - frac[..., None]) + f_hi * frac[..., None]

@@ -96,13 +96,18 @@ def halo_window_reduce(
     3*(group+2) lanes against `current`, select the pixel's 3-lane x-span
     per dy-plane ((lane % span) - sub in [0,3)), reduce once. Same
     full-lane mask-reduce shape as grouped_window_reduce (lane slices
-    relayout; masks don't); sum of <=9 f32 ones is exact."""
+    relayout; masks don't); sum of <=9 f32 ones is exact.
+
+    `wide` may carry trailing pad lanes beyond 3*(group+2) (the merged-
+    gather table pads rows to a shared width); the lane mask excludes
+    them, so no pre-slice is needed."""
     span = group + 2
+    lanes = wide.shape[-1]
     lane = jax.lax.broadcasted_iota(
-        jnp.int32, (1,) * (wide.ndim - 1) + (3 * span,), wide.ndim - 1
+        jnp.int32, (1,) * (wide.ndim - 1) + (lanes,), wide.ndim - 1
     )
     d = (lane % span) - sub[..., None]
-    sel = (d >= 0) & (d < 3)
+    sel = (d >= 0) & (d < 3) & (lane < 3 * span)
     cmp = (wide >= current[..., None]) & sel
     return jnp.sum(cmp.astype(jnp.float32), axis=-1) * (1.0 / 9.0)
 
@@ -165,6 +170,55 @@ def _compare_sample(
     return jnp.where(stored >= current_depth, 1.0, 0.0)
 
 
+def shadow_window_plan(
+    shadow_map: jnp.ndarray,
+    light_space_matrix: jnp.ndarray,
+    world_pos: jnp.ndarray,
+    normal: jnp.ndarray,
+    light_dir: jnp.ndarray,
+    params: ShadowParams = ShadowParams(),
+) -> tuple:
+    """The gather-side half of calculate_shadow's halo-PCF path: the halo
+    window table plus per-pixel (row_id, sub, current, in_bounds). Lets the
+    caller merge the window gather with OTHER per-pixel table gathers into
+    one gather op (each distinct per-pixel gather pass costs ms at frame
+    level — docs/tpu_cost_model.md), then finish with halo_window_reduce +
+    shadow_finish. calculate_shadow composes exactly these pieces, so
+    merged callers stay bit-identical. Requires pcf + group>1 + halo
+    layout (the production default)."""
+    h, w = shadow_map.shape[0], shadow_map.shape[1]
+    group = pcf_group(w)
+    assert params.pcf and group > 1 and pcf_layout() == "halo"
+    uv0, z0 = _project_to_shadow_uv(light_space_matrix, world_pos)
+    in_bounds = (
+        (uv0[..., 0] >= 0.0)
+        & (uv0[..., 0] <= 1.0)
+        & (uv0[..., 1] >= 0.0)
+        & (uv0[..., 1] <= 1.0)
+        & (z0 >= 0.0)
+        & (z0 <= 1.0)
+    )
+    ndotl = dot(normal, light_dir)[..., 0]
+    bias = jnp.maximum(params.shadow_bias * (1.0 - ndotl), 0.0005)
+    offset_pos = world_pos + normal * params.normal_bias
+    uv, z = _project_to_shadow_uv(light_space_matrix, offset_pos)
+    current = z - bias
+    ix = jnp.clip(jnp.floor(uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    iy = jnp.clip(jnp.floor(uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    flat = build_halo_rows(shadow_map, group)
+    row_id = iy * (w // group) + ix // group
+    sub = ix % group
+    return flat, row_id, sub, current, in_bounds
+
+
+def shadow_finish(
+    shadow: jnp.ndarray, in_bounds: jnp.ndarray, params: ShadowParams
+) -> jnp.ndarray:
+    """Strength lerp + out-of-bounds fully-lit (shadow.hlsli:125-128)."""
+    lit = 1.0 + (shadow - 1.0) * params.shadow_strength
+    return jnp.where(in_bounds, lit, 1.0)
+
+
 def calculate_shadow(
     shadow_map: jnp.ndarray,
     light_space_matrix: jnp.ndarray,
@@ -212,11 +266,15 @@ def calculate_shadow(
         iy = jnp.clip(jnp.floor(uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
         group = pcf_group(w)
         if group > 1 and pcf_layout() == "halo":
-            flat = build_halo_rows(shadow_map, group)
-            row_id = iy * (w // group) + ix // group
-            sub = ix % group
+            flat, row_id, sub, current2, in_bounds2 = shadow_window_plan(
+                shadow_map, light_space_matrix, world_pos, normal,
+                light_dir, params,
+            )
             wide = flat[row_id]  # [..., 3*(group+2)] — the one (wide) gather
-            shadow = halo_window_reduce(wide, sub, current, group)
+            return shadow_finish(
+                halo_window_reduce(wide, sub, current2, group),
+                in_bounds2, params,
+            )
         elif group > 1:
             padded = jnp.pad(shadow_map, 1, mode="edge")
             window = jnp.stack(

@@ -601,6 +601,38 @@ def _shade_pixels(
 
     # --- sun shadow factor (shadow.hlsli / shadow_csm.hlsli) -----------------
     sun_dir = normalize(-lights.sun_direction)  # surface -> light
+    # Merged-gather plan (RENDERER_MERGE_GATHER): on the flagship path the
+    # PCF window fetch and the specular/sky cube fetch both depend only on
+    # post-atlas state (mapped normal, world_pos, roughness) — merging the
+    # two per-pixel table gathers into ONE gather op saves a whole gather
+    # pass (each distinct pass costs ms at frame level regardless of lane
+    # width — docs/tpu_cost_model.md). The shadow factor is then computed
+    # inside the fast-ambient branch; the sun term waits in pending_sun.
+    import os as _os_mg
+
+    splan = None
+    env_mg = scene.environment
+    merge_ok = (
+        _os_mg.environ.get("RENDERER_MERGE_GATHER", "0") != "0"
+        and shading == ShadingModel.PBR_IBL
+        and sky_dirs is not None
+        and layout.has_environment
+        and layout.has_shadow
+        and not layout.has_csm
+        and shadow_map is not None
+        and shadow_params.pcf
+        and env_mg is not None
+        and env_mg.atlas is not None
+        and env_mg.atlas_tri is not None
+        and env_mg.atlas_tri.dtype == jnp.float32
+        and env_mg.irradiance_mips is not None
+    )
+    if merge_ok:
+        from renderer_rs_tpu.ops.shadow import pcf_group, pcf_layout
+
+        merge_ok = (
+            pcf_group(shadow_map.shape[1]) > 1 and pcf_layout() == "halo"
+        )
     if layout.has_csm and shadow_map is not None:
         # shadow_map is the [C,S,S] cascade array; fragment NDC depth selects
         # the cascade (≙ CalculateShadowCSMBlended with SV_Position.z)
@@ -621,14 +653,27 @@ def _shade_pixels(
             ),
         )[..., None]
     elif layout.has_shadow and shadow_map is not None:
-        shadow = calculate_shadow(
-            shadow_map,
-            scene.light_space_matrix,
-            world_pos,
-            normal,
-            jnp.broadcast_to(sun_dir, world_pos.shape),
-            shadow_params,
-        )[..., None]
+        if merge_ok:
+            from renderer_rs_tpu.ops.shadow import shadow_window_plan
+
+            splan = shadow_window_plan(
+                shadow_map,
+                scene.light_space_matrix,
+                world_pos,
+                normal,
+                jnp.broadcast_to(sun_dir, world_pos.shape),
+                shadow_params,
+            )
+            shadow = None  # resolved by the merged gather below
+        else:
+            shadow = calculate_shadow(
+                shadow_map,
+                scene.light_space_matrix,
+                world_pos,
+                normal,
+                jnp.broadcast_to(sun_dir, world_pos.shape),
+                shadow_params,
+            )[..., None]
     else:
         shadow = 1.0
 
@@ -665,10 +710,16 @@ def _shade_pixels(
             emissive=emissive,
         )
         sun_radiance = lights.sun_color * lights.sun_intensity
-        lo = shadow * pbr_ops.pbr_direct(
+        sun_lo = pbr_ops.pbr_direct(
             normal, view_dir, jnp.broadcast_to(sun_dir, world_pos.shape),
             sun_radiance, mat,
         )
+        if shadow is None:
+            # merged-gather path: the shadow factor materializes with the
+            # cube fetch below; the sun term joins lo there
+            pending_sun, lo = sun_lo, jnp.zeros_like(sun_lo)
+        else:
+            lo = shadow * sun_lo
         for i in range(lights.point_position.shape[0]):
             mask = (i < lights.num_point).astype(jnp.float32)
             lvec = lights.point_position[i] - world_pos
@@ -738,7 +789,49 @@ def _shade_pixels(
                 if _os2.environ.get("RENDERER_DYNAMIC_MIP") == "1":
                     seg_offs = env.atlas_offsets
                     seg_sizes = env.atlas_sizes
-                if env.atlas_tri is not None:
+                if splan is not None:
+                    # MERGED gather: the PCF window row and the cube
+                    # trilinear row ride ONE gather from a shared padded
+                    # table — one gather pass instead of two (the pass
+                    # count, not the lane width, is the frame-level cost)
+                    from renderer_rs_tpu.ops.sampling import (
+                        _once,
+                        cube_trilinear_blend,
+                        cube_trilinear_plan,
+                    )
+                    from renderer_rs_tpu.ops.shadow import (
+                        halo_window_reduce,
+                        pcf_group,
+                        shadow_finish,
+                    )
+
+                    cidx, cfx, cfy, cfxh, cfyh, cjx, cjy = cube_trilinear_plan(
+                        seg_offs, seg_sizes, lo_l, face, uv_c
+                    )
+                    ptab, row_id, sub, cur, in_b = splan
+                    pl, cl = ptab.shape[-1], 13 * c
+                    lanes_m = max(pl, cl)
+                    tm = jnp.concatenate(
+                        [
+                            jnp.pad(ptab, ((0, 0), (0, lanes_m - pl))),
+                            jnp.pad(env.atlas_tri, ((0, 0), (0, lanes_m - cl))),
+                        ],
+                        axis=0,
+                    )
+                    idx2 = jnp.stack([row_id, ptab.shape[0] + cidx])
+                    taps2 = _once(tm[idx2])  # [2, ..., lanes_m]
+                    shadow = shadow_finish(
+                        halo_window_reduce(
+                            taps2[0], sub, cur,
+                            pcf_group(shadow_map.shape[1]),
+                        ),
+                        in_b, shadow_params,
+                    )[..., None]
+                    lo = lo + shadow * pending_sun
+                    spec_sky = cube_trilinear_blend(
+                        taps2[1], cfx, cfy, cfxh, cfyh, cjx, cjy, frac, c
+                    )[..., :3]
+                elif env.atlas_tri is not None:
                     # ONE gather: child 2x2 + parent 3x3 ride the same row
                     from renderer_rs_tpu.ops.sampling import cube_trilinear_fetch
 

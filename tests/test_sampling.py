@@ -375,3 +375,118 @@ def test_material_atlas_tri_exact_at_integer_lod():
         tri, tuple(offs_t), sizes_t, len(mips), shapes[0], 4, mid, uv
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(exact), atol=5e-3)
+
+
+def test_blend_mode_matmul_reshape_match_slice(monkeypatch):
+    """RENDERER_BLEND=matmul/reshape (full-lane weighted reduce instead of
+    per-window lane slices) matches the default slice blend to fp
+    association on BOTH wide-row atlas fetches (material trilinear + cube
+    trilinear/sky) — required before flipping the default."""
+    import pytest
+
+    from renderer_rs_tpu.ops.sampling import (
+        _cube_window_flat,
+        build_cube_trilinear_atlas,
+        build_material_atlas_tri,
+        cube_trilinear_fetch,
+        direction_to_cube_uv,
+        sample_material_atlas_tri,
+    )
+
+    rng = np.random.default_rng(11)
+
+    # --- material atlas ---------------------------------------------------
+    n_tex, s = 3, 16
+    base = rng.random((n_tex, s, s, 4)).astype(np.float32)
+    mips, lvl = [jnp.asarray(base)], base
+    while lvl.shape[1] > 1:
+        lvl = lvl.reshape(
+            n_tex, lvl.shape[1] // 2, 2, lvl.shape[2] // 2, 2, 4
+        ).mean(axis=(2, 4))
+        mips.append(jnp.asarray(lvl))
+    mips = tuple(mips)
+    slots = (0, 1, 2, 3, 4)
+    tex_ids = np.array([[0, 1, 2, -1, 0], [2, -1, 0, 1, -1]], np.int64)
+    tri, offs_t, sizes_t = build_material_atlas_tri(mips, tex_ids, slots)
+    shapes = tuple((int(m.shape[1]), int(m.shape[2])) for m in mips)
+    h = w = 24
+    uv = jnp.asarray(rng.random((h, w, 2)) * 1.4 - 0.2, jnp.float32)
+    mid = jnp.asarray(rng.integers(0, 2, (h, w)), jnp.int32)
+
+    def mat():
+        return np.asarray(
+            sample_material_atlas_tri(
+                tri, tuple(offs_t), sizes_t, len(mips), shapes[0], 13, mid, uv
+            )
+        )
+
+    # --- cube atlas ---------------------------------------------------------
+    sizes_list = [16, 8, 4, 2]
+    segments = [
+        jnp.asarray(rng.random((6, s_, s_, 3)).astype(np.float32))
+        for s_ in sizes_list
+    ] + [jnp.asarray(rng.random((6, 32, 32, 3)).astype(np.float32))]
+    n_pref = 4
+    atlas13 = build_cube_trilinear_atlas(segments)
+    csizes, coffs, off = [], [], 0
+    for m in segments:
+        csizes.append(m.shape[1])
+        coffs.append(off)
+        off += 6 * m.shape[1] * m.shape[1]
+    d = rng.standard_normal((32, 32, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    face, cuv = direction_to_cube_uv(jnp.asarray(d))
+    lod = jnp.asarray(rng.uniform(0.0, n_pref - 1, (32, 32)).astype(np.float32))
+    lod = lod.at[0, :8].set(0.0)
+    far = jnp.zeros((32, 32), bool).at[2, :].set(True)
+    lod = jnp.where(far, float(n_pref), lod)
+    lo_l = jnp.floor(lod).astype(jnp.int32)
+    frac = lod - lo_l.astype(lod.dtype)
+
+    def cube():
+        return np.asarray(
+            cube_trilinear_fetch(
+                atlas13, tuple(coffs), tuple(csizes), lo_l, frac, face, cuv, 3
+            )
+        )
+
+    monkeypatch.setenv("RENDERER_BLEND", "slice")
+    ref_m, ref_c = mat(), cube()
+    for mode in ("matmul", "reshape"):
+        monkeypatch.setenv("RENDERER_BLEND", mode)
+        np.testing.assert_allclose(mat(), ref_m, rtol=2e-6, atol=2e-6)
+        np.testing.assert_allclose(cube(), ref_c, rtol=2e-6, atol=2e-6)
+
+
+def test_merge_gather_matches_default(monkeypatch):
+    """RENDERER_MERGE_GATHER=1 (PCF window row + cube trilinear row fetched
+    in ONE gather from a shared padded table) renders the flagship
+    combination (textured PBR + IBL fast-ambient + sun shadow) identically
+    to the two-gather default: the merged table holds the same rows, the
+    halo reduce masks the pad lanes, and the cube blend slices them off."""
+    from renderer_rs_tpu.app.scenes import full_scene
+    from renderer_rs_tpu.renderer.passes import forward_frame
+    from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+    w, h = 128, 96
+    scene, layout, kwargs, _ = full_scene(w, h, tri_budget=600, textured=True)
+    assert layout.has_environment and layout.has_shadow
+    pipeline = GraphicsPipelineBuilder().build()
+
+    def render():
+        return np.asarray(
+            forward_frame(
+                scene, layout, pipeline, kwargs["shading"], w, h,
+                tonemap=kwargs.get("tonemap", "aces"),
+                shadow_map_size=128,
+                shadow_params=kwargs.get("shadow_params"),
+            )
+        )
+
+    ref = render()
+    monkeypatch.setenv("RENDERER_MERGE_GATHER", "1")
+    out = render()
+    assert np.isfinite(out).all()
+    # identical gather rows + masked reduce -> only light-sum reassociation
+    # (zero-masked point/spot adds) can differ; the flagship has none live
+    np.testing.assert_allclose(out, ref, atol=1e-6, rtol=1e-6)
