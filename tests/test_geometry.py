@@ -106,3 +106,40 @@ def test_weld_matches_numpy():
     b_remap, b_n = g._weld_vertices_np(pos, 1e-3)
     assert a_n == b_n
     np.testing.assert_array_equal(a_remap, b_remap)
+
+
+def test_vertex_stage_batch_matches_loop(monkeypatch):
+    """The batched vertex stage (one matmul against per-object column
+    blocks + block select, the default) matches the per-object unrolled
+    loop (RENDERER_VSTAGE=loop) to ulp on every output, for both the
+    forward and the shadow vertex stages. (Strict bit-equality is not
+    guaranteed: XLA lowers tiny per-object [4,4] matmuls with different
+    rounding than the wide [V,4]@[4,4O] form.)"""
+    import numpy as np
+
+    from renderer_rs_tpu.app.scenes import full_scene
+    from renderer_rs_tpu.renderer.passes import (
+        shadow_vertex_stage,
+        vertex_stage,
+    )
+
+    scene, layout, _, _ = full_scene(96, 64, tri_budget=800, textured=True)
+    assert len(layout.object_ranges) > 1
+
+    monkeypatch.setenv("RENDERER_VSTAGE", "loop")
+    a = vertex_stage(scene, layout)
+    sa = np.asarray(shadow_vertex_stage(scene, layout))
+    monkeypatch.setenv("RENDERER_VSTAGE", "batch")
+    b = vertex_stage(scene, layout)
+    sb = np.asarray(shadow_vertex_stage(scene, layout))
+
+    for x, y in [
+        (a.clip, b.clip),
+        (a.world_pos, b.world_pos),
+        (a.world_normal, b.world_normal),
+        (a.world_tangent, b.world_tangent),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=2e-6, atol=2e-6
+        )
+    np.testing.assert_allclose(sa, sb, rtol=2e-6, atol=2e-6)
