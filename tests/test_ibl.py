@@ -167,8 +167,10 @@ def test_env_brdf_approx_matches_lut():
 
 def test_finalize_environment_and_merged_sky_matches_skybox_pass():
     """The fast-ambient frame's far-plane pixels equal the maps-path skybox
-    composite bit-for-bit (same window math), and covered pixels stay close
-    (SH diffuse + analytic BRDF vs map sampling)."""
+    composite to a few ulp (the default matmul window blend reorders the
+    FMA sum vs the maps path's bilinear chain; RENDERER_BLEND=slice is
+    bit-identical), and covered pixels stay close (SH diffuse + analytic
+    BRDF vs map sampling)."""
     import jax.numpy as jnp
 
     from renderer_rs_tpu.app.scenes import full_scene
@@ -202,7 +204,8 @@ def test_finalize_environment_and_merged_sky_matches_skybox_pass():
     )
     far = np.asarray(depth) >= 1.0
     assert far.any() and (~far).any()
-    np.testing.assert_array_equal(fast[far], maps[far])  # sky bit-identical
+    # sky: same taps, different summation order -> <=few-ulp drift
+    np.testing.assert_allclose(fast[far], maps[far], rtol=0, atol=4e-7)
     # covered pixels: ambient formulation differs -> close, not equal
     diff = np.abs(fast[~far] - maps[~far])
     assert diff.mean() < 0.03, f"covered mean diff {diff.mean():.4f}"
