@@ -163,6 +163,16 @@ if which in ("all", "vloop"):
     del os.environ["RENDERER_VSTAGE"]
     print("vloop", res["vloop"], flush=True)
 
+if which in ("mipplan",):
+    # arithmetic mip plans (dynamic-shift level math) vs the unrolled
+    # per-level select chains on the material + cube atlas fetches
+    res["base"] = bench(frame_fn)
+    print("base", res["base"], flush=True)
+    os.environ["RENDERER_MIP_PLAN"] = "arith"
+    res["mipplan_arith"] = bench(frame_fn)
+    del os.environ["RENDERER_MIP_PLAN"]
+    print("mipplan_arith", res["mipplan_arith"], flush=True)
+
 if which in ("all", "merge"):
     # PCF window row + cube trilinear row in ONE gather (pass-count diet)
     os.environ["RENDERER_MERGE_GATHER"] = "1"

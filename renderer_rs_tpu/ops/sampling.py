@@ -527,6 +527,88 @@ def _blend_window(taps, fx, fy, c):
     return top * (1 - fy) + bot * fy
 
 
+# --- arithmetic mip plans (select-free per-level math) -----------------------
+#
+# The static-geometry fetches unroll per-level footprint math into select
+# chains (n_levels x ~7 operands x ~6 vector ops, all at 2M pixels — the
+# dominant non-gather cost of the atlas fetches by probe_shade's stub
+# deltas). When the mip chain is the exact base>>l halving of a power-of-two
+# base, every per-level quantity is computable ARITHMETICALLY from the
+# per-pixel level index in one pass: the level size via a dynamic right
+# shift (exact — powers of two are exact in f32, so u*float(S>>lo) is the
+# SAME f32 multiply the selected branch performs), REPEAT wrap via
+# x & (S-1) (== jnp.mod for power-of-two S, including negative x in two's
+# complement), and the atlas row offset via the closed form of the
+# geometric series sum_{j<l} (h0*w0)>>2j = (4*h0*w0 - (4*h0*w0 >> 2l)) / 3
+# (exact: 4^l == 1 mod 3). Bit-identical to the select chain (tests
+# assert); gated by RENDERER_MIP_PLAN until the frame A/B flips it.
+
+
+def _mip_plan_mode() -> str:
+    """RENDERER_MIP_PLAN: "arith" computes per-level mip math from the
+    per-pixel level index with dynamic shifts + closed-form offsets
+    (falling back per-call when the chain is not a power-of-two halving);
+    "select" restores the unrolled per-level select chains."""
+    import os
+
+    return os.environ.get("RENDERER_MIP_PLAN", "select")
+
+
+def _halving_offsets(offsets, sizes, count: int) -> int | None:
+    """If sizes[l] == (h0>>l, w0>>l) for l < count with power-of-two h0/w0
+    (no dimension flooring to 0) and offsets match the closed-form
+    geometric sum for SOME integer set-multiplier M, return M; else None.
+    Host-side: offsets/sizes are python sequences (static mip geometry)."""
+    dims = [
+        (int(s[0]), int(s[1])) if hasattr(s, "__len__") else (int(s), int(s))
+        for s in sizes[:count]
+    ]
+    h0, w0 = dims[0]
+    if h0 <= 0 or w0 <= 0 or (h0 & (h0 - 1)) or (w0 & (w0 - 1)):
+        return None
+    if count > min(h0.bit_length(), w0.bit_length()):
+        return None
+    for l, (h, w) in enumerate(dims):
+        if h != h0 >> l or w != w0 >> l:
+            return None
+    if int(offsets[0]) != 0:
+        return None
+    if count == 1:
+        return 1
+    m, rem = divmod(int(offsets[1]), h0 * w0)
+    if rem or m <= 0:
+        return None
+    hw4 = 4 * h0 * w0
+    for l in range(count):
+        if int(offsets[l]) != m * ((hw4 - (hw4 >> (2 * l))) // 3):
+            return None
+    return m
+
+
+def _footprint_dyn(hi_i, wi_i, uv, sampler: Sampler):
+    """_window_footprint with PER-PIXEL power-of-two h/w (int32 arrays).
+    Bit-matches the static form at every pixel whose level selects those
+    dims: float(S) is exact, floor/clip identical, and REPEAT's mod
+    becomes x & (S-1) (equal for power-of-two S, negatives included)."""
+    x = uv[..., 0] * wi_i.astype(jnp.float32) - 0.5
+    y = uv[..., 1] * hi_i.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    if sampler.wrap_u == WrapMode.REPEAT:
+        x0w = jnp.bitwise_and(x0, wi_i - 1)
+    else:
+        fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
+        x0w = jnp.clip(x0, 0, wi_i - 1)
+    if sampler.wrap_v == WrapMode.REPEAT:
+        y0w = jnp.bitwise_and(y0, hi_i - 1)
+    else:
+        fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
+        y0w = jnp.clip(y0, 0, hi_i - 1)
+    return x0w, y0w, fx, fy
+
+
 def _array_atlas_fetch(atlas, offsets, sizes, level, tid, uv, c, sampler: Sampler):
     """Bilinear fetch of one (per-pixel) mip level from the flat window
     atlas — ONE gather per pixel. Bit-matches sample_array_bilinear.
@@ -764,6 +846,79 @@ def cube_trilinear_plan(offsets, sizes, lo_level, face, uv):
     return acc
 
 
+def cube_trilinear_plan_arith(offsets, sizes, lo_level, face, uv):
+    """cube_trilinear_plan with the per-level select chains replaced by
+    dynamic-shift arithmetic (see the arithmetic-mip-plan block above).
+
+    The chain prefix sizes[:-1] must be the S0>>l halving of a power-of-two
+    S0 with offsets matching the 6-face geometric sum (finalize_environment
+    builds exactly this); the LAST segment (the merged skybox — arbitrary
+    size) keeps one static select. Parent operands at the chain tail follow
+    the arithmetic S0>>(l+1) instead of the select path's wrap-to-last —
+    output-identical because those rows store zero parent lanes and the
+    blend's frac is 0 there (build_cube_trilinear_atlas contract).
+
+    Returns the same 7 per-pixel operands as cube_trilinear_plan, or None
+    when the geometry doesn't admit the arithmetic form (caller falls back
+    to the select chain)."""
+    n = len(sizes)
+    if n < 2:
+        return None
+    chain = n - 1
+    m = _halving_offsets(offsets, [(int(s), int(s)) for s in sizes], chain)
+    if m is None:
+        return None
+    s0 = int(sizes[0])
+    hw4 = 4 * s0 * s0
+    lo_c = jnp.clip(lo_level, 0, chain - 1)
+    si = jnp.right_shift(jnp.int32(s0), lo_c)
+    off = m * ((hw4 - jnp.right_shift(jnp.int32(hw4), 2 * lo_c)) // 3)
+    sf = si.astype(jnp.float32)
+    x = uv[..., 0] * sf - 0.5
+    y = uv[..., 1] * sf - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
+    fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
+    x0c = jnp.clip(x0, 0, si - 1)
+    y0c = jnp.clip(y0, 0, si - 1)
+    idx = off + (face * si + y0c) * si + x0c
+    # parent (hi-mip) operands: dynamic S0>>(l+1), floored at 1
+    sh = jnp.maximum(jnp.right_shift(jnp.int32(s0), lo_c + 1), 1)
+    shf = sh.astype(jnp.float32)
+    xh = uv[..., 0] * shf - 0.5
+    yh = uv[..., 1] * shf - 0.5
+    x0h = jnp.floor(xh).astype(jnp.int32)
+    y0h = jnp.floor(yh).astype(jnp.int32)
+    fxh = (xh - x0h)[..., None]
+    fyh = (yh - y0h)[..., None]
+    fxh = jnp.where((x0h < 0)[..., None], 0.0, fxh)
+    fyh = jnp.where((y0h < 0)[..., None], 0.0, fyh)
+    jx = jnp.where(jnp.clip(x0h, 0, sh - 1) < x0c // 2, 0, 1)
+    jy = jnp.where(jnp.clip(y0h, 0, sh - 1) < y0c // 2, 0, 1)
+    # ONE static select folds in the last (arbitrary-size) segment; its
+    # parent size wraps to itself exactly as the select path's
+    # sizes[min(l+1, n-1)] does at l == n-1.
+    s_last = int(sizes[-1])
+    x0l, y0l, fxl, fyl = _cube_footprint(s_last, uv)
+    idx_l = int(offsets[-1]) + (face * s_last + y0l) * s_last + x0l
+    jx_l = jnp.where(x0l < x0l // 2, 0, 1)
+    jy_l = jnp.where(y0l < y0l // 2, 0, 1)
+    last = lo_level == chain
+    lastc = last[..., None]
+    return (
+        jnp.where(last, idx_l, idx),
+        jnp.where(lastc, fxl, fx),
+        jnp.where(lastc, fyl, fy),
+        jnp.where(lastc, fxl, fxh),
+        jnp.where(lastc, fyl, fyh),
+        jnp.where(last, jx_l, jx),
+        jnp.where(last, jy_l, jy),
+    )
+
+
 def cube_trilinear_fetch(
     atlas13, offsets, sizes, lo_level, frac, face, uv, c
 ):
@@ -776,9 +931,14 @@ def cube_trilinear_fetch(
     footprint math into selects — no tiny-table gathers.
     """
     if isinstance(offsets, (list, tuple)):
-        idx, fx, fy, fxh, fyh, jx, jy = cube_trilinear_plan(
-            offsets, sizes, lo_level, face, uv
+        plan = (
+            cube_trilinear_plan_arith(offsets, sizes, lo_level, face, uv)
+            if _mip_plan_mode() == "arith"
+            else None
         )
+        if plan is None:
+            plan = cube_trilinear_plan(offsets, sizes, lo_level, face, uv)
+        idx, fx, fy, fxh, fyh, jx, jy = plan
         taps = _once(atlas13[idx])
     else:
         s = sizes[lo_level].astype(jnp.float32)
@@ -1007,17 +1167,36 @@ def sample_material_atlas_tri(
         lo = jnp.floor(lod).astype(jnp.int32)
         frac = lod - lo.astype(lod.dtype)
     # static mip geometry: per-level footprints unroll into selects
-    idx = fx = fy = None
-    for li, ((h, w), off) in enumerate(zip(sizes, offsets)):
-        x0w, y0w, fx_l, fy_l = _window_footprint(int(h), int(w), uv, sampler)
-        idx_l = off + (t * int(h) + y0w) * int(w) + x0w
-        if idx is None:
-            idx, fx, fy = idx_l, fx_l, fy_l
-        else:
-            sel = lo == li
-            idx = jnp.where(sel, idx_l, idx)
-            fx = jnp.where(sel[..., None], fx_l, fx)
-            fy = jnp.where(sel[..., None], fy_l, fy)
+    m_sets = (
+        _halving_offsets(offsets, sizes, n_levels)
+        if _mip_plan_mode() == "arith"
+        else None
+    )
+    if m_sets is not None:
+        # arithmetic plan: level size by dynamic shift, offset by the
+        # closed-form geometric sum — one pass, no per-level select chain
+        # (bit-identical to the unrolled loop; tests assert)
+        h0, w0 = int(sizes[0][0]), int(sizes[0][1])
+        hw4 = 4 * h0 * w0
+        hi_i = jnp.right_shift(jnp.int32(h0), lo)
+        wi_i = jnp.right_shift(jnp.int32(w0), lo)
+        off = m_sets * (
+            (hw4 - jnp.right_shift(jnp.int32(hw4), 2 * lo)) // 3
+        )
+        x0w, y0w, fx, fy = _footprint_dyn(hi_i, wi_i, uv, sampler)
+        idx = off + (t * hi_i + y0w) * wi_i + x0w
+    else:
+        idx = fx = fy = None
+        for li, ((h, w), off) in enumerate(zip(sizes, offsets)):
+            x0w, y0w, fx_l, fy_l = _window_footprint(int(h), int(w), uv, sampler)
+            idx_l = off + (t * int(h) + y0w) * int(w) + x0w
+            if idx is None:
+                idx, fx, fy = idx_l, fx_l, fy_l
+            else:
+                sel = lo == li
+                idx = jnp.where(sel, idx_l, idx)
+                fx = jnp.where(sel[..., None], fx_l, fx)
+                fy = jnp.where(sel[..., None], fy_l, fy)
     taps = _once(atlas[idx])  # [..., 8C] bf16 — THE one gather
     mode = _blend_mode()
     if mode != "slice":

@@ -458,6 +458,88 @@ def test_blend_mode_matmul_reshape_match_slice(monkeypatch):
         np.testing.assert_allclose(cube(), ref_c, rtol=2e-6, atol=2e-6)
 
 
+def test_mip_plan_arith_matches_select(monkeypatch):
+    """RENDERER_MIP_PLAN=arith (dynamic-shift level math + closed-form
+    offsets instead of per-level select chains) is BIT-identical to the
+    unrolled select plan on both wide-row fetches — power-of-two sizes are
+    exact in f32 so every per-pixel op is literally the same computation.
+    Also: a non-power-of-two chain silently falls back to the select plan."""
+    from renderer_rs_tpu.ops.sampling import (
+        _halving_offsets,
+        build_cube_trilinear_atlas,
+        build_material_atlas_tri,
+        cube_trilinear_fetch,
+        direction_to_cube_uv,
+        sample_material_atlas_tri,
+    )
+
+    rng = np.random.default_rng(17)
+
+    # --- material atlas (16^2 -> 1 halving chain, 2 texture sets) ----------
+    n_tex, s = 3, 16
+    base = rng.random((n_tex, s, s, 4)).astype(np.float32)
+    mips, lvl = [jnp.asarray(base)], base
+    while lvl.shape[1] > 1:
+        lvl = lvl.reshape(
+            n_tex, lvl.shape[1] // 2, 2, lvl.shape[2] // 2, 2, 4
+        ).mean(axis=(2, 4))
+        mips.append(jnp.asarray(lvl))
+    mips = tuple(mips)
+    slots = (0, 1, 2, 3, 4)
+    tex_ids = np.array([[0, 1, 2, -1, 0], [2, -1, 0, 1, -1]], np.int64)
+    tri, offs_t, sizes_t = build_material_atlas_tri(mips, tex_ids, slots)
+    h = w = 24
+    uv = jnp.asarray(rng.random((h, w, 2)) * 1.4 - 0.2, jnp.float32)
+    mid = jnp.asarray(rng.integers(0, 2, (h, w)), jnp.int32)
+
+    def mat():
+        return np.asarray(
+            sample_material_atlas_tri(
+                tri, tuple(offs_t), sizes_t, len(mips), (s, s), 13, mid, uv
+            )
+        )
+
+    # --- cube atlas (16..2 halving + arbitrary 32^2 sky tail) --------------
+    sizes_list = [16, 8, 4, 2]
+    segments = [
+        jnp.asarray(rng.random((6, s_, s_, 3)).astype(np.float32))
+        for s_ in sizes_list
+    ] + [jnp.asarray(rng.random((6, 32, 32, 3)).astype(np.float32))]
+    n_pref = 4
+    atlas13 = build_cube_trilinear_atlas(segments)
+    csizes, coffs, off = [], [], 0
+    for m in segments:
+        csizes.append(m.shape[1])
+        coffs.append(off)
+        off += 6 * m.shape[1] * m.shape[1]
+    d = rng.standard_normal((32, 32, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    face, cuv = direction_to_cube_uv(jnp.asarray(d))
+    lod = jnp.asarray(rng.uniform(0.0, n_pref - 1, (32, 32)).astype(np.float32))
+    far = jnp.zeros((32, 32), bool).at[2, :].set(True)
+    lod = jnp.where(far, float(n_pref), lod)
+    lo_l = jnp.floor(lod).astype(jnp.int32)
+    frac = lod - lo_l.astype(lod.dtype)
+
+    def cube():
+        return np.asarray(
+            cube_trilinear_fetch(
+                atlas13, tuple(coffs), tuple(csizes), lo_l, frac, face, cuv, 3
+            )
+        )
+
+    monkeypatch.setenv("RENDERER_MIP_PLAN", "select")
+    ref_m, ref_c = mat(), cube()
+    monkeypatch.setenv("RENDERER_MIP_PLAN", "arith")
+    np.testing.assert_array_equal(mat(), ref_m)
+    np.testing.assert_array_equal(cube(), ref_c)
+
+    # geometry guard: a 12x12 base is not a power-of-two halving chain
+    assert _halving_offsets([0, 144], [(12, 12), (6, 6)], 2) is None
+    # and mismatched offsets (wrong set multiplier pattern) also refuse
+    assert _halving_offsets([0, 100], [(16, 16), (8, 8)], 2) is None
+
+
 def test_merge_gather_matches_default(monkeypatch):
     """RENDERER_MERGE_GATHER=1 (PCF window row + cube trilinear row fetched
     in ONE gather from a shared padded table) renders the flagship
