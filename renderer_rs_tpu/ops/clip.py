@@ -36,6 +36,30 @@ def _intersect_t(wa: jnp.ndarray, wb: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (eps - wa) / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
 
 
+def clip_triangles_near_planes(
+    tri_clip: jnp.ndarray, eps: float = NEAR_EPS
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, tuple]:
+    """SoA variant of clip_triangles_near: identical vertices/validity, but
+    the source-barycentric frame returns as 9 flat [2T] planes
+    (``bary_planes[i][j][t] == bary_src[t, i, j]``).
+
+    Why: every op over a [T,3,3]-shaped array pads its (3,3) minor dims to
+    the TPU's (8,128) physical tile — ~100x wasted VPU/HBM per pass. The
+    bary chain of the array form (basis selects, lerps, case wheres, concat)
+    measured ~6 ms/frame at 97k tris; the same math over [T] planes is
+    bit-identical (elementwise ops, same operand order) and ~free.
+    """
+    clipped, valid, src, planes = _clip_impl(tri_clip, eps)
+    return clipped, valid, src, planes
+
+
+def bary_planes_to_array(planes: tuple) -> jnp.ndarray:
+    """Assemble the [2T,3,3] bary_src array from the 3x3 plane tuple."""
+    return jnp.stack(
+        [jnp.stack(list(row), axis=-1) for row in planes], axis=-2
+    )
+
+
 def clip_triangles_near(
     tri_clip: jnp.ndarray, eps: float = NEAR_EPS
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -51,15 +75,15 @@ def clip_triangles_near(
     barycentrics reproduces exact original-attribute interpolation (clip-space
     lerp of a vertex is the same lerp of its attributes).
     """
+    clipped, valid, src, planes = _clip_impl(tri_clip, eps)
+    return clipped, valid, src, bary_planes_to_array(planes)
+
+
+def _clip_impl(tri_clip: jnp.ndarray, eps: float) -> tuple:
     t = tri_clip.shape[0]
     w = tri_clip[..., 3]  # [T,3]
     behind = w < eps  # [T,3]
     n_behind = jnp.sum(behind.astype(jnp.int32), axis=-1)  # [T]
-
-    # source-barycentric identity frame for each original vertex
-    e0 = jnp.array([1.0, 0.0, 0.0], jnp.float32)
-    e1 = jnp.array([0.0, 1.0, 0.0], jnp.float32)
-    e2 = jnp.array([0.0, 0.0, 1.0], jnp.float32)
 
     # which vertex is "alone" on its side:
     # case 1-behind: the single behind vertex is A
@@ -73,52 +97,76 @@ def clip_triangles_near(
     # gather + [T,3]-index basis lookup measured ~2x the whole remaining
     # clip math; two where-cascades over [T,4]/constant rows are cheap)
     v0, v1, v2 = tri_clip[:, 0], tri_clip[:, 1], tri_clip[:, 2]  # [T,4]
-    s1 = (sel_a == 1)[:, None]
-    s2 = (sel_a == 2)[:, None]
+    sel1 = sel_a == 1  # [T]
+    sel2 = sel_a == 2
+    s1 = sel1[:, None]
+    s2 = sel2[:, None]
     va = jnp.where(s1, v1, jnp.where(s2, v2, v0))
     vb = jnp.where(s1, v2, jnp.where(s2, v0, v1))
     vc = jnp.where(s1, v0, jnp.where(s2, v1, v2))
-    ba = jnp.where(s1, e1, jnp.where(s2, e2, e0))  # [T,3]
-    bb = jnp.where(s1, e2, jnp.where(s2, e0, e1))
-    bc = jnp.where(s1, e0, jnp.where(s2, e1, e2))
     wa, wb_, wc = va[:, 3], vb[:, 3], vc[:, 3]
 
     # intersections on edges A-B and A-C (A is the lone vertex)
-    t_ab = _intersect_t(wa, wb_, eps)[:, None]
-    t_ac = _intersect_t(wa, wc, eps)[:, None]
+    t_ab1 = _intersect_t(wa, wb_, eps)  # [T]
+    t_ac1 = _intersect_t(wa, wc, eps)
+    t_ab = t_ab1[:, None]
+    t_ac = t_ac1[:, None]
     i_ab = _lerp_vertex(va, vb, t_ab)
     i_ac = _lerp_vertex(va, vc, t_ac)
-    bi_ab = _lerp_vertex(ba, bb, t_ab)
-    bi_ac = _lerp_vertex(ba, bc, t_ac)
 
     # --- case n_behind == 1 (A behind): quad (i_ab, B, C, i_ac) ----------------
     # primary triangle (i_ab, B, C); secondary (i_ab, C, i_ac)
     quad_tri1 = jnp.stack([i_ab, vb, vc], axis=1)
-    quad_tri1_b = jnp.stack([bi_ab, bb, bc], axis=1)
     quad_tri2 = jnp.stack([i_ab, vc, i_ac], axis=1)
-    quad_tri2_b = jnp.stack([bi_ab, bc, bi_ac], axis=1)
 
     # --- case n_behind == 2 (A in front): triangle (A, i_ab, i_ac) --------------
     # NOTE: with B,C behind, edges A-B and A-C cross the plane.
     tri_small = jnp.stack([va, i_ab, i_ac], axis=1)
-    tri_small_b = jnp.stack([ba, bi_ab, bi_ac], axis=1)
 
-    ident_b = jnp.broadcast_to(jnp.stack([e0, e1, e2]), (t, 3, 3))
-
-    one = (n_behind == 1)[:, None, None]
-    two = (n_behind == 2)[:, None, None]
-    primary = jnp.where(one, quad_tri1, jnp.where(two, tri_small, tri_clip))
-    primary_b = jnp.where(one, quad_tri1_b, jnp.where(two, tri_small_b, ident_b))
+    one3 = (n_behind == 1)[:, None, None]
+    two3 = (n_behind == 2)[:, None, None]
+    primary = jnp.where(one3, quad_tri1, jnp.where(two3, tri_small, tri_clip))
     primary_valid = n_behind < 3
 
     secondary = quad_tri2
-    secondary_b = quad_tri2_b
     secondary_valid = n_behind == 1
 
     clipped = jnp.concatenate([primary, secondary], axis=0)  # [2T,3,4]
-    bary_src = jnp.concatenate([primary_b, secondary_b], axis=0)  # [2T,3,3]
     valid = jnp.concatenate([primary_valid, secondary_valid], axis=0)
     src = jnp.concatenate(
         [jnp.arange(t, dtype=jnp.int32), jnp.arange(t, dtype=jnp.int32)]
     )
-    return clipped, valid, src, bary_src
+
+    # --- source-barycentric frame, as flat [T] planes --------------------------
+    # The rotated basis rows are one-hots of sel_a: ba = e_{sel_a},
+    # bb = e_{sel_a+1 mod 3}, bc = e_{sel_a+2 mod 3}; each component is a
+    # constant-select over [T] (same where structure as the old [T,3] array
+    # form — values bit-identical), and the lerps/case-selects stay [T].
+    e0 = (1.0, 0.0, 0.0)
+    e1 = (0.0, 1.0, 0.0)
+    e2 = (0.0, 0.0, 1.0)
+    one = n_behind == 1  # [T]
+    two = n_behind == 2
+    planes = []
+    for i in range(3):
+        row = []
+        for j in range(3):
+            ba_j = jnp.where(sel1, e1[j], jnp.where(sel2, e2[j], e0[j]))
+            bb_j = jnp.where(sel1, e2[j], jnp.where(sel2, e0[j], e1[j]))
+            bc_j = jnp.where(sel1, e0[j], jnp.where(sel2, e1[j], e2[j]))
+            bi_ab_j = ba_j + t_ab1 * (bb_j - ba_j)
+            bi_ac_j = ba_j + t_ac1 * (bc_j - ba_j)
+            # primary rows: 1-behind -> (bi_ab, B, C); 2-behind ->
+            # (A, bi_ab, bi_ac); unclipped -> identity
+            if i == 0:
+                prim = jnp.where(one, bi_ab_j, jnp.where(two, ba_j, float(i == j)))
+                sec = bi_ab_j
+            elif i == 1:
+                prim = jnp.where(one, bb_j, jnp.where(two, bi_ab_j, float(i == j)))
+                sec = bc_j
+            else:
+                prim = jnp.where(one, bc_j, jnp.where(two, bi_ac_j, float(i == j)))
+                sec = bi_ac_j
+            row.append(jnp.concatenate([prim, sec], axis=0))  # [2T]
+        planes.append(tuple(row))
+    return clipped, valid, src, tuple(planes)

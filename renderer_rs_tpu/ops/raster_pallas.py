@@ -583,6 +583,8 @@ def rasterize_binned_pallas(
     small_limit: int | None = None,
     defer_varyings: bool = False,
     defer_dtype: str | None = None,
+    varyings_soa: tuple | None = None,
+    vary_bary_planes: tuple | None = None,
 ):
     """Binned rasterization with per-tile dynamic trip counts (see module
     docstring). Returns VisibilityBuffer, or just the depth array when
@@ -629,7 +631,17 @@ def rasterize_binned_pallas(
     attributes quantize to 8 mantissa bits (~0.4% of range; integer lanes
     like material ids stay exact up to 256). Requires ids=None (a 24-bit
     ids payload would round: the caller must map ids arithmetically or
-    by lane instead)."""
+    by lane instead).
+
+    varyings_soa: optional (attr [V,K], vtx [T0,3] int32) SoA alternative to
+    `varyings` for the DEFERRED path (RENDERER_GEOM=soa): the defer table
+    builds from three [t,K] row gathers + [t]-plane clip composes + ONE
+    block concat, so no [t,3,K]-shaped array (whose (3,K) minor dims pad to
+    the (8,128) physical tile, ~30x HBM waste) is ever materialized and the
+    40-column jnp.stack (a strided write per column) disappears.
+    vary_bary_planes: the 3x3 [t]-plane clip frame from
+    ops/clip.clip_triangles_near_planes, used with varyings_soa. Both are
+    bit-identical to the array forms (same elementwise formulas/order)."""
     t = setup.num_triangles
 
     slab_ids, seg, nty, ntx, _overflow = _bin_compact(
@@ -651,7 +663,15 @@ def rasterize_binned_pallas(
     # by ONE contiguous row gather — not per-column [n_tiles, cap] gathers,
     # which cost ~50 gather ops over 6x more rows. Row t is the pad row
     # (thresholds +inf -> never covers), which the bin padding selects.
-    defer = defer_varyings and varyings is not None and not depth_only
+    if varyings_soa is not None:
+        assert varyings is None and defer_varyings and not depth_only, (
+            "varyings_soa is a deferred-path-only form"
+        )
+    defer = (
+        defer_varyings
+        and (varyings is not None or varyings_soa is not None)
+        and not depth_only
+    )
     import os as _os_sub
 
     # RENDERER_DEFER_SUBLANE: vertex-SUBLANE defer-table layout [t, 3, L]
@@ -664,7 +684,9 @@ def rasterize_binned_pallas(
     # 3-D table directly; "reshape" keeps the table flat [t, 3L] and
     # reshapes the gathered rows once.
     sub_mode = (
-        _os_sub.environ.get("RENDERER_DEFER_SUBLANE", "0") if defer else "0"
+        _os_sub.environ.get("RENDERER_DEFER_SUBLANE", "0")
+        if (defer and varyings_soa is None)
+        else "0"
     )
     if sub_mode not in ("0", "1", "table", "reshape"):
         sub_mode = "0"
@@ -734,12 +756,54 @@ def rasterize_binned_pallas(
             jnp.arange(t), flat_varyings.shape[0] - 1
         )
         fva = flat_varyings[fsrc]  # [t, Kf]
-        for k in range(n_flat if sub_mode == "0" else 0):
+        for k in range(
+            n_flat if (sub_mode == "0" and varyings_soa is None) else 0
+        ):
             fcols.append(fva[..., k])
-    if defer and ids is not None and sub_mode == "0":
+    if defer and ids is not None and sub_mode == "0" and varyings_soa is None:
         dcols.append(ids.astype(jnp.float32))  # deferred source-id payload
     dtab = None
-    if defer and sub_mode != "0":
+    if defer and varyings_soa is not None:
+        # SoA defer-table build: three [t,K] row gathers + [t]-plane clip
+        # composes + ONE block concat. Column order and per-element FMA
+        # order match the dcols path exactly (bit-identical values); what
+        # changes is the op shapes — no [t,3,K] array (minor-dim padding)
+        # and no per-column strided stack writes.
+        attr_v, vtx = varyings_soa
+        n_vary = int(attr_v.shape[-1])
+        inv_w = 1.0 / jnp.maximum(setup.w, 1e-12)  # [t,3]
+        src = (
+            vary_src
+            if vary_src is not None
+            else jnp.minimum(jnp.arange(t), vtx.shape[0] - 1)
+        )
+        tsrc = vtx[src]  # [t,3] source vertex ids
+        rows = [attr_v[tsrc[:, j]] for j in range(3)]  # 3 x [t,K]
+        if vary_bary_planes is not None:
+            cbp = vary_bary_planes
+            blocks = [
+                cbp[i][0][:, None] * rows[0]
+                + cbp[i][1][:, None] * rows[1]
+                + cbp[i][2][:, None] * rows[2]
+                for i in range(3)
+            ]
+        elif vary_bary is not None:
+            cb_a = vary_bary
+            blocks = [
+                cb_a[:, i, 0, None] * rows[0]
+                + cb_a[:, i, 1, None] * rows[1]
+                + cb_a[:, i, 2, None] * rows[2]
+                for i in range(3)
+            ]
+        else:
+            blocks = rows
+        parts = [inv_w, *blocks]
+        if n_flat:
+            parts.append(fva)
+        if ids is not None:
+            parts.append(ids.astype(jnp.float32)[:, None])
+        dtab = jnp.concatenate(parts, axis=-1)  # [t, 3+3K(+Kf)(+1)]
+    elif defer and sub_mode != "0":
         # [t, 3, L] (or flat [t, 3L] for "reshape"): the clip-frame compose
         # is ONE einsum into the natural vertex-major block shape — no
         # per-column stack. Trailing exact lanes (flats, ids) ride vertex 0

@@ -203,11 +203,26 @@ def vertex_stage(scene: GpuScene, layout: SceneLayout) -> VertexStageOut:
 
 
 def shadow_vertex_stage(
-    scene: GpuScene, layout: SceneLayout, light_matrix=None
+    scene: GpuScene, layout: SceneLayout, light_matrix=None,
+    world_pos: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Light-space positions (≙ vertex/shadow.hlsl:22-33:
-    lightSpaceMatrix * model * pos)."""
+    lightSpaceMatrix * model * pos).
+
+    world_pos: optional [V,3] world positions from the forward vertex stage.
+    When given, the projection is ONE [V,4] @ lsm.T matmul reusing them —
+    the associativity the reference shader itself uses
+    (vertex/shadow.hlsl:22-33 computes mul(lightSpaceMatrix,
+    mul(model, pos)), i.e. world-then-light), vs the (lsm@model)@pos
+    pre-compose of the loop below (~1 ulp apart). The model's affine last
+    row makes world w exactly 1.0, so [world_pos, 1] IS the world vector.
+    """
     lsm = light_matrix if light_matrix is not None else scene.light_space_matrix
+    if world_pos is not None:
+        homo = jnp.concatenate(
+            [world_pos, jnp.ones_like(world_pos[:, :1])], axis=-1
+        )
+        return jnp.matmul(homo, lsm.T, precision=jax.lax.Precision.HIGHEST)
     n_obj = len(layout.object_ranges)
     if _vstage_batch() and n_obj > 1:
         # one [V,4] @ [4, O*4] matmul against (lsm@model).T column blocks +
@@ -319,10 +334,11 @@ def _shadow_kernel_knobs() -> dict:
 
 
 def shadow_map_pass(
-    scene: GpuScene, layout: SceneLayout, size: int, light_matrix=None
+    scene: GpuScene, layout: SceneLayout, size: int, light_matrix=None,
+    world_pos=None,
 ) -> jnp.ndarray:
     """Depth-only sun shadow render (≙ the shadow pass, depth-only pipeline)."""
-    clip = shadow_vertex_stage(scene, layout, light_matrix)
+    clip = shadow_vertex_stage(scene, layout, light_matrix, world_pos=world_pos)
     setup = setup_triangles(
         gather_triangle_clip(clip, scene.tris), size, size, _SHADOW_PIPELINE
     )
@@ -339,7 +355,9 @@ def shadow_map_pass(
     return rasterize_depth_only(setup, size, size, _SHADOW_PIPELINE)
 
 
-def csm_shadow_pass(scene: GpuScene, layout: SceneLayout, size: int) -> jnp.ndarray:
+def csm_shadow_pass(
+    scene: GpuScene, layout: SceneLayout, size: int, world_pos=None
+) -> jnp.ndarray:
     """Render the 4-cascade shadow array [C,S,S] (≙ the Texture2DArray the
     CSM shader samples, shadow_csm.hlsli:94-166).
 
@@ -354,7 +372,9 @@ def csm_shadow_pass(scene: GpuScene, layout: SceneLayout, size: int) -> jnp.ndar
 
         setups = []
         for c in range(CASCADE_COUNT):
-            clip = shadow_vertex_stage(scene, layout, scene.csm_matrices[c])
+            clip = shadow_vertex_stage(
+                scene, layout, scene.csm_matrices[c], world_pos=world_pos
+            )
             setups.append(
                 setup_triangles(
                     gather_triangle_clip(clip, scene.tris), size, size,
@@ -366,7 +386,9 @@ def csm_shadow_pass(scene: GpuScene, layout: SceneLayout, size: int) -> jnp.ndar
         )
     return jnp.stack(
         [
-            shadow_map_pass(scene, layout, size, scene.csm_matrices[c])
+            shadow_map_pass(
+                scene, layout, size, scene.csm_matrices[c], world_pos=world_pos
+            )
             for c in range(CASCADE_COUNT)
         ]
     )
@@ -1220,15 +1242,27 @@ def forward_frame(
     # shadow and forward passes as separate jits so a resize re-specializes
     # only the forward pass — ≙ the reference's per-pipeline compiles,
     # pipeline.rs:161-268 being independent objects)
+    vs = vertex_stage(scene, layout)
     if shadow_map is None:
+        # RENDERER_SHADOW_VSTAGE=world reuses vs.world_pos for the in-frame
+        # shadow projection (one [V,4]@[4,4] instead of the per-object
+        # lsm@model loop) — see shadow_vertex_stage for the associativity
+        # note. Only valid here, where the forward vertex stage exists in
+        # the same program.
+        import os as _os_sv
+
+        wp = (
+            vs.world_pos
+            if _os_sv.environ.get("RENDERER_SHADOW_VSTAGE", "0") == "world"
+            else None
+        )
         if layout.has_csm:
-            shadow_map = csm_shadow_pass(scene, layout, shadow_map_size)
+            shadow_map = csm_shadow_pass(scene, layout, shadow_map_size, world_pos=wp)
         elif layout.has_shadow:
-            shadow_map = shadow_map_pass(scene, layout, shadow_map_size)
+            shadow_map = shadow_map_pass(scene, layout, shadow_map_size, world_pos=wp)
 
     from renderer_rs_tpu.rhi.pipeline import PrimitiveTopology
 
-    vs = vertex_stage(scene, layout)
     tri_clip = gather_triangle_clip(vs.clip, scene.tris)
 
     if pipeline.topology in (
@@ -1244,6 +1278,12 @@ def forward_frame(
         clip_valid = None
         clip_src = jnp.arange(t_n, dtype=jnp.int32)
         clip_bary = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (t_n, 3, 3))
+        clip_bary_planes = tuple(
+            tuple(
+                jnp.full((t_n,), float(i == j), jnp.float32) for j in range(3)
+            )
+            for i in range(3)
+        )
         setup = setup_triangles(tri_clip, width, height, pipeline)
         n_raster_tris = t_n
         bin_small_limit = None
@@ -1252,9 +1292,17 @@ def forward_frame(
         # slots) instead of dropped; shading maps winners back to source
         # triangles and composes barycentrics (ops/clip.py). ≙ the hardware
         # clipper stage.
-        from renderer_rs_tpu.ops.clip import clip_triangles_near
+        from renderer_rs_tpu.ops.clip import (
+            bary_planes_to_array,
+            clip_triangles_near_planes,
+        )
 
-        tri_clip, clip_valid, clip_src, clip_bary = clip_triangles_near(tri_clip)
+        tri_clip, clip_valid, clip_src, clip_bary_planes = (
+            clip_triangles_near_planes(tri_clip)
+        )
+        # array form for the scan/binned/peel consumers; XLA DCEs it on the
+        # fused SoA path (RENDERER_GEOM=soa), which consumes the planes
+        clip_bary = bary_planes_to_array(clip_bary_planes)
 
         # viewport transform always uses the FULL framebuffer extent
         setup = setup_triangles(tri_clip, width, height, pipeline, tri_valid=clip_valid)
@@ -1405,7 +1453,16 @@ def forward_frame(
             if layout.texture_slots[1]:
                 packed.append(vs.world_tangent)
         attr = jnp.concatenate(packed, axis=-1)  # [V,K]
-        tri_attr_src = attr[scene.tris]  # [T,3,K] — composition with the
+        # SoA geometry prep (RENDERER_GEOM=soa): hand the pallas prep the
+        # compact [V,K] attrs + [T,3] vertex ids + [t]-plane clip frame so
+        # it never materializes a [t,3,K]-shaped array (minor-dim padding)
+        # nor the 40-column table stack. Bit-identical either way.
+        geom_soa = (
+            defer_on and _os_fm.environ.get("RENDERER_GEOM", "0") == "soa"
+        )
+        tri_attr_src = (
+            None if geom_soa else attr[scene.tris]
+        )  # [T,3,K] — composition with the
         # clip frame happens per column inside the kernel prep (vary_bary).
         fused_mid = False
         mat_flat = None
@@ -1451,8 +1508,10 @@ def forward_frame(
                 else jnp.full((height, width), depth_clear, jnp.float32)
             ),
             varyings=tri_attr_src,
+            varyings_soa=(attr, scene.tris) if geom_soa else None,
             vary_src=clip_src,
-            vary_bary=clip_bary,
+            vary_bary=None if geom_soa else clip_bary,
+            vary_bary_planes=clip_bary_planes if geom_soa else None,
             flat_varyings=mat_flat,
             ids=ids_payload,  # kernel writes SOURCE (packed) ids directly
             skip_bary=True,  # fused consumers never read vis.bary
