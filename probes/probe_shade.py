@@ -167,6 +167,55 @@ if want("notonemap"):
     res["notonemap"] = bench(lambda s: frame_fn(s, tonemap="none"))
     print("notonemap", res["notonemap"], flush=True)
 
+if want("stub_raster"):
+    # whole raster block (geom slice kept tiny by DCE + bin + kernel +
+    # defer resolve) -> synthetic vis/varyings with per-pixel variation so
+    # every downstream gather keeps realistic (non-constant) indices
+    import renderer_rs_tpu.ops.raster_pallas as rp
+
+    real = rp.rasterize_binned_pallas
+    T = layout.num_triangles
+
+    def stub(setup, height, width, pipeline, **kw):
+        from renderer_rs_tpu.ops.raster import VisibilityBuffer
+
+        yy = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+        dep = setup.z[0, 0] * 1e-12
+        tid = (yy * width + xx).astype(jnp.int32) % T
+        vis = VisibilityBuffer(
+            tri_id=tid,
+            depth=0.5 + dep + (yy + xx) * 1e-7,
+            bary=jnp.zeros((height, width, 2), jnp.float32),
+        )
+        k = 13  # wp3 + n3 + uv2 + tan4 + matid1 (flagship defer layout)
+        chan = jnp.arange(1, k + 1, dtype=jnp.float32)
+        vary = 0.3 + dep + (xx[..., None] + yy[..., None]) * 1e-4 * chan
+        vary = vary.at[..., -1].set(0.0)  # material id lane: exact 0
+        return vis, vary
+
+    rp.rasterize_binned_pallas = stub
+    res["stub_raster"] = bench(frame_fn)
+    rp.rasterize_binned_pallas = real
+    print("stub_raster", res["stub_raster"], flush=True)
+
+if want("stub_shadowmap"):
+    # shadow-map render -> constant map (keeps the PCF projection/gather/
+    # reduce live; isolates the depth-only raster pass at frame level)
+    import renderer_rs_tpu.renderer.passes as passes
+
+    real = passes.shadow_map_pass
+
+    def stub(scene_, layout_, size, light_matrix=None, world_pos=None):
+        return jnp.full((size, size), 1.0, jnp.float32) + (
+            scene_.positions[0, 0] * 1e-12
+        )
+
+    passes.shadow_map_pass = stub
+    res["stub_shadowmap"] = bench(frame_fn)
+    passes.shadow_map_pass = real
+    print("stub_shadowmap", res["stub_shadowmap"], flush=True)
+
 for g in (4, 16):
     key = f"pcf_g{g}"
     if want(key):
