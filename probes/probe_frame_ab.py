@@ -201,6 +201,35 @@ if which in ("all", "cubebf16"):
         res["cubebf16"] = bench(frame_fn, scene_override=s_bf)
         print("cubebf16", res["cubebf16"], flush=True)
 
+if which in ("all", "pcfhalf"):
+    # half-res shadow term (quarter the PCF stack's gather indexes,
+    # bilinear-upsample the scalar lit factor) — quality-gated knob
+    os.environ["RENDERER_PCF_RES"] = "half"
+    res["pcfhalf"] = bench(frame_fn)
+    del os.environ["RENDERER_PCF_RES"]
+    print("pcfhalf", res["pcfhalf"], flush=True)
+
+if which in ("all", "pcf32"):
+    # group=32 window table: 32k rows x 102-lane halo rows (row-count
+    # halves again vs g16; lanes still under 128)
+    os.environ["RENDERER_PCF_GROUP"] = "32"
+    res["pcf32"] = bench(frame_fn)
+    del os.environ["RENDERER_PCF_GROUP"]
+    print("pcf32", res["pcf32"], flush=True)
+
+if which in ("all", "svworld"):
+    # shadow vertex stage reuses the forward pass's world positions
+    os.environ["RENDERER_SHADOW_VSTAGE"] = "world"
+    res["svworld"] = bench(frame_fn)
+    del os.environ["RENDERER_SHADOW_VSTAGE"]
+    print("svworld", res["svworld"], flush=True)
+
+if which in ("all", "geomsoa"):
+    os.environ["RENDERER_GEOM"] = "soa"
+    res["geomsoa"] = bench(frame_fn)
+    del os.environ["RENDERER_GEOM"]
+    print("geomsoa", res["geomsoa"], flush=True)
+
 if which in ("all", "best"):
     # the expected-winner combo: measure interactions, not just singles
     os.environ["RENDERER_DEFER_MATMUL"] = "1"

@@ -77,6 +77,7 @@ ref = render()
 res = {}
 variants = {
     "bf16d": dict(env={"RENDERER_DEFER_DTYPE": "bf16"}),
+    "pcfhalf": dict(env={"RENDERER_PCF_RES": "half"}),
 }
 env_ = scene.environment
 if env_ is not None and env_.atlas_tri is not None:

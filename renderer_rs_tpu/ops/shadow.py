@@ -222,6 +222,24 @@ def shadow_finish(
     return jnp.where(in_bounds, lit, 1.0)
 
 
+def upsample2x_bilinear(s: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Bilinear 2x upsample of a scalar field sampled at the even-pixel grid
+    (s[i, j] is the value at full-res pixel (2i, 2j)); edge-clamped.
+
+    Used by the RENDERER_PCF_RES=half shadow-term path: per-pixel gather
+    cost is index-count-bound (docs/tpu_cost_model.md), so evaluating the
+    PCF stack on the quarter grid and interpolating the scalar lit factor
+    cuts its cost ~4x. Interleaving rides stack+reshape (minor-dim only —
+    no lane->sublane reshape)."""
+    # odd columns average x-neighbors (edge-clamped)
+    right = jnp.concatenate([s[:, 1:], s[:, -1:]], axis=1)
+    rows = jnp.stack([s, 0.5 * (s + right)], axis=-1)
+    rows = rows.reshape(s.shape[0], -1)[:, :width]  # [h, W]
+    down = jnp.concatenate([rows[1:], rows[-1:]], axis=0)
+    full = jnp.stack([rows, 0.5 * (rows + down)], axis=1)
+    return full.reshape(-1, width)[:height]
+
+
 def calculate_shadow(
     shadow_map: jnp.ndarray,
     light_space_matrix: jnp.ndarray,

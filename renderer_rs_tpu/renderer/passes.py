@@ -787,6 +787,32 @@ def _shade_pixels(
                 shadow_params,
             )
             shadow = None  # resolved by the merged gather below
+        elif (
+            _os_mg.environ.get("RENDERER_PCF_RES", "full") == "half"
+            and world_pos.ndim == 3
+        ):
+            # Gated quality/perf knob: evaluate the whole PCF stack
+            # (projection + window gather + halo reduce) on the even-pixel
+            # quarter grid and bilinearly upsample the scalar lit factor.
+            # Gather cost is index-count-bound, so this cuts the ~15 ms
+            # PCF stack ~4x; the factor field is smooth except across
+            # penumbrae (PCF pre-blurs 3 shadow texels, which span many
+            # screen pixels at 1080p/1024^2). Default OFF — flips only if
+            # probe_quality accepts the image drift (p99 < 0.01).
+            from renderer_rs_tpu.ops.shadow import upsample2x_bilinear
+
+            wp_h = world_pos[::2, ::2]
+            s_h = calculate_shadow(
+                shadow_map,
+                scene.light_space_matrix,
+                wp_h,
+                normal[::2, ::2],
+                jnp.broadcast_to(sun_dir, wp_h.shape),
+                shadow_params,
+            )
+            shadow = upsample2x_bilinear(
+                s_h, world_pos.shape[0], world_pos.shape[1]
+            )[..., None]
         else:
             shadow = calculate_shadow(
                 shadow_map,

@@ -302,7 +302,13 @@ def test_pcf_halo_layout_bit_identical(monkeypatch):
     params = ShadowParams(pcf=True)
 
     outs = {}
-    for layout, group in (("halo", "8"), ("group", "8"), ("group", "1")):
+    for layout, group in (
+        ("halo", "8"),
+        ("halo", "16"),
+        ("halo", "32"),
+        ("group", "8"),
+        ("group", "1"),
+    ):
         monkeypatch.setenv("RENDERER_PCF_LAYOUT", layout)
         monkeypatch.setenv("RENDERER_PCF_GROUP", group)
         outs[(layout, group)] = np.asarray(
@@ -310,3 +316,63 @@ def test_pcf_halo_layout_bit_identical(monkeypatch):
         )
     np.testing.assert_array_equal(outs[("halo", "8")], outs[("group", "8")])
     np.testing.assert_array_equal(outs[("halo", "8")], outs[("group", "1")])
+    np.testing.assert_array_equal(outs[("halo", "16")], outs[("group", "1")])
+    np.testing.assert_array_equal(outs[("halo", "32")], outs[("group", "1")])
+
+
+def test_upsample2x_bilinear_exact():
+    """upsample2x_bilinear must reproduce the even-grid samples exactly and
+    average neighbors (edge-clamped) at odd pixels — checked against a
+    straightforward numpy reference at even and odd full-res extents."""
+    from renderer_rs_tpu.ops.shadow import upsample2x_bilinear
+
+    rng = np.random.default_rng(3)
+    for height, width in ((8, 12), (7, 11), (6, 10)):
+        hh, hw = (height + 1) // 2, (width + 1) // 2
+        s = rng.random((hh, hw)).astype(np.float32)
+        out = np.asarray(upsample2x_bilinear(jnp.asarray(s), height, width))
+        assert out.shape == (height, width)
+        ref = np.empty((height, width), np.float32)
+        for y in range(height):
+            i0, i1 = y // 2, min(y // 2 + (y % 2), hh - 1)
+            for x in range(width):
+                j0, j1 = x // 2, min(x // 2 + (x % 2), hw - 1)
+                ref[y, x] = 0.25 * (
+                    s[i0, j0] + s[i0, j1] + s[i1, j0] + s[i1, j1]
+                )
+        np.testing.assert_allclose(out, ref, rtol=0, atol=1e-7)
+        # grid points are preserved bit-exactly
+        np.testing.assert_array_equal(out[::2, ::2], s[: (height + 1) // 2, : (width + 1) // 2])
+
+
+def test_pcf_res_half_knob_engages(monkeypatch):
+    """RENDERER_PCF_RES=half must engage (image changes at penumbrae) while
+    staying close to the full-res shadow term on the full scene."""
+    import jax
+
+    from renderer_rs_tpu.app.scenes import full_scene
+    from renderer_rs_tpu.renderer.passes import forward_frame
+    from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+    width, height = 96, 64
+    scene, layout, kwargs, _ = full_scene(width, height, tri_budget=600)
+    pipe = GraphicsPipelineBuilder().build()
+
+    def render():
+        return np.asarray(
+            forward_frame(
+                scene, layout, pipe, kwargs["shading"], width, height,
+                tonemap=kwargs.get("tonemap", "aces"),
+                shadow_map_size=128,
+                shadow_params=kwargs.get("shadow_params"),
+            )
+        )
+
+    full = render()
+    monkeypatch.setenv("RENDERER_PCF_RES", "half")
+    half = render()
+    assert full.shape == half.shape
+    diff = np.abs(full - half)
+    # bounded drift: the lit factor only modulates the sun term
+    assert diff.mean() < 5e-3, diff.mean()
+    assert np.quantile(diff, 0.99) < 0.15, np.quantile(diff, 0.99)
