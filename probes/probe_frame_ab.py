@@ -230,6 +230,14 @@ if which in ("all", "geomsoa"):
     del os.environ["RENDERER_GEOM"]
     print("geomsoa", res["geomsoa"], flush=True)
 
+if which in ("all", "geomaos"):
+    # pre-2026-08-19 default: AoS [t,3,K] defer-table build (the column
+    # stack the compiler update pessimized)
+    os.environ["RENDERER_GEOM"] = "0"
+    res["geomaos"] = bench(frame_fn)
+    del os.environ["RENDERER_GEOM"]
+    print("geomaos", res["geomaos"], flush=True)
+
 if which in ("all", "best"):
     # the expected-winner combo: measure interactions, not just singles
     os.environ["RENDERER_DEFER_MATMUL"] = "1"

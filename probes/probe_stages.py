@@ -115,8 +115,8 @@ if want("vis"):
     print("vis", res["vis"], flush=True)
 
 if want("defer"):
-    # the live fused path (r3 fourth revision): deferred varyings, arith
-    # source mapping (no ids payload), material id as a flat table lane
+    # the pre-2026-08-19 AoS defer build (kept to track the compiler
+    # regression that pessimized the [t,3,K] column stack: 26.9 -> 97.8)
     def f(s):
         vs, setup, clip_src, clip_bary = geom(s)
         packed = [vs.world_pos, vs.world_normal, s.uvs, vs.world_tangent]
@@ -131,5 +131,33 @@ if want("defer"):
         return vis.depth.sum() + vary.sum()
     res["defer"] = bench(f)
     print("defer", res["defer"], flush=True)
+
+if want("defer_soa"):
+    # the live fused path (SoA default since 2026-08-19): plane-form clip
+    # frame + [V,K] attrs; no [t,3,K] intermediate, no column stack
+    from renderer_rs_tpu.ops.clip import (
+        bary_planes_to_array, clip_triangles_near_planes,
+    )
+
+    def f(s):
+        vs = vertex_stage(s, layout)
+        tri_clip = gather_triangle_clip(vs.clip, s.tris)
+        tri_clip, clip_valid, clip_src, cbp = clip_triangles_near_planes(
+            tri_clip
+        )
+        setup = setup_triangles(tri_clip, W, H, pipe, tri_valid=clip_valid)
+        packed = [vs.world_pos, vs.world_normal, s.uvs, vs.world_tangent]
+        attr = jnp.concatenate(packed, axis=-1)
+        mat_flat = s.tri_material[:, None].astype(jnp.float32)
+        vis, vary = rasterize_binned_pallas(
+            setup, H, W, pipe,
+            varyings=None, varyings_soa=(attr, s.tris),
+            vary_src=clip_src, vary_bary_planes=cbp,
+            flat_varyings=mat_flat, skip_bary=True, small_limit=T,
+            defer_varyings=True,
+        )
+        return vis.depth.sum() + vary.sum()
+    res["defer_soa"] = bench(f)
+    print("defer_soa", res["defer_soa"], flush=True)
 
 print(json.dumps(res))

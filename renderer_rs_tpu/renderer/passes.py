@@ -1479,12 +1479,18 @@ def forward_frame(
             if layout.texture_slots[1]:
                 packed.append(vs.world_tangent)
         attr = jnp.concatenate(packed, axis=-1)  # [V,K]
-        # SoA geometry prep (RENDERER_GEOM=soa): hand the pallas prep the
-        # compact [V,K] attrs + [T,3] vertex ids + [t]-plane clip frame so
-        # it never materializes a [t,3,K]-shaped array (minor-dim padding)
-        # nor the 40-column table stack. Bit-identical either way.
+        # SoA geometry prep (default; RENDERER_GEOM=0 restores AoS): hand
+        # the pallas prep the compact [V,K] attrs + [T,3] vertex ids +
+        # [t]-plane clip frame so it never materializes a [t,3,K]-shaped
+        # array (minor-dim padding) nor the 40-column table stack.
+        # Bit-identical either way (tests assert at frame level). Default
+        # flipped 2026-08-19: a remote-compiler update pessimized the AoS
+        # stack lowering ~70 ms/frame at 1080p (probe_stages defer 26.9 ->
+        # 97.8 ms with identical source); the SoA build measured 60.9 ms
+        # frames on the same compiler — and was frame-neutral on the old
+        # one, so it is the safe default under both.
         geom_soa = (
-            defer_on and _os_fm.environ.get("RENDERER_GEOM", "0") == "soa"
+            defer_on and _os_fm.environ.get("RENDERER_GEOM", "soa") == "soa"
         )
         tri_attr_src = (
             None if geom_soa else attr[scene.tris]

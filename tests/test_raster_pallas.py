@@ -670,3 +670,39 @@ def test_defer_matmul_folds_flat_lanes(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(vary_a)[..., 4:][cov], np.asarray(vary_b)[..., 4:][cov]
     )
+
+
+def test_geom_soa_frame_bit_identical(monkeypatch):
+    """RENDERER_GEOM=soa (SoA defer-table build: [V,K] attrs + vertex ids +
+    [t]-plane clip frame, no [t,3,K] intermediate and no per-column table
+    stack) must be BIT-identical to the AoS build at frame level — same
+    column order and per-element FMA order by construction. This is the
+    guard for flipping the default (the 2026-08-19 remote-compiler update
+    pessimized the AoS stack lowering ~70 ms/frame at 1080p; SoA avoids
+    it)."""
+    from renderer_rs_tpu.app.scenes import full_scene
+    from renderer_rs_tpu.renderer.passes import forward_frame
+    from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+    w, h = 128, 96
+    pipe = GraphicsPipelineBuilder().build()
+    for textured in (True, False):
+        scene, layout, kwargs, _ = full_scene(
+            w, h, tri_budget=900, textured=textured
+        )
+
+        def render():
+            return np.asarray(
+                forward_frame(
+                    scene, layout, pipe, kwargs["shading"], w, h,
+                    tonemap=kwargs.get("tonemap", "aces"),
+                    shadow_map_size=128,
+                    shadow_params=kwargs.get("shadow_params"),
+                )
+            )
+
+        monkeypatch.setenv("RENDERER_GEOM", "0")
+        aos = render()
+        monkeypatch.setenv("RENDERER_GEOM", "soa")
+        soa = render()
+        np.testing.assert_array_equal(aos, soa)
