@@ -794,11 +794,12 @@ def _shade_pixels(
             # Gated quality/perf knob: evaluate the whole PCF stack
             # (projection + window gather + halo reduce) on the even-pixel
             # quarter grid and bilinearly upsample the scalar lit factor.
-            # Gather cost is index-count-bound, so this cuts the ~15 ms
-            # PCF stack ~4x; the factor field is smooth except across
-            # penumbrae (PCF pre-blurs 3 shadow texels, which span many
-            # screen pixels at 1080p/1024^2). Default OFF — flips only if
-            # probe_quality accepts the image drift (p99 < 0.01).
+            # MEASURED (2026-08-19 compiler, 1080p/97k): quality gate
+            # PASSES (p99 ~0, mean 1.5e-4) but the frame LOSES 3.2 ms
+            # (63.9 vs 60.6) — the strided [::2,::2] subsample and the
+            # interleave upsample are whole-frame relayout passes that
+            # outweigh the saved gather indexes. Stays OFF; kept as a
+            # compiler-sensitivity lever (docs/tpu_cost_model.md).
             from renderer_rs_tpu.ops.shadow import upsample2x_bilinear
 
             wp_h = world_pos[::2, ::2]
