@@ -73,7 +73,7 @@ def build(args):
     if args.scene == "full":
         return full_scene(
             args.width, args.height, tri_budget=args.tris, csm=args.csm,
-            textured=args.textured, hdr=args.hdr,
+            textured=args.textured, hdr=args.hdr, gltf=args.gltf,
         )
     return SCENES[args.scene](args.width, args.height)
 
@@ -86,7 +86,7 @@ def main(argv=None) -> int:
     parser.add_argument("--height", type=int, default=720)
     parser.add_argument("--frames", type=int, default=1)
     parser.add_argument("--out", type=str, default=None, help="PNG output directory")
-    parser.add_argument("--gltf", type=str, default=None, help="glTF path for gltf-pbr")
+    parser.add_argument("--gltf", type=str, default=None, help="glTF path (gltf-pbr scene, or instanced into the full scene)")
     parser.add_argument("--tris", type=int, default=100_000,
                         help="triangle budget for the full scene")
     parser.add_argument("--csm", action="store_true",

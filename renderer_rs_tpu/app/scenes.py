@@ -208,6 +208,7 @@ def full_scene(
     csm: bool = False,
     textured: bool = False,
     hdr: str | None = None,
+    gltf: str | None = None,
 ):
     """Config 4: shadow-mapped sun + HDR environment IBL + skybox + ACES
     tonemap at a given triangle budget (default 100k, the north-star
@@ -217,7 +218,16 @@ def full_scene(
     textured=True binds a full 5-slot 256² PBR texture set (procedural
     base/normal/MR/AO/emissive, meshgen.procedural_pbr_textures) to every
     material — the BASELINE.json configs[4] "textured PBR glTF scene"
-    workload the headline bench must measure (VERDICT r2 item 2)."""
+    workload the headline bench must measure (VERDICT r2 item 2).
+
+    gltf: replace the sphere grid with a real glTF model instanced up to
+    ~tri_budget (one Model.load; instances share its decoded texture set
+    and material table via SceneBuilder.add_model reuse). The model's own
+    textures bind through the regular glTF pipeline — e.g. the reference's
+    dancer asset (17.2k tris, real normal map; base/MR stripped to 1x1
+    white by .MISSING_LARGE_BLOBS) instanced 6x = a ~103k-tri true-glTF
+    full-frame workload. `textured` is ignored for the model draws (the
+    asset's texture table wins); the floor keeps its procedural set."""
     from renderer_rs_tpu.ops.ibl import (
         brdf_lut,
         irradiance_map,
@@ -237,6 +247,11 @@ def full_scene(
     cb = CommandBuffer().begin().bind_pipeline(pipeline).set_viewport(width, height)
     builder = SceneBuilder()
     tex_kw = {}
+    if gltf:
+        # the model's own texture table binds through add_model; an explicit
+        # set_textures would shadow it (build() only auto-assembles the
+        # accumulated model images when set_textures was NOT called)
+        textured = False
     if textured:
         # one shared 5-slot set; per-material FACTORS still vary across the
         # grid (texture x factor, model_pbr.hlsl:205-245 semantics)
@@ -255,20 +270,54 @@ def full_scene(
             emissive_texture=4,
             emissive=(1.0, 1.0, 1.0, 0.0),  # emissive factor gates the map
         )
-    for i in range(n):
-        for j in range(n):
-            mat = Material(
-                base_color=(0.85, 0.3, 0.2, 1.0),
-                metallic=i / max(n - 1, 1),
-                roughness=max(j / max(n - 1, 1), 0.08),
-                **tex_kw,
-            )
+    if gltf:
+        from renderer_rs_tpu.resources.model import Model
+
+        model = Model.load(gltf)
+        n_inst = max(1, round(tri_budget / max(model.total_triangle_count(), 1)))
+        scale = 2.4 / max(model.diagonal(), 1e-6)
+        # feet on the floor: AABB min.y maps to y=0 (the plane)
+        foot_y = -float(model.aabb_min[1]) * scale
+        cols = max(1, int(math.ceil(math.sqrt(n_inst))))
+        for k in range(n_inst):
+            i, j = k % cols, k // cols
+            rows_n = (n_inst + cols - 1) // cols
             tr = (
                 Transform()
-                .with_position([(i - (n - 1) / 2) * 1.6, 0.6, (j - (n - 1) / 2) * 1.6])
-                .with_scale([0.6, 0.6, 0.6])
+                .with_position(
+                    [
+                        (i - (cols - 1) / 2) * 1.6,
+                        foot_y,
+                        (j - (rows_n - 1) / 2) * 1.6,
+                    ]
+                )
+                .with_rotation(
+                    np.asarray(
+                        quat_from_axis_angle(
+                            jnp.array([0.0, 1.0, 0.0]), 0.7 * k
+                        )
+                    )
+                )
+                .with_scale([scale] * 3)
             )
-            cb.draw_mesh(meshgen.uv_sphere_mesh(1.0, rings, sectors), tr, mat)
+            cb.draw_model(model, tr)
+    else:
+        for i in range(n):
+            for j in range(n):
+                mat = Material(
+                    base_color=(0.85, 0.3, 0.2, 1.0),
+                    metallic=i / max(n - 1, 1),
+                    roughness=max(j / max(n - 1, 1), 0.08),
+                    **tex_kw,
+                )
+                tr = (
+                    Transform()
+                    .with_position(
+                        [(i - (n - 1) / 2) * 1.6, 0.6, (j - (n - 1) / 2) * 1.6]
+                    )
+                    .with_scale([0.6, 0.6, 0.6])
+                )
+                cb.draw_mesh(meshgen.uv_sphere_mesh(1.0, rings, sectors), tr, mat)
     cb.draw_mesh(
         meshgen.plane_mesh(12.0),
         Transform(),

@@ -228,9 +228,26 @@ class SceneBuilder:
         """Add every mesh of a glTF model, keeping its material table and
         texture images (material texture indices are remapped into the
         scene-global texture array; build() assembles it unless
-        set_textures was called explicitly)."""
+        set_textures was called explicitly).
+
+        Re-adding the SAME Model object (instancing — e.g. the dancer
+        repeated to a triangle budget) reuses its material/texture entries:
+        only the mesh draws are appended, so N instances share one decoded
+        texture set and one material table. The keying dict holds the
+        model reference, so the id() stays valid for the builder's life."""
+        if not hasattr(self, "_model_bases"):
+            self._model_bases: dict[int, tuple] = {}
+        prior = self._model_bases.get(id(model))
+        if prior is not None:
+            base, _model_ref = prior
+            for mesh in model.meshes:
+                mi = mesh.material_index
+                mat_idx = base + (mi if mi is not None else 0)
+                self._meshes.append((mesh, transform or Transform(), mat_idx))
+            return self
         base = len(self._materials)
         base_img = len(self._images)
+        self._model_bases[id(model)] = (base, model)
         mats = model.materials or [Material()]
         if model.textures:
             self._images.extend(model.textures)

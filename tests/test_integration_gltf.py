@@ -58,3 +58,70 @@ def test_render_reference_model():
     assert np.isfinite(out).all()
     # something should be on screen (not all clear color)
     assert np.unique(out[..., 0]).size > 4
+
+
+@pytest.mark.skipif(_find_asset() is None, reason="reference assets not mounted")
+def test_full_scene_gltf_instanced():
+    """full_scene(gltf=...) instances the model to the triangle budget,
+    shares ONE decoded texture/material table across instances
+    (SceneBuilder.add_model reuse), and renders finite through the full
+    shadow+IBL+tonemap frame."""
+    import jax
+
+    from renderer_rs_tpu.app.scenes import full_scene
+    from renderer_rs_tpu.renderer.passes import forward_frame
+    from renderer_rs_tpu.resources.model import Model
+    from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+    path = _find_asset()
+    per = Model.load(path).total_triangle_count()
+    w, h = 128, 96
+    budget = per * 2 + per // 2  # rounds to 2 instances
+    scene, layout, kwargs, _ = full_scene(w, h, tri_budget=budget, gltf=path)
+    # floor adds 2 tris; instances share one material table
+    assert layout.num_triangles == 2 * per + 2
+    assert layout.has_textures  # the model's own texture table bound
+    fb = np.asarray(
+        forward_frame(
+            scene, layout, GraphicsPipelineBuilder().build(),
+            kwargs["shading"], w, h,
+            tonemap=kwargs.get("tonemap", "aces"),
+            shadow_map_size=64,
+            shadow_params=kwargs.get("shadow_params"),
+        )
+    )
+    assert np.isfinite(fb).all()
+    assert fb.mean() > 0.05  # not a black frame
+
+
+def test_add_model_instancing_shares_resources():
+    """Re-adding the SAME Model object appends only mesh draws — the
+    material table and texture images are not duplicated."""
+    from renderer_rs_tpu.renderer.scene_build import SceneBuilder
+    from renderer_rs_tpu.resources.material import Material
+    from renderer_rs_tpu.resources.model import Mesh, Model
+    from renderer_rs_tpu.scene.transform import Transform
+
+    tri = Mesh(
+        positions=np.asarray(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32
+        ),
+        normals=np.zeros((3, 3), np.float32) + [0, 0, 1],
+        tex_coords=np.zeros((3, 2), np.float32),
+        tangents=np.asarray([[1, 0, 0, 1]] * 3, np.float32),
+        indices=np.asarray([0, 1, 2], np.uint32),
+        material_index=0,
+    )
+    model = Model(
+        meshes=[tri],
+        materials=[Material()],
+        textures=[np.ones((2, 2, 4), np.float32)],
+        aabb_min=np.zeros(3, np.float32),
+        aabb_max=np.ones(3, np.float32),
+    )
+    b = SceneBuilder()
+    for k in range(3):
+        b.add_model(model, Transform().with_position([k * 2.0, 0, 0]))
+    assert len(b._meshes) == 3
+    assert len(b._materials) == 1
+    assert len(b._images) == 1
