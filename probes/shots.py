@@ -41,6 +41,10 @@ CONFIGS = {
     "full_csm": lambda: full_scene(W, H, tri_budget=TRIS, csm=True),
     "full_textured": lambda: full_scene(W, H, tri_budget=TRIS, textured=True),
     "full_hdr": lambda: full_scene(W, H, tri_budget=TRIS, hdr=HDR),
+    "full_gltf": lambda: full_scene(
+        W, H, tri_budget=TRIS,
+        gltf="/root/reference/assets/models/a_contortionist_dancer/scene.gltf",
+    ),
 }
 
 names = sys.argv[1:] or list(CONFIGS)
