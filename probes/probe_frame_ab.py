@@ -103,6 +103,15 @@ if which in ("all", "defer0"):
     del os.environ["RENDERER_DEFER_VARY"]
     print("defer0", res["defer0"], flush=True)
 
+if which in ("all", "kdefer"):
+    # in-kernel winner-row dynamic_gather resolve: replaces the XLA-side
+    # defer gather (6.5 ms) + blend relayouts (7.8 ms) with [sub_h, 128]
+    # in-kernel ops; chunk=128 so the slab transpose fills the lane width
+    os.environ["RENDERER_DEFER_VARY"] = "kernel"
+    res["kdefer"] = bench(frame_fn)
+    del os.environ["RENDERER_DEFER_VARY"]
+    print("kdefer", res["kdefer"], flush=True)
+
 if which in ("all", "dmatmul"):
     os.environ["RENDERER_DEFER_MATMUL"] = "1"
     res["dmatmul"] = bench(frame_fn)

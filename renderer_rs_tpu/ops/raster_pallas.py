@@ -84,7 +84,7 @@ def _canonical_edges(xy, s, valid=None):
     return edges
 
 
-def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, n_vary=0, n_flat=0, has_zfloor=False, skip_bary=False, sub_h=None, y_stride=1, ntx=1):
+def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, n_vary=0, n_flat=0, has_zfloor=False, skip_bary=False, sub_h=None, y_stride=1, ntx=1, gather_vary=False):
     """Build the per-tile kernel body.
 
     Two-level binning (VERDICT r2 item 1): the grid step still covers a
@@ -256,7 +256,10 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, 
                         if greater
                         else jnp.minimum(depth, z_best)
                     )
-                depth, tid, b0c, b1c, vary = carry
+                if gather_vary:
+                    depth, tid, vary = carry
+                else:
+                    depth, tid, b0c, b1c, vary = carry
                 vary = list(vary)
                 winners = cov & (zc == z_best[None])
                 cov_best = jnp.any(winners, axis=0)
@@ -269,6 +272,89 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, 
                     slot_best = jnp.max(jnp.where(winners, slot_i, -1), axis=0)
                 else:
                     slot_best = jnp.min(jnp.where(winners, slot_i, chunk), axis=0)
+
+                if gather_vary:
+                    # In-kernel winner-row GATHER resolve (r3): instead of a
+                    # masked [chunk, sub_h, tile_w] reduction per channel
+                    # (candidate-proportional — the reason defer_varyings
+                    # exists) or the XLA-side per-pixel HBM row gather + blend
+                    # (the 2 largest defer-resolve items at 1080p), fetch the
+                    # winner's coefficient row from the VMEM slab with ONE
+                    # tpu.dynamic_gather per channel: transpose the [chunk,
+                    # 128] slab once, broadcast channel c's row across
+                    # sublanes, and gather along lanes with the winner's
+                    # chunk-local index. Every op here is [sub_h, tile_w]
+                    # (pixel-proportional), and the slab is already in VMEM
+                    # (zero extra DMA). Later chunks overwrite via `accept`,
+                    # exactly like the depth/id carries.
+                    if use_depth_test:
+                        if op == CompareOp.LESS:
+                            pass_d = z_best < depth
+                        elif op == CompareOp.LESS_OR_EQUAL:
+                            pass_d = z_best <= depth
+                        elif op == CompareOp.GREATER:
+                            pass_d = z_best > depth
+                        else:
+                            pass_d = z_best >= depth
+                        accept = cov_best & pass_d
+                    else:
+                        accept = cov_best
+                    idxp = jnp.clip(slot_best, 0, chunk - 1)
+                    slabT = jnp.swapaxes(coefs, 0, 1)  # [128, chunk]
+                    if chunk < tile_w:
+                        slabT = jnp.concatenate(
+                            [slabT,
+                             jnp.zeros((128, tile_w - chunk), jnp.float32)],
+                            axis=-1,
+                        )
+
+                    def gth(c):
+                        row = slabT[c : c + 1, :]
+                        return jnp.take_along_axis(
+                            jnp.broadcast_to(row, (sub_h, tile_w)), idxp, axis=1
+                        )
+
+                    # winner-only edge re-evaluation: same formula (and f32
+                    # op order) as the per-candidate e/b math above, applied
+                    # to the gathered scalar rows -> bit-equal barycentrics
+                    g_inv = gth(18)
+                    e0w = gth(2) * (py - gth(1)) - gth(3) * (px - gth(0))
+                    e1w = gth(7) * (py - gth(6)) - gth(8) * (px - gth(5))
+                    b0w = e0w * g_inv
+                    b1w = e1w * g_inv
+                    b2w = 1.0 - b0w - b1w
+                    if write_depth:
+                        depth = jnp.where(accept, z_best, depth)
+                    tid = jnp.where(
+                        accept, gth(19).astype(jnp.int32), tid
+                    )
+                    # perspective weights: identical formula order to the
+                    # fused in-kernel path (wb_i = b_i*inv_w_i; aw = wb*inv_d)
+                    wb0 = b0w * gth(20)
+                    wb1 = b1w * gth(21)
+                    wb2 = b2w * gth(22)
+                    denom = wb0 + wb1 + wb2
+                    inv_d = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
+                    aw0 = wb0 * inv_d
+                    aw1 = wb1 * inv_d
+                    aw2 = wb2 * inv_d
+                    # vertex-MAJOR blocks (23 + i*K + k): the gather-mode
+                    # table assembles from [t, K] block concats (no per-
+                    # column stack — the compiler-pessimization-proof build)
+                    for k in range(n_vary):
+                        vk = (
+                            aw0 * gth(23 + k)
+                            + aw1 * gth(23 + n_vary + k)
+                            + aw2 * gth(23 + 2 * n_vary + k)
+                        )
+                        vary[k] = jnp.where(accept, vk, vary[k])
+                    fbase = 23 + 3 * n_vary
+                    for f in range(n_flat):
+                        vary[n_vary + f] = jnp.where(
+                            accept, gth(fbase + f), vary[n_vary + f]
+                        )
+                    return depth, tid, tuple(vary)
+
                 unique = winners & (slot_i == slot_best[None])
                 uf = unique.astype(jnp.float32)
                 if not skip_bary:
@@ -333,6 +419,18 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, 
             if depth_only:
                 init = dinit_ref[r0:r1, :]
                 depth_out[r0:r1, :] = jax.lax.fori_loop(0, n_chunks, body, init)
+            elif gather_vary:
+                zero = jnp.zeros((sub_h, tile_w), jnp.float32)
+                init = (
+                    dinit_ref[r0:r1, :],
+                    jnp.full((sub_h, tile_w), -1, jnp.int32),
+                    tuple(zero for _ in range(n_vary + n_flat)),
+                )
+                depth, tid, vary = jax.lax.fori_loop(0, n_chunks, body, init)
+                depth_out[r0:r1, :] = depth
+                tid_out[r0:r1, :] = tid
+                for k in range(n_vary + n_flat):
+                    vary_out[k, r0:r1, :] = vary[k]
             else:
                 zero = jnp.zeros((sub_h, tile_w), jnp.float32)
                 # vary channels carry as a TUPLE of [sub_h, tile_w] planes:
@@ -672,6 +770,24 @@ def rasterize_binned_pallas(
         and (varyings is not None or varyings_soa is not None)
         and not depth_only
     )
+    # defer_varyings="kernel": in-KERNEL winner-row gather resolve (see
+    # _make_kernel gather_vary). The attribute columns ride the 128-lane
+    # kernel table's pad lanes (zero extra DMA) and the winner's row is
+    # fetched per chunk with tpu.dynamic_gather — replacing BOTH the XLA
+    # per-pixel HBM row gather and the blend relayouts of the deferred
+    # path with [sub_h, tile_w]-shaped in-kernel ops.
+    gmode = (
+        defer_varyings == "kernel"
+        and not depth_only
+        and (varyings is not None or varyings_soa is not None)
+    )
+    if gmode:
+        assert ids is None, (
+            "gather-mode defer reports slot ids (col 19); map source ids "
+            "arithmetically post-kernel (passes.py arith_src)"
+        )
+        assert chunk <= tile_w, "gather-mode chunk must fit the lane width"
+        defer = False
     import os as _os_sub
 
     # RENDERER_DEFER_SUBLANE: vertex-SUBLANE defer-table layout [t, 3, L]
@@ -701,7 +817,7 @@ def rasterize_binned_pallas(
     cols: list = []  # extra non-defer varying/flat columns (stacked)
     n_vary = 0
     dcols: list = []  # defer-mode columns live in their OWN compact table
-    if varyings is not None and not depth_only:
+    if varyings is not None and not depth_only and not gmode:
         n_vary = varyings.shape[-1]
         # In defer mode the attribute columns go to a SEPARATE [t, 3+3K]
         # table: keeping them inside the 128-lane kernel table made the
@@ -746,7 +862,7 @@ def rasterize_binned_pallas(
                     + cb[..., i, 2] * va[..., 2, k]
                 )
     n_flat = 0
-    if flat_varyings is not None and not depth_only:
+    if flat_varyings is not None and not depth_only and not gmode:
         n_flat = flat_varyings.shape[-1]
         fcols = dcols if defer else cols
         if not defer:
@@ -861,11 +977,78 @@ def rasterize_binned_pallas(
             dtab = jnp.concatenate(parts, axis=-1)
         else:
             dtab = jnp.stack(dcols, axis=-1)  # [t, 3+3K(+Kf)(+1)]
-    table = (
-        jnp.concatenate([base_table, jnp.stack(cols, axis=-1)], axis=-1)
-        if cols
-        else base_table
-    )  # [t, 20(+3+3K)]
+    if gmode:
+        # gather-mode table: [base 20 | inv_w(3) | A0(K) | A1(K) | A2(K) |
+        # flats(Kf)] — vertex-MAJOR blocks so the kernel reads channel k of
+        # vertex i at column 23 + i*K + k. Assembled from [t, K] block
+        # concats (no per-column jnp.stack — the strided-write build the
+        # 2026-08-19 compiler update pessimized ~70 ms/frame). The clip-
+        # frame compose is the same 3-FMA formula as the defer paths
+        # (bit-identical values).
+        if varyings_soa is not None:
+            attr_v, vtx = varyings_soa
+            n_vary = int(attr_v.shape[-1])
+            src = (
+                vary_src
+                if vary_src is not None
+                else jnp.minimum(jnp.arange(t), vtx.shape[0] - 1)
+            )
+            tsrc = vtx[src]  # [t,3]
+            rows_g = [attr_v[tsrc[:, j]] for j in range(3)]  # 3 x [t,K]
+            if vary_bary_planes is not None:
+                cbp = vary_bary_planes
+                blocks = [
+                    cbp[i][0][:, None] * rows_g[0]
+                    + cbp[i][1][:, None] * rows_g[1]
+                    + cbp[i][2][:, None] * rows_g[2]
+                    for i in range(3)
+                ]
+            elif vary_bary is not None:
+                blocks = [
+                    vary_bary[:, i, 0, None] * rows_g[0]
+                    + vary_bary[:, i, 1, None] * rows_g[1]
+                    + vary_bary[:, i, 2, None] * rows_g[2]
+                    for i in range(3)
+                ]
+            else:
+                blocks = rows_g
+        else:
+            n_vary = int(varyings.shape[-1])
+            src = (
+                vary_src
+                if vary_src is not None
+                else jnp.minimum(jnp.arange(t), varyings.shape[0] - 1)
+            )
+            va_g = varyings[src]  # [t,3,K]
+            if vary_bary is not None:
+                blocks = [
+                    vary_bary[:, i, 0, None] * va_g[:, 0, :]
+                    + vary_bary[:, i, 1, None] * va_g[:, 1, :]
+                    + vary_bary[:, i, 2, None] * va_g[:, 2, :]
+                    for i in range(3)
+                ]
+            else:
+                blocks = [va_g[:, 0, :], va_g[:, 1, :], va_g[:, 2, :]]
+        inv_w_g = 1.0 / jnp.maximum(setup.w, 1e-12)  # [t,3]
+        parts = [base_table, inv_w_g, *blocks]
+        if flat_varyings is not None:
+            n_flat = int(flat_varyings.shape[-1])
+            fsrc_g = (
+                vary_src
+                if vary_src is not None
+                else jnp.minimum(jnp.arange(t), flat_varyings.shape[0] - 1)
+            )
+            parts.append(flat_varyings[fsrc_g])
+        assert 23 + 3 * n_vary + n_flat <= 128, (
+            "gather-mode channels exceed the 128-lane kernel table"
+        )
+        table = jnp.concatenate(parts, axis=-1)
+    else:
+        table = (
+            jnp.concatenate([base_table, jnp.stack(cols, axis=-1)], axis=-1)
+            if cols
+            else base_table
+        )  # [t, 20(+3+3K)]
     # Lane-pad to 128 and add the all-zero pad row at index t: Mosaic only
     # supports 128-wide HBM DMA slabs, and the in-kernel column extraction
     # needs candidates in SUBLANES (lane->sublane reshapes don't lower).
@@ -917,10 +1100,12 @@ def rasterize_binned_pallas(
     k_vary = 0 if defer else n_vary
     k_flat = 0 if defer else n_flat
     skip_bary = skip_bary and not depth_only and bool(k_vary or k_flat)
+    if gmode:
+        skip_bary = True  # gather mode blends in-kernel; bary never leaves
     kernel = _make_kernel(
         pipeline, tile_h, tile_w, chunk, depth_only, k_vary, k_flat,
         has_zfloor=has_zfloor, skip_bary=skip_bary, sub_h=sub_h,
-        y_stride=y_stride, ntx=ntx,
+        y_stride=y_stride, ntx=ntx, gather_vary=gmode,
     )
 
     out_shapes = [jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32)]

@@ -1448,7 +1448,14 @@ def forward_frame(
         src_bits = max(1, (layout.num_triangles - 1).bit_length())
         mat_bits = max(1, (n_mats - 1).bit_length())
         pack_ok = (not flat_mats) and (src_bits + mat_bits <= 24)
-        defer_on = _os_fm.environ.get("RENDERER_DEFER_VARY", "1") != "0"
+        defer_env = _os_fm.environ.get("RENDERER_DEFER_VARY", "1")
+        defer_on = defer_env != "0"
+        # RENDERER_DEFER_VARY=kernel: in-kernel winner-row gather resolve
+        # (tpu.dynamic_gather from the VMEM slab) — replaces the XLA-side
+        # per-pixel row gather + blend of the deferred path; see
+        # rasterize_binned_pallas gmode. Needs the arith source mapping
+        # (slot ids in col 19, material id as a flat lane).
+        defer_kernel = defer_env == "kernel" and not flat_mats
         # Arithmetic source mapping (default on the deferred path): the
         # near-clip source map is clip_src == slot % T BY CONSTRUCTION
         # (ops/clip.py emits [primary(T), secondary(T)]), so the deferred
@@ -1461,12 +1468,16 @@ def forward_frame(
         arith_src = (
             defer_on
             and not flat_mats
-            and _os_fm.environ.get("RENDERER_PACK_IDS", "0") == "0"
+            and (
+                defer_kernel
+                or _os_fm.environ.get("RENDERER_PACK_IDS", "0") == "0"
+            )
         )
         defer_dtype = (
             "bf16"
             if (
                 arith_src
+                and not defer_kernel  # kernel mode reads the f32 slab
                 and n_mats <= 256  # ids stay exact at 8 mantissa bits
                 and _os_fm.environ.get("RENDERER_DEFER_DTYPE") == "bf16"
             )
@@ -1552,9 +1563,13 @@ def forward_frame(
             # deferred attribute resolve (see rasterize_binned_pallas):
             # kernel lanes cost candidate-proportional masked reductions;
             # the post-kernel wide-row gather is pixel-proportional.
-            # RENDERER_DEFER_VARY=0 restores the in-kernel lanes for A/B.
-            defer_varyings=defer_on,
+            # RENDERER_DEFER_VARY=0 restores the in-kernel lanes for A/B;
+            # =kernel swaps the XLA gather+blend for the in-kernel
+            # dynamic_gather resolve (chunk=128 so the slab transposes onto
+            # the full lane width).
+            defer_varyings="kernel" if defer_kernel else defer_on,
             defer_dtype=defer_dtype,
+            **({"chunk": 128} if defer_kernel else {}),
         )
         if arith_src:
             # winner slot -> (source triangle, material id): src is slot

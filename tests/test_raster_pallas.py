@@ -489,6 +489,104 @@ def test_defer_sublane_matches_flat(monkeypatch, mode):
     )
 
 
+def test_gather_defer_matches_deferred():
+    """defer_varyings="kernel" (in-kernel winner-row dynamic_gather resolve)
+    must reproduce the XLA deferred path: visibility BIT-identically,
+    varyings + flats to ulp-level tolerance (same f32 formulas; XLA and
+    the kernel contract FMAs differently). Covers near-clip source
+    composition, flat lanes, and both AoS and SoA table builds."""
+    from renderer_rs_tpu.ops.clip import clip_triangles_near
+
+    clip, tris = _scene(90, seed=9)
+    rng = np.random.default_rng(13)
+    attr = jnp.asarray(rng.random((clip.shape[0], 5), dtype=np.float32))
+    t = tris.shape[0]
+    flat = jnp.asarray(rng.random((t, 2), dtype=np.float32))
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    h, w = 96, 256
+
+    tri_clip = gather_triangle_clip(clip, tris)
+    tri_clip2, valid, src, bary = clip_triangles_near(tri_clip)
+    setup = setup_triangles(tri_clip2, w, h, pipe, tri_valid=valid)
+
+    vis_d, vary_d = rp.rasterize_binned_pallas(
+        setup, h, w, pipe, chunk=16,
+        varyings=attr[tris], vary_src=src, vary_bary=bary,
+        flat_varyings=flat, skip_bary=True, defer_varyings=True,
+    )
+    # chunk=16 (< tile_w: exercises the transposed-slab lane pad) and
+    # chunk=128 (the production shape: slab fills the lane width)
+    for chunk in (16, 128):
+        vis_g, vary_g = rp.rasterize_binned_pallas(
+            setup, h, w, pipe, chunk=chunk,
+            varyings=attr[tris], vary_src=src, vary_bary=bary,
+            flat_varyings=flat, skip_bary=True, defer_varyings="kernel",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(vis_d.tri_id), np.asarray(vis_g.tri_id)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(vis_d.depth), np.asarray(vis_g.depth)
+        )
+        cov = np.asarray(vis_d.tri_id) >= 0
+        np.testing.assert_allclose(
+            np.asarray(vary_d)[cov][:, :5], np.asarray(vary_g)[cov][:, :5],
+            rtol=4e-6, atol=1e-6,
+        )
+        # flat lanes are winner-select EXACT in both schemes
+        np.testing.assert_array_equal(
+            np.asarray(vary_d)[cov][:, 5:], np.asarray(vary_g)[cov][:, 5:]
+        )
+    # SoA build must equal the AoS build bit-for-bit (same formulas)
+    from renderer_rs_tpu.ops.clip import clip_triangles_near_planes
+
+    _, _, src_p, bary_p = clip_triangles_near_planes(tri_clip)
+    vis_s, vary_s = rp.rasterize_binned_pallas(
+        setup, h, w, pipe, chunk=128,
+        varyings_soa=(attr, tris), vary_src=src, vary_bary_planes=bary_p,
+        flat_varyings=flat, skip_bary=True, defer_varyings="kernel",
+    )
+    vis_g, vary_g = rp.rasterize_binned_pallas(
+        setup, h, w, pipe, chunk=128,
+        varyings=attr[tris], vary_src=src, vary_bary=bary,
+        flat_varyings=flat, skip_bary=True, defer_varyings="kernel",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vis_s.tri_id), np.asarray(vis_g.tri_id)
+    )
+    np.testing.assert_array_equal(np.asarray(vary_s), np.asarray(vary_g))
+
+
+def test_fused_frame_kernel_defer_matches(monkeypatch):
+    """RENDERER_DEFER_VARY=kernel renders the full textured fused frame
+    (arith source mapping + material-id flat lane) matching the default
+    deferred path to float tolerance, with identical coverage."""
+    import renderer_rs_tpu.renderer.passes as passes
+    from renderer_rs_tpu.app.scenes import full_scene
+    from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+    w, h = 128, 64
+    scene, layout, kwargs, _ = full_scene(
+        w, h, tri_budget=300, ibl=False, textured=True
+    )
+    pipe = GraphicsPipelineBuilder().build()
+    monkeypatch.setattr(passes, "_use_pallas", lambda: True)
+
+    def frame():
+        return np.asarray(
+            passes.forward_frame(
+                scene, layout, pipe, kwargs["shading"], w, h,
+                shadow_map_size=64, shadow_params=kwargs["shadow_params"],
+            )
+        )
+
+    ref = frame()
+    monkeypatch.setenv("RENDERER_DEFER_VARY", "kernel")
+    out = frame()
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
 def test_defer_tbl_einsum_matches_stack(monkeypatch):
     """RENDERER_DEFER_TBL=einsum (block-assembled defer table: einsum
     clip-frame compose + concat) produces the same resolved varyings and
