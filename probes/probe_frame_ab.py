@@ -112,6 +112,14 @@ if which in ("all", "kdefer"):
     del os.environ["RENDERER_DEFER_VARY"]
     print("kdefer", res["kdefer"], flush=True)
 
+if which in ("all", "kdefer32"):
+    # kdefer with chunk=32 in the fused raster (stage probe: 22.13 vs 22.7)
+    os.environ["RENDERER_DEFER_VARY"] = "kernel"
+    os.environ["RENDERER_FUSE_CHUNK"] = "32"
+    res["kdefer32"] = bench(frame_fn)
+    del os.environ["RENDERER_DEFER_VARY"], os.environ["RENDERER_FUSE_CHUNK"]
+    print("kdefer32", res["kdefer32"], flush=True)
+
 if which in ("all", "dmatmul"):
     os.environ["RENDERER_DEFER_MATMUL"] = "1"
     res["dmatmul"] = bench(frame_fn)

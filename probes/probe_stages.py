@@ -160,4 +160,66 @@ if want("defer_soa"):
     res["defer_soa"] = bench(f)
     print("defer_soa", res["defer_soa"], flush=True)
 
+if want("defer_kernel"):
+    # in-kernel winner-row dynamic_gather resolve (RENDERER_DEFER_VARY=
+    # kernel): same products as defer_soa, resolve inside the kernel
+    from renderer_rs_tpu.ops.clip import clip_triangles_near_planes
+
+    def f(s):
+        vs = vertex_stage(s, layout)
+        tri_clip = gather_triangle_clip(vs.clip, s.tris)
+        tri_clip, clip_valid, clip_src, cbp = clip_triangles_near_planes(
+            tri_clip
+        )
+        setup = setup_triangles(tri_clip, W, H, pipe, tri_valid=clip_valid)
+        packed = [vs.world_pos, vs.world_normal, s.uvs, vs.world_tangent]
+        attr = jnp.concatenate(packed, axis=-1)
+        mat_flat = s.tri_material[:, None].astype(jnp.float32)
+        vis, vary = rasterize_binned_pallas(
+            setup, H, W, pipe,
+            varyings=None, varyings_soa=(attr, s.tris),
+            vary_src=clip_src, vary_bary_planes=cbp,
+            flat_varyings=mat_flat, skip_bary=True, small_limit=T,
+            defer_varyings="kernel", chunk=128,
+        )
+        return vis.depth.sum() + vary.sum()
+    res["defer_kernel"] = bench(f)
+    print("defer_kernel", res["defer_kernel"], flush=True)
+
+if want("defer_kernel64") or want("defer_kernel32") or want("defer_soa128"):
+    # chunk-size attribution: is defer_kernel's in-kernel cost the gathers
+    # or the chunk=128 main-loop regression?
+    from renderer_rs_tpu.ops.clip import clip_triangles_near_planes
+
+    def mk(defer, chunk):
+        def f(s):
+            vs = vertex_stage(s, layout)
+            tri_clip = gather_triangle_clip(vs.clip, s.tris)
+            tri_clip, clip_valid, clip_src, cbp = clip_triangles_near_planes(
+                tri_clip
+            )
+            setup = setup_triangles(tri_clip, W, H, pipe, tri_valid=clip_valid)
+            packed = [vs.world_pos, vs.world_normal, s.uvs, vs.world_tangent]
+            attr = jnp.concatenate(packed, axis=-1)
+            mat_flat = s.tri_material[:, None].astype(jnp.float32)
+            vis, vary = rasterize_binned_pallas(
+                setup, H, W, pipe,
+                varyings=None, varyings_soa=(attr, s.tris),
+                vary_src=clip_src, vary_bary_planes=cbp,
+                flat_varyings=mat_flat, skip_bary=True, small_limit=T,
+                defer_varyings=defer, chunk=chunk,
+            )
+            return vis.depth.sum() + vary.sum()
+        return f
+
+    if want("defer_kernel64"):
+        res["defer_kernel64"] = bench(mk("kernel", 64))
+        print("defer_kernel64", res["defer_kernel64"], flush=True)
+    if want("defer_kernel32"):
+        res["defer_kernel32"] = bench(mk("kernel", 32))
+        print("defer_kernel32", res["defer_kernel32"], flush=True)
+    if want("defer_soa128"):
+        res["defer_soa128"] = bench(mk(True, 128))
+        print("defer_soa128", res["defer_soa128"], flush=True)
+
 print(json.dumps(res))

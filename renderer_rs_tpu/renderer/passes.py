@@ -1565,11 +1565,12 @@ def forward_frame(
             # the post-kernel wide-row gather is pixel-proportional.
             # RENDERER_DEFER_VARY=0 restores the in-kernel lanes for A/B;
             # =kernel swaps the XLA gather+blend for the in-kernel
-            # dynamic_gather resolve (chunk=128 so the slab transposes onto
-            # the full lane width).
+            # dynamic_gather resolve (chunk stays 64: the transposed slab
+            # lane-pads to 128; chunk=128 measured +2.9 ms on the main
+            # loop at 1080p/97k — bigger vregs, same candidate total).
             defer_varyings="kernel" if defer_kernel else defer_on,
             defer_dtype=defer_dtype,
-            **({"chunk": 128} if defer_kernel else {}),
+            chunk=int(_os_fm.environ.get("RENDERER_FUSE_CHUNK", "64")),
         )
         if arith_src:
             # winner slot -> (source triangle, material id): src is slot
