@@ -1448,13 +1448,16 @@ def forward_frame(
         src_bits = max(1, (layout.num_triangles - 1).bit_length())
         mat_bits = max(1, (n_mats - 1).bit_length())
         pack_ok = (not flat_mats) and (src_bits + mat_bits <= 24)
-        defer_env = _os_fm.environ.get("RENDERER_DEFER_VARY", "1")
+        # DEFAULT since r3: RENDERER_DEFER_VARY=kernel — in-kernel
+        # winner-row gather resolve (tpu.dynamic_gather from the VMEM
+        # slab), replacing the XLA-side per-pixel row gather + blend of
+        # the deferred path; see rasterize_binned_pallas gmode. Needs the
+        # arith source mapping (slot ids in col 19, material id as a flat
+        # lane). Measured (1080p/97k textured frame): kernel@chunk32
+        # 56.9 ms vs XLA defer 60.75 vs in-kernel masked lanes ~110.
+        # "1" restores the XLA defer resolve; "0" the masked lanes.
+        defer_env = _os_fm.environ.get("RENDERER_DEFER_VARY", "kernel")
         defer_on = defer_env != "0"
-        # RENDERER_DEFER_VARY=kernel: in-kernel winner-row gather resolve
-        # (tpu.dynamic_gather from the VMEM slab) — replaces the XLA-side
-        # per-pixel row gather + blend of the deferred path; see
-        # rasterize_binned_pallas gmode. Needs the arith source mapping
-        # (slot ids in col 19, material id as a flat lane).
         defer_kernel = defer_env == "kernel" and not flat_mats
         # Arithmetic source mapping (default on the deferred path): the
         # near-clip source map is clip_src == slot % T BY CONSTRUCTION
@@ -1564,13 +1567,18 @@ def forward_frame(
             # kernel lanes cost candidate-proportional masked reductions;
             # the post-kernel wide-row gather is pixel-proportional.
             # RENDERER_DEFER_VARY=0 restores the in-kernel lanes for A/B;
-            # =kernel swaps the XLA gather+blend for the in-kernel
-            # dynamic_gather resolve (chunk stays 64: the transposed slab
-            # lane-pads to 128; chunk=128 measured +2.9 ms on the main
-            # loop at 1080p/97k — bigger vregs, same candidate total).
+            # =kernel (default) swaps the XLA gather+blend for the
+            # in-kernel dynamic_gather resolve. chunk=32 measured best for
+            # the resolve kernel (22.13/22.70/25.58 cum at 32/64/128 —
+            # bigger chunks cost vreg pressure in the main loop; the
+            # transposed slab lane-pads to 128 either way).
             defer_varyings="kernel" if defer_kernel else defer_on,
             defer_dtype=defer_dtype,
-            chunk=int(_os_fm.environ.get("RENDERER_FUSE_CHUNK", "64")),
+            chunk=int(
+                _os_fm.environ.get(
+                    "RENDERER_FUSE_CHUNK", "32" if defer_kernel else "64"
+                )
+            ),
         )
         if arith_src:
             # winner slot -> (source triangle, material id): src is slot

@@ -350,6 +350,9 @@ def test_fused_frame_arith_src_matches_packed_ids(monkeypatch):
             )
         )
 
+    # the packed-ids payload is an XLA-defer-path scheme: pin the resolve
+    # mode so the comparison stays meaningful under the kernel default
+    monkeypatch.setenv("RENDERER_DEFER_VARY", "1")
     arith = frame()
     monkeypatch.setenv("RENDERER_PACK_IDS", "1")
     packed = frame()
@@ -381,6 +384,9 @@ def test_fused_frame_bf16_defer_table(monkeypatch):
             )
         )
 
+    # bf16 defer tables exist only on the XLA defer path (the kernel-
+    # gather default reads the f32 slab): pin the resolve mode
+    monkeypatch.setenv("RENDERER_DEFER_VARY", "1")
     ref = frame()
     monkeypatch.setenv("RENDERER_DEFER_DTYPE", "bf16")
     out = frame()
@@ -558,9 +564,10 @@ def test_gather_defer_matches_deferred():
 
 
 def test_fused_frame_kernel_defer_matches(monkeypatch):
-    """RENDERER_DEFER_VARY=kernel renders the full textured fused frame
-    (arith source mapping + material-id flat lane) matching the default
-    deferred path to float tolerance, with identical coverage."""
+    """The kernel-gather resolve default renders the full textured fused
+    frame (arith source mapping + material-id flat lane) matching the
+    XLA deferred path (RENDERER_DEFER_VARY=1) to float tolerance, with
+    identical coverage."""
     import renderer_rs_tpu.renderer.passes as passes
     from renderer_rs_tpu.app.scenes import full_scene
     from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
@@ -580,6 +587,7 @@ def test_fused_frame_kernel_defer_matches(monkeypatch):
             )
         )
 
+    monkeypatch.setenv("RENDERER_DEFER_VARY", "1")
     ref = frame()
     monkeypatch.setenv("RENDERER_DEFER_VARY", "kernel")
     out = frame()
