@@ -182,6 +182,10 @@ if want("stub_raster"):
         yy = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
         xx = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
         dep = setup.z[0, 0] * 1e-12
+        if kw.get("depth_only"):
+            # shadow_map_pass rides the same entry point: keep its contract
+            # (a [H,W] depth map), stubbed to a varying constant
+            return 0.6 + dep + (yy + xx) * 1e-7
         tid = (yy * width + xx).astype(jnp.int32) % T
         vis = VisibilityBuffer(
             tri_id=tid,
@@ -216,7 +220,7 @@ if want("stub_shadowmap"):
     passes.shadow_map_pass = real
     print("stub_shadowmap", res["stub_shadowmap"], flush=True)
 
-for g in (4, 16):
+for g in (4, 16, 32, 64):
     key = f"pcf_g{g}"
     if want(key):
         os.environ["RENDERER_PCF_GROUP"] = str(g)

@@ -37,17 +37,17 @@ class ShadowParams:
 
 def pcf_group(width: int) -> int:
     """x-texels packed per PCF window-table row (RENDERER_PCF_GROUP,
-    default 16). r3 calibration: 2M-pixel gather cost is TABLE-SIZE-bound
+    default 32). r3 calibration: 2M-pixel gather cost is TABLE-SIZE-bound
     (1M-row tables ~11 ms, <=256k-row tables ~1.5 ms at any width), so
     grouping a 1024^2-class map under the row cliff is what makes the
-    one-gather PCF fetch cheap. group=16 (65k rows x 54 lanes at 1024^2)
-    beat group=8 by ~2 ms/frame once the matmul window blend made wide
-    rows cheap (probe_shade pcf_halo16: 60.5 vs 62.5); group=4 doubles
-    rows and LOSES ~22 ms. 1 restores the flat map (width must divide by
-    the group)."""
+    one-gather PCF fetch cheap. Frame-level sweep at 1080p/97k
+    (probe_shade pcf_g*): g4 80.8, g16 56.9, g32 56.5, g64 60.1 — row
+    count beats lane width down to 32k rows x 102 lanes; the 198-lane
+    g64 rows cross the 128-lane register boundary and lose. 1 restores
+    the flat map (width must divide by the group)."""
     import os
 
-    group = int(os.environ.get("RENDERER_PCF_GROUP", "16"))
+    group = int(os.environ.get("RENDERER_PCF_GROUP", "32"))
     return group if group > 1 and width % group == 0 else 1
 
 
