@@ -78,6 +78,7 @@ res = {}
 variants = {
     "bf16d": dict(env={"RENDERER_DEFER_DTYPE": "bf16"}),
     "pcfhalf": dict(env={"RENDERER_PCF_RES": "half"}),
+    "pcfyhalf": dict(env={"RENDERER_PCF_RES": "yhalf"}),
 }
 env_ = scene.environment
 if env_ is not None and env_.atlas_tri is not None:
@@ -88,6 +89,10 @@ if env_ is not None and env_.atlas_tri is not None:
     variants["both"] = dict(
         env={"RENDERER_DEFER_DTYPE": "bf16"}, scene_override=s_bf
     )
+
+want = sys.argv[1:]  # no args = all variants
+if want:
+    variants = {k: v for k, v in variants.items() if k in want}
 
 for name, kw in variants.items():
     out = render(**kw)

@@ -220,6 +220,13 @@ if want("stub_shadowmap"):
     passes.shadow_map_pass = real
     print("stub_shadowmap", res["stub_shadowmap"], flush=True)
 
+if want("pcf_yhalf"):
+    # y-only half-rate PCF (sublane-stride subsample; lanes stay 128-wide)
+    os.environ["RENDERER_PCF_RES"] = "yhalf"
+    res["pcf_yhalf"] = bench(frame_fn)
+    del os.environ["RENDERER_PCF_RES"]
+    print("pcf_yhalf", res["pcf_yhalf"], flush=True)
+
 for g in (4, 16, 32, 64):
     key = f"pcf_g{g}"
     if want(key):

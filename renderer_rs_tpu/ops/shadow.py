@@ -240,6 +240,20 @@ def upsample2x_bilinear(s: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     return full.reshape(-1, width)[:height]
 
 
+def upsample2x_y(s: jnp.ndarray, height: int) -> jnp.ndarray:
+    """Vertical-only 2x upsample of a scalar field sampled at even rows
+    (s[i, :] is the value at full-res row 2i); edge-clamped linear in y.
+
+    The RENDERER_PCF_RES=yhalf shadow path: unlike the full half-res
+    variant, the [::2] subsample strides only the SUBLANE axis (rows), so
+    lanes stay 128-wide end to end — no lane relayout on either side of
+    the halved-index gather. Interleave rides one [h,2,W]->[2h,W] sublane
+    reshape."""
+    down = jnp.concatenate([s[1:], s[-1:]], axis=0)
+    full = jnp.stack([s, 0.5 * (s + down)], axis=1)  # [h, 2, W]
+    return full.reshape(-1, s.shape[1])[:height]
+
+
 def calculate_shadow(
     shadow_map: jnp.ndarray,
     light_space_matrix: jnp.ndarray,

@@ -409,6 +409,7 @@ def _shade_pixels(
     sky_dirs: jnp.ndarray | None = None,
     fused_mid: bool = False,
     mat_id_img: jnp.ndarray | None = None,
+    full_rows: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     """The fragment stage over the visibility buffer. Returns (linear HDR
     [H,W,4], sky_rgb or None); misses contain garbage in the color — the
@@ -814,6 +815,36 @@ def _shade_pixels(
             shadow = upsample2x_bilinear(
                 s_h, world_pos.shape[0], world_pos.shape[1]
             )[..., None]
+        elif (
+            _os_mg.environ.get("RENDERER_PCF_RES", "yhalf") == "yhalf"
+            and full_rows
+            and world_pos.ndim == 3
+            and world_pos.shape[0] >= 128
+        ):
+            # y-only half-rate PCF (DEFAULT since r3; RENDERER_PCF_RES=full
+            # restores per-pixel): the "half" variant above loses to its
+            # [::2, ::2] LANE-strided subsample relayout; striding only the
+            # SUBLANE (row) axis keeps full 128-lane rows, halves the
+            # per-pixel gather index count, and upsamples with one sublane
+            # interleave (ops/shadow.upsample2x_y). Measured 56.5 -> 53.9 ms
+            # at 1080p/97k; quality gate (probe_quality pcfyhalf) accepts
+            # (vertical-only lerp of the scalar lit factor). Engages only on
+            # full-row frames >=128 rows tall: band shards interleave global
+            # rows (y-stride > 1), where row-pair interpolation would span
+            # distant scanlines, and tiny frames (goldens/unit scenes) keep
+            # the exact per-pixel reference semantics.
+            from renderer_rs_tpu.ops.shadow import upsample2x_y
+
+            wp_h = world_pos[::2]
+            s_h = calculate_shadow(
+                shadow_map,
+                scene.light_space_matrix,
+                wp_h,
+                normal[::2],
+                jnp.broadcast_to(sun_dir, wp_h.shape),
+                shadow_params,
+            )
+            shadow = upsample2x_y(s_h, world_pos.shape[0])[..., None]
         else:
             shadow = calculate_shadow(
                 shadow_map,
@@ -1728,6 +1759,7 @@ def forward_frame(
         sky_dirs=sky_dirs,
         fused_mid=(fuse and not peel and shade_fused_mid),
         mat_id_img=shade_mat_id_img,
+        full_rows=band is None,
     )
 
     bg = jnp.broadcast_to(

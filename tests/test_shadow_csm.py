@@ -376,3 +376,65 @@ def test_pcf_res_half_knob_engages(monkeypatch):
     # bounded drift: the lit factor only modulates the sun term
     assert diff.mean() < 5e-3, diff.mean()
     assert np.quantile(diff, 0.99) < 0.15, np.quantile(diff, 0.99)
+
+
+def test_upsample2x_y_exact():
+    """upsample2x_y must preserve even rows bit-exactly and linearly
+    interpolate odd rows (edge-clamped), at even and odd heights."""
+    from renderer_rs_tpu.ops.shadow import upsample2x_y
+
+    rng = np.random.default_rng(5)
+    for height, width in ((8, 12), (7, 11)):
+        hh = (height + 1) // 2
+        s = rng.random((hh, width)).astype(np.float32)
+        out = np.asarray(upsample2x_y(jnp.asarray(s), height))
+        assert out.shape == (height, width)
+        np.testing.assert_array_equal(out[::2], s[: (height + 1) // 2])
+        for y in range(1, height, 2):
+            i1 = min(y // 2 + 1, hh - 1)
+            np.testing.assert_allclose(
+                out[y], 0.5 * (s[y // 2] + s[i1]), rtol=0, atol=1e-7
+            )
+
+
+def test_pcf_res_yhalf_default(monkeypatch):
+    """The y-half PCF default engages on tall frames (>=128 rows) with
+    bounded drift vs the exact term, and small frames keep the exact
+    per-pixel reference semantics (default == RENDERER_PCF_RES=full)."""
+    import jax
+
+    from renderer_rs_tpu.app.scenes import full_scene
+    from renderer_rs_tpu.renderer.passes import forward_frame
+    from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+    pipe = GraphicsPipelineBuilder().build()
+
+    def render(width, height, scene, layout, kwargs):
+        return np.asarray(
+            forward_frame(
+                scene, layout, pipe, kwargs["shading"], width, height,
+                tonemap=kwargs.get("tonemap", "aces"),
+                shadow_map_size=128,
+                shadow_params=kwargs.get("shadow_params"),
+            )
+        )
+
+    # tall frame: default (yhalf) differs from exact, but stays close
+    width, height = 96, 144
+    scene, layout, kwargs, _ = full_scene(width, height, tri_budget=600)
+    dflt = render(width, height, scene, layout, kwargs)
+    monkeypatch.setenv("RENDERER_PCF_RES", "full")
+    exact = render(width, height, scene, layout, kwargs)
+    monkeypatch.delenv("RENDERER_PCF_RES")
+    assert not np.array_equal(dflt, exact), "yhalf default did not engage"
+    diff = np.abs(dflt - exact)
+    assert diff.mean() < 5e-3, diff.mean()
+    assert np.quantile(diff, 0.99) < 0.15, np.quantile(diff, 0.99)
+
+    # short frame (< 128 rows): default stays exact per-pixel PCF
+    width, height = 96, 64
+    scene, layout, kwargs, _ = full_scene(width, height, tri_budget=600)
+    dflt = render(width, height, scene, layout, kwargs)
+    monkeypatch.setenv("RENDERER_PCF_RES", "full")
+    exact = render(width, height, scene, layout, kwargs)
+    np.testing.assert_array_equal(dflt, exact)
