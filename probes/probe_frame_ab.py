@@ -218,6 +218,15 @@ if which in ("all", "cubebf16"):
         res["cubebf16"] = bench(frame_fn, scene_override=s_bf)
         print("cubebf16", res["cubebf16"], flush=True)
 
+if which in ("all", "flatfetch"):
+    # flat-pixel material/cube fetches (gather+blend on [N,C] rows in the
+    # gather's natural C-minor layout; kills the [H,W,104]/[H,W,39]
+    # pre-blend layout copies probe_trace attributes 3.6 ms to)
+    os.environ["RENDERER_FETCH_FLAT"] = "1"
+    res["flatfetch"] = bench(frame_fn)
+    del os.environ["RENDERER_FETCH_FLAT"]
+    print("flatfetch", res["flatfetch"], flush=True)
+
 if which in ("all", "pcfhalf"):
     # half-res shadow term (quarter the PCF stack's gather indexes,
     # bilinear-upsample the scalar lit factor) — quality-gated knob

@@ -1153,16 +1153,22 @@ def sample_material_atlas_tri(
     mid: jnp.ndarray,
     uv: jnp.ndarray,
     sampler: Sampler = Sampler(),
+    lod: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Implicit-LOD trilinear fetch of all material slots in ONE gather from
     the build_material_atlas_tri layout. Returns [...,C] f32 (see
-    _SLOT_CHANNELS for the packed channel order over the used slots)."""
+    _SLOT_CHANNELS for the packed channel order over the used slots).
+
+    lod: optional precomputed per-pixel LOD (screen_space_lod needs the
+    [H,W,2] uv image; flat-pixel callers compute it on the image form and
+    pass it in alongside flattened uv/mid)."""
     t = jnp.maximum(mid, 0)
     if n_levels == 1:
         lo = jnp.zeros(uv.shape[:-1], jnp.int32)
         frac = jnp.zeros(uv.shape[:-1], jnp.float32)
     else:
-        lod = screen_space_lod(uv, base_hw[0], base_hw[1])
+        if lod is None:
+            lod = screen_space_lod(uv, base_hw[0], base_hw[1])
         lod = jnp.clip(lod, 0.0, n_levels - 1.0)
         lo = jnp.floor(lod).astype(jnp.int32)
         frac = lod - lo.astype(lod.dtype)

@@ -560,10 +560,35 @@ def _shade_pixels(
         for h_, w_ in shapes:
             offs.append(off)
             off += n_sets * h_ * w_
-        samp = sample_material_atlas_tri(
-            tex.mat_atlas_tri, tuple(offs), shapes,
-            len(mips), shapes[0], c13, mid, uv,
-        )
+        import os as _os_ff
+
+        if _os_ff.environ.get("RENDERER_FETCH_FLAT", "0") != "0" and uv.ndim == 3:
+            # flat-pixel fetch (A/B knob): run the gather + window blend on
+            # [N,*] rows so the blend consumes the gather's natural C-minor
+            # layout — the [H,W,104] image form costs a whole-frame layout
+            # copy between gather and blend (probe_trace: copy.826 1.6 ms,
+            # copy.840 2.0 ms); only the blended [N,13] result reshapes back.
+            # LOD needs the uv IMAGE (screen derivatives) — computed here,
+            # flattened with the rest.
+            from renderer_rs_tpu.ops.sampling import screen_space_lod
+
+            hh, ww = uv.shape[0], uv.shape[1]
+            lod_img = (
+                screen_space_lod(uv, shapes[0][0], shapes[0][1])
+                if len(mips) > 1
+                else None
+            )
+            samp = sample_material_atlas_tri(
+                tex.mat_atlas_tri, tuple(offs), shapes,
+                len(mips), shapes[0], c13,
+                mid.reshape(hh * ww), uv.reshape(hh * ww, 2),
+                lod=None if lod_img is None else lod_img.reshape(hh * ww),
+            ).reshape(hh, ww, c13)
+        else:
+            samp = sample_material_atlas_tri(
+                tex.mat_atlas_tri, tuple(offs), shapes,
+                len(mips), shapes[0], c13, mid, uv,
+            )
         if 0 in pos:
             base_color = base_color * samp[..., pos[0] : pos[0] + 4]
         if 1 in pos:
@@ -1015,10 +1040,25 @@ def _shade_pixels(
                     # ONE gather: child 2x2 + parent 3x3 ride the same row
                     from renderer_rs_tpu.ops.sampling import cube_trilinear_fetch
 
-                    spec_sky = cube_trilinear_fetch(
-                        env.atlas_tri, seg_offs, seg_sizes,
-                        lo_l, frac, face, uv_c, c,
-                    )[..., :3]
+                    if (
+                        _os2.environ.get("RENDERER_FETCH_FLAT", "0") != "0"
+                        and lo_l.ndim == 2
+                    ):
+                        # flat-pixel fetch: see the material-atlas call —
+                        # blend on [N,39] rows in the gather's own layout,
+                        # reshape only the blended [N,3] result
+                        hh, ww = lo_l.shape
+                        nn = hh * ww
+                        spec_sky = cube_trilinear_fetch(
+                            env.atlas_tri, seg_offs, seg_sizes,
+                            lo_l.reshape(nn), frac.reshape(nn),
+                            face.reshape(nn), uv_c.reshape(nn, 2), c,
+                        )[..., :3].reshape(hh, ww, 3)
+                    else:
+                        spec_sky = cube_trilinear_fetch(
+                            env.atlas_tri, seg_offs, seg_sizes,
+                            lo_l, frac, face, uv_c, c,
+                        )[..., :3]
                 else:
                     hi_l = jnp.where(
                         far, n_pref, jnp.minimum(lo_l + 1, n_pref - 1)

@@ -572,3 +572,34 @@ def test_merge_gather_matches_default(monkeypatch):
     # identical gather rows + masked reduce -> only light-sum reassociation
     # (zero-masked point/spot adds) can differ; the flagship has none live
     np.testing.assert_allclose(out, ref, atol=1e-6, rtol=1e-6)
+
+
+def test_fetch_flat_matches_image_form(monkeypatch):
+    """RENDERER_FETCH_FLAT=1 (material-atlas + cube fetches run as [N,C]
+    flat-pixel gather+blend in the gather's natural C-minor layout, LOD
+    precomputed on the uv image) must render the flagship combination
+    BIT-identically to the [H,W,C] image form — same gather rows, same
+    blend op order, only the shapes differ."""
+    from renderer_rs_tpu.app.scenes import full_scene
+    from renderer_rs_tpu.renderer.passes import forward_frame
+    from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+    w, h = 128, 96
+    scene, layout, kwargs, _ = full_scene(w, h, tri_budget=600, textured=True)
+    assert layout.has_environment and layout.has_shadow
+    pipeline = GraphicsPipelineBuilder().build()
+
+    def render():
+        return np.asarray(
+            forward_frame(
+                scene, layout, pipeline, kwargs["shading"], w, h,
+                tonemap=kwargs.get("tonemap", "aces"),
+                shadow_map_size=128,
+                shadow_params=kwargs.get("shadow_params"),
+            )
+        )
+
+    ref = render()
+    monkeypatch.setenv("RENDERER_FETCH_FLAT", "1")
+    flat = render()
+    np.testing.assert_array_equal(flat, ref)
