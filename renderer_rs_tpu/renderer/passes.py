@@ -1857,6 +1857,9 @@ def transparent_pass(
     height: int,
     shading: ShadingModel = ShadingModel.BLINN_PHONG,
     rendering=None,
+    shadow_map: jnp.ndarray | None = None,
+    shadow_params: ShadowParams = ShadowParams(),
+    light_space_matrix: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Sorted back-to-front alpha blending over an opaque frame.
 
@@ -1865,6 +1868,15 @@ def transparent_pass(
     color and depth, ≙ VK_ATTACHMENT_LOAD_OP_LOAD under the alpha_blend
     preset); CLEAR ops replace the corresponding input with the config's
     clear values instead.
+
+    shadow_map: optional single sun shadow map [S,S] rendered for the
+    opaque pass — the reference's PBR fragment applies the PCF shadow
+    factor to the directional term regardless of blend state
+    (model_pbr.hlsl:278-297), so transparent surfaces receive shadows
+    too. `light_space_matrix` overrides scene.light_space_matrix when the
+    transparent scene was built separately from the shadow-casting one.
+    (CSM cascade arrays are not accepted here — the transparent pass
+    anchors to model_pbr.hlsl's single-map path.)
 
     ≙ the classic transparent pass the reference's alpha_blend preset
     (pipeline.rs:524-544) is built for: depth-TEST against the opaque depth
@@ -1923,22 +1935,34 @@ def transparent_pass(
     bank_metal = mats.metallic[scene.tri_material]
     bank_ao = mats.ao[scene.tri_material]
     bank_emis = mats.emissive[scene.tri_material][:, :3]
+    bank_nscale = mats.normal_scale[scene.tri_material]
     lights = scene.lights
     cam_pos = scene.camera.camera_position
     w3 = setup.w  # sorted slots' clip w (perspective weights)
 
-    # textured transparents (VERDICT r2 item 6): base color = factor x
-    # texture x vertex interpolation, matching model_pbr.hlsl:205-245 under
-    # the alpha_blend preset (pipeline.rs:524-544) — sampled per sorted
-    # fragment layer from the base-color mip 0 (transparent layer counts
-    # are small; trilinear would re-derive screen LOD per layer)
-    textured = layout.has_textures and layout.texture_slots[0] and (
-        scene.textures is not None
-    )
+    # sun shadow over transparents (VERDICT r3 item 5): the reference's PBR
+    # fragment shadows the directional term under any blend state
+    # (model_pbr.hlsl:278-297); reuse the opaque pass's map.
+    lsm = light_space_matrix
+    if lsm is None:
+        lsm = getattr(scene, "light_space_matrix", None)
+    shadowed = shadow_map is not None and lsm is not None and shadow_map.ndim == 2
+
+    # textured transparents (VERDICT r2 item 6 + r3 item 5): every bound
+    # slot — base/normal/MR/AO/emissive — samples per sorted fragment
+    # layer from mip 0, matching model_pbr.hlsl:205-245 under the
+    # alpha_blend preset (pipeline.rs:524-544). (Transparent layer counts
+    # are small; trilinear would re-derive screen LOD per layer.)
+    textured = layout.has_textures and (scene.textures is not None)
+    slot_on = [
+        textured and layout.texture_slots[i] for i in range(5)
+    ]
     if textured:
         tri_uv = scene.uvs[scene.tris]  # [T,3,2]
-        tex_base = mats.tex_ids[scene.tri_material][:, 0]  # [T]
+        tex_slot = mats.tex_ids[scene.tri_material]  # [T,5]
         base_mip0 = scene.textures.mips[0]
+    if slot_on[1]:
+        tri_t = vs.world_tangent[scene.tris]  # [T,3,4]
 
     def fragment_fn(t, bary3, mask):
         s = src_sorted[t]
@@ -1956,40 +1980,85 @@ def transparent_pass(
         view = normalize(cam_pos - p)
         albedo = bank_rgba[s][:3]
         alpha_f = bank_rgba[s][3]
+        metallic = bank_metal[s]
+        roughness = bank_rough[s]
+        ao = bank_ao[s]
+        emissive = bank_emis[s]
         if textured:
             from renderer_rs_tpu.ops.sampling import sample_array_bilinear
 
             uv = jnp.einsum("hwv,vk->hwk", bsrc, tri_uv[s])
-            tex = tex_base[s]
-            smp = sample_array_bilinear(
-                base_mip0, jnp.broadcast_to(tex, uv.shape[:-1]), uv
-            )
-            has = tex >= 0
-            albedo = jnp.where(has, albedo * smp[..., :3], albedo)
-            alpha_f = jnp.where(has, alpha_f * smp[..., 3], alpha_f)
+            tids = tex_slot[s]  # [5]
+
+            def smp(slot):
+                return sample_array_bilinear(
+                    base_mip0,
+                    jnp.broadcast_to(tids[slot], uv.shape[:-1]),
+                    uv,
+                )
+
+            if slot_on[0]:
+                bc = smp(0)
+                has = tids[0] >= 0
+                albedo = jnp.where(has, albedo * bc[..., :3], albedo)
+                alpha_f = jnp.where(has, alpha_f * bc[..., 3], alpha_f)
+            if slot_on[1]:
+                # TBN normal mapping (model_pbr.hlsl:168-197)
+                t4 = jnp.einsum("hwv,vk->hwk", bsrc, tri_t[s])
+                t3 = normalize(t4[..., :3])
+                b3 = jnp.cross(n, t3) * t4[..., 3:4]
+                n_ts = smp(1)[..., :3] * 2.0 - 1.0
+                n_ts = jnp.concatenate(
+                    [n_ts[..., :2] * bank_nscale[s], n_ts[..., 2:3]], axis=-1
+                )
+                mapped = normalize(
+                    t3 * n_ts[..., 0:1]
+                    + b3 * n_ts[..., 1:2]
+                    + n * n_ts[..., 2:3]
+                )
+                n = jnp.where(tids[1] >= 0, mapped, n)
+            if slot_on[2]:
+                # glTF MR texture: G=roughness, B=metallic
+                mr = smp(2)
+                has = tids[2] >= 0
+                metallic = jnp.where(has, metallic * mr[..., 2], metallic)
+                roughness = jnp.where(has, roughness * mr[..., 1], roughness)
+            if slot_on[3]:
+                ao = jnp.where(tids[3] >= 0, ao * smp(3)[..., 0], ao)
+            if slot_on[4]:
+                em = smp(4)
+                emissive = jnp.where(tids[4] >= 0, emissive * em[..., :3], emissive)
+        sun_dir = normalize(-lights.sun_direction)
+        if shadowed:
+            shadow = calculate_shadow(
+                shadow_map, lsm, p, n,
+                jnp.broadcast_to(sun_dir, p.shape), shadow_params,
+            )[..., None]
+        else:
+            shadow = 1.0
         if shading in (ShadingModel.PBR, ShadingModel.PBR_IBL):
             # Cook-Torrance direct + hemisphere ambient under alpha blend
-            # (model_pbr.hlsl with the alpha_blend preset)
+            # (model_pbr.hlsl with the alpha_blend preset); sun term takes
+            # the PCF factor (model_pbr.hlsl:278-297)
             mat = pbr_ops.PBRMaterialParams(
                 albedo=jnp.broadcast_to(albedo, p.shape),
-                metallic=bank_metal[s],
-                roughness=pbr_ops.clamp_roughness(bank_rough[s]),
-                ao=bank_ao[s],
-                emissive=bank_emis[s],
+                metallic=jnp.broadcast_to(metallic, p.shape[:-1]),
+                roughness=pbr_ops.clamp_roughness(
+                    jnp.broadcast_to(roughness, p.shape[:-1])
+                ),
+                ao=jnp.broadcast_to(ao, p.shape[:-1]),
+                emissive=jnp.broadcast_to(emissive, p.shape),
             )
-            sun_dir = normalize(-lights.sun_direction)
-            rgb = pbr_ops.pbr_direct(
+            rgb = shadow * pbr_ops.pbr_direct(
                 n, view, jnp.broadcast_to(sun_dir, p.shape),
                 lights.sun_color * lights.sun_intensity, mat,
             )
-            rgb = rgb + pbr_ops.hemisphere_ambient(
-                n, mat.albedo, jnp.broadcast_to(bank_ao[s], p.shape[:-1])
-            )
-            rgb = rgb + bank_emis[s]
+            rgb = rgb + pbr_ops.hemisphere_ambient(n, mat.albedo, mat.ao)
+            rgb = rgb + mat.emissive
         else:
-            rgb = _bp.directional_light(
+            rgb = shadow * _bp.directional_light(
                 lights.sun_direction, lights.sun_color, lights.sun_intensity,
-                n, view, albedo, bank_rough[s],
+                n, view, albedo, roughness,
             ) + scene.scene_ubo.ambient_color * albedo
         a = jnp.broadcast_to(alpha_f, rgb.shape[:-1])[..., None]
         return jnp.concatenate([rgb, a], axis=-1)
