@@ -71,10 +71,14 @@ class Renderer:
         self.tonemap = tonemap
         self.shadow_map_size = shadow_map_size
         self.shadow_params = shadow_params
-        self.frame_manager = FrameManager(self.config.frames_in_flight)
         # swapchain: rotating present slots behind the Surface (≙ Renderer
-        # owning the Swapchain, renderer.rs:55-86); resize marks it stale
+        # owning the Swapchain, renderer.rs:55-86); resize marks it stale.
+        # Its chosen present mode drives the FrameManager's pacing behavior
+        # (MAILBOX drops stale completed frames; FIFO queues all).
         self.swapchain = Swapchain(window.width, window.height)
+        self.frame_manager = FrameManager(
+            self.config.frames_in_flight, present_mode=self.swapchain.present_mode
+        )
         # depth attachment parameters (≙ renderer-owned DepthBuffer,
         # depth_buffer.rs:117-228; recreated with the swapchain on resize) —
         # its clear value seeds the frame's DepthAttachment below
@@ -362,19 +366,33 @@ class Renderer:
             self._ensure_compiled()
             image_index, _ = self.swapchain.acquire_next_image()
 
-        # submit (async enqueue; blocks only when 2 frames are in flight)
+        # submit (async enqueue; blocks only when 2 frames are in flight).
+        # The manager may retire frames without presenting them — stale
+        # completed frames under MAILBOX, or the oldest frame when a
+        # present=False burst fills the queue; consume one acquired slot
+        # per retired frame so slots track the in-flight queue exactly.
+        def _retired() -> int:
+            fm = self.frame_manager
+            return fm.frames_dropped + fm.frames_retired_unpresented
+
+        retired_before = _retired()
         self.frame_manager.submit(self._run_frame, self._scene)
         self._pending_slots.append(image_index)
         self.stats.tick()
 
         if not present:
+            for _ in range(_retired() - retired_before):
+                self._pending_slots.pop(0)
             return None
         # present the oldest finished frame: device->host readback + sRGB
-        # encode into its swapchain slot, then out the window surface
+        # encode into its swapchain slot, then out the window surface.
+        # Under MAILBOX the presented frame is the newest completed one.
         fb = self.frame_manager.present_oldest()
         if fb is None:
             return None
         u8 = framebuffer_to_u8(fb)
+        for _ in range(_retired() - retired_before):
+            self._pending_slots.pop(0)
         slot = self._pending_slots.pop(0)
         suboptimal = self.swapchain.present(slot, u8)
         if suboptimal:  # ≙ SUBOPTIMAL_KHR -> recreate next frame

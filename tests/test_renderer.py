@@ -194,6 +194,62 @@ def test_frame_manager_uses_fences():
     r.wait_idle()
 
 
+def test_present_modes_are_behavioral():
+    """MAILBOX vs FIFO change runtime pacing (VERDICT r3 item 6; ≙
+    choose_present_mode, swapchain.rs:594-611): under MAILBOX,
+    present_oldest discards stale COMPLETED frames and returns the newest
+    completed one; under FIFO every submitted frame presents in order."""
+    import numpy as np
+
+    from renderer_rs_tpu.renderer.frame_manager import FrameManager
+    from renderer_rs_tpu.rhi.swapchain import PRESENT_FIFO, PRESENT_MAILBOX
+
+    def frame(i):
+        return np.full((2, 2, 4), float(i), np.float32)
+
+    # FIFO: 3 submitted frames present as 0, 1, 2 — nothing dropped
+    fm = FrameManager(frames_in_flight=4, present_mode=PRESENT_FIFO)
+    for i in range(3):
+        fm.submit(frame, i)
+    assert fm.present_oldest()[0, 0, 0] == 0.0
+    assert fm.present_oldest()[0, 0, 0] == 1.0
+    assert fm.frames_dropped == 0
+
+    # MAILBOX: all 3 complete immediately (host arrays are always ready),
+    # so the first present skips the stale 0 and 1 and returns 2
+    fm = FrameManager(frames_in_flight=4, present_mode=PRESENT_MAILBOX)
+    for i in range(3):
+        fm.submit(frame, i)
+    assert fm.present_oldest()[0, 0, 0] == 2.0
+    assert fm.frames_dropped == 2
+    assert fm.in_flight == 0
+
+    # unknown mode rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        FrameManager(present_mode="immediate")
+
+
+def test_renderer_mailbox_present_keeps_slots_in_sync():
+    """The Renderer's slot bookkeeping follows MAILBOX drops: presenting
+    after a burst of submits retires one acquired slot per dropped frame."""
+    r, _ = _make()
+    from renderer_rs_tpu.rhi.swapchain import PRESENT_MAILBOX
+
+    assert r.swapchain.present_mode == PRESENT_MAILBOX
+    assert r.frame_manager.present_mode == PRESENT_MAILBOX
+    # two frames queued without presenting, then one present: the second
+    # (newer) frame shows; the stale one is dropped; slots stay consistent
+    r.render_frame(present=False)
+    r.render_frame(present=False)
+    assert len(r._pending_slots) == 2
+    out = r.render_frame()
+    assert out is not None
+    assert len(r._pending_slots) == r.frame_manager.in_flight
+    r.wait_idle()
+
+
 def test_shadow_map_cached_across_camera_updates():
     """The shadow map re-renders only when its inputs (geometry/transforms/
     light) change — camera-only updates reuse the cached map; an object
