@@ -87,3 +87,42 @@ for c, dur in cat.most_common(12):
 print("--- top ops (ms/frame)")
 for nm, dur in agg.most_common(25):
     print(f"{dur / 4e3:7.2f} {nm:26s} {names[nm]}")
+
+# --- full source attribution (r4): every device op carries a source_stack;
+# bucket by innermost repo frame and by outermost pass call site. This is
+# the complete frame accounting — the r3 "unattributed tail" was just the
+# un-bucketed mid-size ops (84 ops >=0.1 ms cover ~91% of the frame).
+metas = {}
+for e in ev:
+    if e.get("ph") == "X" and e.get("pid") == dev_pid and not e["name"].startswith("jit_"):
+        metas.setdefault(e["name"], e.get("args") or {})
+
+
+def _src(a):
+    for fr in (a.get("source_stack") or "").split("\n"):
+        if "/renderer_rs_tpu/" in fr:
+            return fr.strip().replace("/root/repo/renderer_rs_tpu/", "")
+    return (a.get("source") or "?").replace("/root/repo/", "")
+
+
+def _caller(a):
+    fs = [
+        f.strip().replace("/root/repo/renderer_rs_tpu/", "")
+        for f in (a.get("source_stack") or "").split("\n")
+        if "/renderer_rs_tpu/" in f
+    ]
+    return fs[-1] if fs else "?"
+
+
+for title, keyfn in (("innermost source line", _src), ("pass call site", _caller)):
+    buckets = collections.Counter()
+    for nm, dur in agg.items():
+        buckets[keyfn(metas.get(nm, {}))] += dur
+    print(f"--- by {title} (>=0.15 ms/frame)")
+    shown = 0
+    for s, dur in buckets.most_common():
+        if dur / 4e3 < 0.15:
+            break
+        shown += dur
+        print(f"{dur / 4e3:7.2f}  {s}")
+    print(f"{(tot - shown) / 4e3:7.2f}  (rest)")
