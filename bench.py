@@ -220,23 +220,21 @@ def main() -> int:
     tf, mf = int(ov_f[0]), int(ov_f[1])
     ts, ms = int(ov_s[0]), int(ov_s[1])
 
-    # peel telemetry (VERDICT r2 item 9): the flagship pipeline binds no
-    # MASK material (alpha_cutoff is None), so the depth-peel path cannot
-    # run and the exhaustion count is structurally 0; when a cutoff IS
-    # configured, measure it from a diagnostics frame.
-    if pipeline.alpha_cutoff is not None:
-        _, diag = jax.jit(
-            lambda s: forward_frame(
-                s, layout_tex, pipeline, kwargs_tex["shading"], width, height,
-                tonemap=kwargs_tex.get("tonemap", "aces"),
-                shadow_map_size=sm,
-                shadow_params=kwargs_tex.get("shadow_params"),
-                diagnostics=True,
-            )
-        )(scene_tex)
-        peel_exhausted = int(diag["peel_exhausted"])
-    else:
-        peel_exhausted = 0
+    # deviation telemetry (VERDICT r2 item 9 + r4 clip compaction): one
+    # diagnostics frame yields the bounded-path counters — depth-peel
+    # exhaustion (structurally 0 while no MASK material is bound) and
+    # near-clip secondary halves dropped beyond the compaction cap.
+    _, diag = jax.jit(
+        lambda s: forward_frame(
+            s, layout_tex, pipeline, kwargs_tex["shading"], width, height,
+            tonemap=kwargs_tex.get("tonemap", "aces"),
+            shadow_map_size=sm,
+            shadow_params=kwargs_tex.get("shadow_params"),
+            diagnostics=True,
+        )
+    )(scene_tex)
+    peel_exhausted = int(diag["peel_exhausted"])
+    clip_overflow = int(diag["clip_overflow"])
 
     # --- numeric drift guard -----------------------------------------------
     check = float(jnp.mean(jnp.abs(out_tex)))
@@ -275,6 +273,7 @@ def main() -> int:
                 "shadow_huge": ms,
             },
             "peel_exhausted": peel_exhausted,
+            "clip_overflow": clip_overflow,
             "checksum": round(check, 6),
             "checksum_status": checksum_status,
             "device": str(jax.devices()[0]),

@@ -227,6 +227,16 @@ if which in ("all", "flatfetch"):
     del os.environ["RENDERER_FETCH_FLAT"]
     print("flatfetch", res["flatfetch"], flush=True)
 
+if which in ("all", "postbar"):
+    # barrier AFTER the window blend on the material/cube fetches: the
+    # matmul blend is the gathers' single consumer, so the no-refetch
+    # guarantee holds — and the gather output needs no {2,1,0}->{1,2,0}
+    # whole-frame copy (probe_trace copy.826 1.6 + copy.840 2.0 ms)
+    os.environ["RENDERER_BARRIER"] = "post"
+    res["postbar"] = bench(frame_fn)
+    del os.environ["RENDERER_BARRIER"]
+    print("postbar", res["postbar"], flush=True)
+
 if which in ("all", "pcfhalf"):
     # half-res shadow term (quarter the PCF stack's gather indexes,
     # bilinear-upsample the scalar lit factor) — quality-gated knob
@@ -234,6 +244,41 @@ if which in ("all", "pcfhalf"):
     res["pcfhalf"] = bench(frame_fn)
     del os.environ["RENDERER_PCF_RES"]
     print("pcfhalf", res["pcfhalf"], flush=True)
+
+if which in ("msaa4",):
+    # cost-transparency data point (VERDICT r3 item 7): the msaa4 flagship
+    # frame (supersampled 3840x2160 + box resolve)
+    msaa_pipe = GraphicsPipelineBuilder().msaa_samples(4).build()
+
+    def frame_msaa(s):
+        from renderer_rs_tpu.renderer.passes import forward_frame
+
+        return forward_frame(
+            s, layout, msaa_pipe, kwargs["shading"], W, H,
+            tonemap=kwargs.get("tonemap", "aces"),
+            shadow_map_size=kwargs.get("shadow_map_size", 1024),
+            shadow_params=kwargs.get("shadow_params"),
+        )
+
+    res["msaa4"] = bench(frame_msaa)
+    print("msaa4", res["msaa4"], flush=True)
+
+if which in ("all", "triplanes"):
+    # plane-form geometry chain (r4): per-vertex [T,4] gathers feed clip +
+    # setup as flat planes; the [3T,4]->[T,3,4] reshape/slice/copy chain
+    # and the [T,3,2] xy array never materialize on the fused path
+    os.environ["RENDERER_TRI_PLANES"] = "1"
+    res["triplanes"] = bench(frame_fn)
+    del os.environ["RENDERER_TRI_PLANES"]
+    print("triplanes", res["triplanes"], flush=True)
+
+if which in ("all", "cubeyhalf"):
+    # y-half prefiltered-radiance fetch with id-aware odd-row reconstruct
+    # (halves the 2M-index cube gather + copy/blend; BRDF stays per-pixel)
+    os.environ["RENDERER_CUBE_RES"] = "yhalf"
+    res["cubeyhalf"] = bench(frame_fn)
+    del os.environ["RENDERER_CUBE_RES"]
+    print("cubeyhalf", res["cubeyhalf"], flush=True)
 
 if which in ("all", "pcf32"):
     # group=32 window table: 32k rows x 102-lane halo rows (row-count

@@ -79,6 +79,7 @@ variants = {
     "bf16d": dict(env={"RENDERER_DEFER_DTYPE": "bf16"}),
     "pcfhalf": dict(env={"RENDERER_PCF_RES": "half"}),
     "pcfyhalf": dict(env={"RENDERER_PCF_RES": "yhalf"}),
+    "cubeyhalf": dict(env={"RENDERER_CUBE_RES": "yhalf"}),
 }
 env_ = scene.environment
 if env_ is not None and env_.atlas_tri is not None:

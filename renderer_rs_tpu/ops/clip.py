@@ -79,15 +79,122 @@ def clip_triangles_near(
     return clipped, valid, src, bary_planes_to_array(planes)
 
 
-def _clip_impl(tri_clip: jnp.ndarray, eps: float) -> tuple:
-    t = tri_clip.shape[0]
-    w = tri_clip[..., 3]  # [T,3]
-    behind = w < eps  # [T,3]
-    n_behind = jnp.sum(behind.astype(jnp.int32), axis=-1)  # [T]
+def compact_secondary(
+    tri_clip2: jnp.ndarray,
+    valid2: jnp.ndarray,
+    src2: jnp.ndarray,
+    planes2: tuple,
+    cap: int,
+) -> tuple:
+    """Compact the secondary clip half [T, 2T) into a static `cap` block.
+
+    The [2T] layout reserves a full secondary slot per triangle although
+    only near-plane-CROSSING triangles (typically <<1%) produce one — yet
+    every downstream per-slot pass (setup, kernel-table build, binning
+    side list) pays for all 2T slots (r4 attribution: the table build
+    alone is ~7 ms/frame at 97k tris). This keeps slots [0,T) unchanged
+    and gathers the valid secondaries (stable ascending order — slot ids
+    stay submission-ordered, so equal-depth tie semantics are preserved)
+    into slots [T, T+cap).
+
+    Returns (tri_clip [T+cap,3,4], valid [T+cap], src [T+cap], planes
+    3x3 of [T+cap], overflow scalar int32). overflow counts valid
+    secondaries beyond `cap` (those drop — a hole at the near plane;
+    surface the counter, size the cap generously).
+    """
+    t = tri_clip2.shape[0] // 2
+    cap = min(cap, t)
+    sec_valid = valid2[t:]
+    order = jnp.argsort(~sec_valid, stable=True)[:cap].astype(jnp.int32)
+    keep = sec_valid[order]
+    out_clip = jnp.concatenate([tri_clip2[:t], tri_clip2[t + order]], axis=0)
+    out_valid = jnp.concatenate([valid2[:t], keep])
+    out_src = jnp.concatenate([src2[:t], order])
+    out_planes = tuple(
+        tuple(jnp.concatenate([p[:t], p[t + order]]) for p in row)
+        for row in planes2
+    )
+    overflow = jnp.maximum(
+        jnp.sum(sec_valid.astype(jnp.int32)) - jnp.int32(cap), 0
+    )
+    return out_clip, out_valid, out_src, out_planes, overflow
+
+
+def clip_triangles_near_v(
+    v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray, eps: float = NEAR_EPS
+) -> tuple:
+    """Plane-form clip: per-vertex [T,4] rows in, per-vertex [2T,4] rows
+    out (A, B, C), plus (valid [2T], src [2T], bary planes 3x3 of [2T]).
+    Identical math to clip_triangles_near — the [2T,3,4] array is simply
+    never assembled (the r4 plane-form geometry chain; the caller feeds
+    setup_triangles_planes directly)."""
+    va, vb, vc, i_ab, i_ac, n_behind, t_ab1, t_ac1, sel1, sel2 = _clip_core(
+        v0, v1, v2, eps
+    )
+    t = v0.shape[0]
+    one2 = (n_behind == 1)[:, None]
+    two2 = (n_behind == 2)[:, None]
+    # primary triangle vertices (same case selection as the array form,
+    # per vertex): 1-behind -> (i_ab, B, C); 2-behind -> (A, i_ab, i_ac);
+    # unclipped -> (v0, v1, v2). Secondary: (i_ab, C, i_ac).
+    pa = jnp.where(one2, i_ab, jnp.where(two2, va, v0))
+    pb = jnp.where(one2, vb, jnp.where(two2, i_ab, v1))
+    pc = jnp.where(one2, vc, jnp.where(two2, i_ac, v2))
+    out_a = jnp.concatenate([pa, i_ab], axis=0)
+    out_b = jnp.concatenate([pb, vc], axis=0)
+    out_c = jnp.concatenate([pc, i_ac], axis=0)
+    valid = jnp.concatenate([n_behind < 3, n_behind == 1])
+    src = jnp.concatenate(
+        [jnp.arange(t, dtype=jnp.int32), jnp.arange(t, dtype=jnp.int32)]
+    )
+    planes = _bary_planes(n_behind, t_ab1, t_ac1, sel1, sel2)
+    return out_a, out_b, out_c, valid, src, planes
+
+
+def compact_secondary_v(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    c: jnp.ndarray,
+    valid2: jnp.ndarray,
+    src2: jnp.ndarray,
+    planes2: tuple,
+    cap: int,
+) -> tuple:
+    """compact_secondary over the plane-form clip output (per-vertex
+    [2T,4] rows instead of the [2T,3,4] array). Same slot semantics."""
+    t = a.shape[0] // 2
+    cap = min(cap, t)
+    sec_valid = valid2[t:]
+    order = jnp.argsort(~sec_valid, stable=True)[:cap].astype(jnp.int32)
+    keep = sec_valid[order]
+
+    def cc(x):
+        return jnp.concatenate([x[:t], x[t + order]], axis=0)
+
+    out_valid = jnp.concatenate([valid2[:t], keep])
+    out_src = jnp.concatenate([src2[:t], order])
+    out_planes = tuple(tuple(cc(p) for p in row) for row in planes2)
+    overflow = jnp.maximum(
+        jnp.sum(sec_valid.astype(jnp.int32)) - jnp.int32(cap), 0
+    )
+    return (cc(a), cc(b), cc(c)), out_valid, out_src, out_planes, overflow
+
+
+def _clip_core(v0, v1, v2, eps):
+    """Shared case analysis of the near clip over per-vertex [T,4] rows."""
+    behind0 = v0[:, 3] < eps
+    behind1 = v1[:, 3] < eps
+    behind2 = v2[:, 3] < eps
+    n_behind = (
+        behind0.astype(jnp.int32)
+        + behind1.astype(jnp.int32)
+        + behind2.astype(jnp.int32)
+    )
 
     # which vertex is "alone" on its side:
     # case 1-behind: the single behind vertex is A
     # case 2-behind: the single in-front vertex is A
+    behind = jnp.stack([behind0, behind1, behind2], axis=-1)
     a_one = jnp.argmax(behind.astype(jnp.int32), axis=-1)  # first behind
     a_two = jnp.argmax((~behind).astype(jnp.int32), axis=-1)  # first in-front
     sel_a = jnp.where(n_behind == 1, a_one, a_two).astype(jnp.int32)
@@ -96,7 +203,6 @@ def _clip_impl(tri_clip: jnp.ndarray, eps: float) -> tuple:
     # three STATIC rotations instead of a take_along_axis gather (the
     # gather + [T,3]-index basis lookup measured ~2x the whole remaining
     # clip math; two where-cascades over [T,4]/constant rows are cheap)
-    v0, v1, v2 = tri_clip[:, 0], tri_clip[:, 1], tri_clip[:, 2]  # [T,4]
     sel1 = sel_a == 1  # [T]
     sel2 = sel_a == 2
     s1 = sel1[:, None]
@@ -109,10 +215,17 @@ def _clip_impl(tri_clip: jnp.ndarray, eps: float) -> tuple:
     # intersections on edges A-B and A-C (A is the lone vertex)
     t_ab1 = _intersect_t(wa, wb_, eps)  # [T]
     t_ac1 = _intersect_t(wa, wc, eps)
-    t_ab = t_ab1[:, None]
-    t_ac = t_ac1[:, None]
-    i_ab = _lerp_vertex(va, vb, t_ab)
-    i_ac = _lerp_vertex(va, vc, t_ac)
+    i_ab = _lerp_vertex(va, vb, t_ab1[:, None])
+    i_ac = _lerp_vertex(va, vc, t_ac1[:, None])
+    return va, vb, vc, i_ab, i_ac, n_behind, t_ab1, t_ac1, sel1, sel2
+
+
+def _clip_impl(tri_clip: jnp.ndarray, eps: float) -> tuple:
+    t = tri_clip.shape[0]
+    v0, v1, v2 = tri_clip[:, 0], tri_clip[:, 1], tri_clip[:, 2]  # [T,4]
+    va, vb, vc, i_ab, i_ac, n_behind, t_ab1, t_ac1, sel1, sel2 = _clip_core(
+        v0, v1, v2, eps
+    )
 
     # --- case n_behind == 1 (A behind): quad (i_ab, B, C, i_ac) ----------------
     # primary triangle (i_ab, B, C); secondary (i_ab, C, i_ac)
@@ -137,11 +250,16 @@ def _clip_impl(tri_clip: jnp.ndarray, eps: float) -> tuple:
         [jnp.arange(t, dtype=jnp.int32), jnp.arange(t, dtype=jnp.int32)]
     )
 
-    # --- source-barycentric frame, as flat [T] planes --------------------------
-    # The rotated basis rows are one-hots of sel_a: ba = e_{sel_a},
-    # bb = e_{sel_a+1 mod 3}, bc = e_{sel_a+2 mod 3}; each component is a
-    # constant-select over [T] (same where structure as the old [T,3] array
-    # form — values bit-identical), and the lerps/case-selects stay [T].
+    return clipped, valid, src, _bary_planes(n_behind, t_ab1, t_ac1, sel1, sel2)
+
+
+def _bary_planes(n_behind, t_ab1, t_ac1, sel1, sel2) -> tuple:
+    """Source-barycentric frame, as flat [2T] planes.
+
+    The rotated basis rows are one-hots of sel_a: ba = e_{sel_a},
+    bb = e_{sel_a+1 mod 3}, bc = e_{sel_a+2 mod 3}; each component is a
+    constant-select over [T] (same where structure as the old [T,3] array
+    form — values bit-identical), and the lerps/case-selects stay [T]."""
     e0 = (1.0, 0.0, 0.0)
     e1 = (0.0, 1.0, 0.0)
     e2 = (0.0, 0.0, 1.0)
@@ -169,4 +287,4 @@ def _clip_impl(tri_clip: jnp.ndarray, eps: float) -> tuple:
                 sec = bi_ac_j
             row.append(jnp.concatenate([prim, sec], axis=0))  # [2T]
         planes.append(tuple(row))
-    return clipped, valid, src, tuple(planes)
+    return tuple(planes)

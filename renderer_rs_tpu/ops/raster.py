@@ -59,6 +59,12 @@ class TriangleSetup:
     w:     [T,3]   f32 clip-space w (for perspective correction)
     area2: [T]     f32 signed 2x area in framebuffer coords
     valid: [T]     bool survives degeneracy/near-plane/cull checks
+    planes: optional ((sx0,sy0),(sx1,sy1),(sx2,sy2)) — the SAME screen
+        coords as flat [T] per-vertex planes (setup_triangles_planes).
+        Hot consumers (canonical-edge block, bin bboxes) read these to
+        skip the [T,3,2] minor-dim relayouts; xy/z/w stay authoritative
+        for everything else, and XLA DCEs whichever form a given program
+        never reads. Values are bit-identical by construction.
     """
 
     xy: Any
@@ -66,15 +72,28 @@ class TriangleSetup:
     w: Any
     area2: Any
     valid: Any
+    planes: Any = None
 
     @property
     def num_triangles(self) -> int:
-        return self.xy.shape[0]
+        return self.z.shape[0]
 
 
 def gather_triangle_clip(clip: jnp.ndarray, tris: jnp.ndarray) -> jnp.ndarray:
     """Gather per-triangle clip coords: [V,4],[T,3] -> [T,3,4]."""
     return clip[tris]
+
+
+def gather_triangle_planes(
+    clip: jnp.ndarray, tris: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Plane-form gather: three [T,4] per-vertex rows (v0, v1, v2).
+
+    Same total gather indexes as gather_triangle_clip's [3T,4] form, but
+    no [T,3,4] materialization — the r4 attribution charged the
+    [3T,4]→[T,3,4] reshape/slice/copy chain ~3 ms/frame across the
+    forward+shadow passes (docs/tpu_cost_model.md)."""
+    return clip[tris[:, 0]], clip[tris[:, 1]], clip[tris[:, 2]]
 
 
 def setup_triangles(
@@ -144,8 +163,78 @@ def setup_triangles(
     return TriangleSetup(xy=xy, z=z, w=w_clip, area2=area2, valid=valid)
 
 
+def setup_triangles_planes(
+    verts: tuple,
+    width: int,
+    height: int,
+    pipeline: GraphicsPipeline,
+    tri_valid: jnp.ndarray | None = None,
+) -> TriangleSetup:
+    """Plane-form triangle setup: verts = (v0, v1, v2), each [T,4] clip
+    rows. Bit-identical to setup_triangles(stack(verts, axis=1), ...) —
+    every formula is the same op on the same floats, evaluated per vertex
+    plane instead of over the [T,3,·] arrays (whose 3-minor dims force
+    tile-padded relayouts between ops; docs/tpu_cost_model.md r4). The
+    returned setup carries BOTH forms: flat screen planes for the hot
+    consumers, and the assembled xy/z/w arrays (XLA DCEs them in programs
+    that only read planes)."""
+    from renderer_rs_tpu.rhi.pipeline import PrimitiveTopology
+
+    sxy = []
+    zs = []
+    ws = []
+    ok_w = None
+    for v in verts:
+        w_v = v[:, 3]
+        ok_w = (w_v > _W_EPS) if ok_w is None else ok_w & (w_v > _W_EPS)
+        inv_w = 1.0 / jnp.maximum(w_v, _W_EPS)
+        sxy.append(
+            (
+                (v[:, 0] * inv_w * 0.5 + 0.5) * width,
+                (v[:, 1] * inv_w * 0.5 + 0.5) * height,
+            )
+        )
+        zs.append(v[:, 2] * inv_w)
+        ws.append(w_v)
+    (sx0, sy0), (sx1, sy1), (sx2, sy2) = sxy
+    area2 = (sx1 - sx0) * (sy2 - sy0) - (sy1 - sy0) * (sx2 - sx0)
+
+    front = jnp.where(
+        pipeline.front_face == FrontFace.COUNTER_CLOCKWISE, area2 < 0.0, area2 > 0.0
+    )
+    if pipeline.cull_mode == CullMode.NONE:
+        cull_ok = jnp.ones_like(front)
+    elif pipeline.cull_mode == CullMode.BACK:
+        cull_ok = front
+    elif pipeline.cull_mode == CullMode.FRONT:
+        cull_ok = ~front
+    else:
+        cull_ok = jnp.zeros_like(front)
+
+    if pipeline.topology in (
+        PrimitiveTopology.POINT_LIST,
+        PrimitiveTopology.LINE_LIST,
+        PrimitiveTopology.LINE_STRIP,
+    ):
+        valid = ok_w
+    else:
+        valid = ok_w & cull_ok & (area2 != 0.0)
+    if tri_valid is not None:
+        valid = valid & tri_valid
+
+    xy = jnp.stack(
+        [jnp.stack([sx, sy], axis=-1) for sx, sy in sxy], axis=1
+    )  # [T,3,2] — compat form; DCEd when only planes are read
+    z = jnp.stack(zs, axis=-1)
+    w_clip = jnp.stack(ws, axis=-1)
+    return TriangleSetup(
+        xy=xy, z=z, w=w_clip, area2=area2, valid=valid, planes=tuple(sxy)
+    )
+
+
 def _pixel_centers(
-    height: int, width: int, y_offset=0, x_offset=0, y_stride: int = 1
+    height: int, width: int, y_offset=0, x_offset=0, y_stride: int = 1,
+    y_pair: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Framebuffer-space pixel centers px[H,W], py[H,W].
 
@@ -156,12 +245,25 @@ def _pixel_centers(
     the load-balanced row sharding — each device gets a representative mix
     of cheap sky rows and dense geometry rows instead of one contiguous
     band.
+    y_pair: interleave at ROW-PAIR granularity — local row j maps to
+    global row y_offset + (j//2)*2*y_stride + (j%2). Pairs keep the 2x2
+    quad's rows on one shard, so quad-uniform screen derivatives (texture
+    LOD, ops/sampling.screen_space_lod) are bit-identical to the
+    full-frame render while retaining the load balancing (r4).
     """
-    py = (
-        jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) * y_stride
-        + 0.5
-        + y_offset
-    )
+    if y_pair:
+        j = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+        py = (
+            ((j // 2) * (2 * y_stride) + (j % 2)).astype(jnp.float32)
+            + 0.5
+            + y_offset
+        )
+    else:
+        py = (
+            jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) * y_stride
+            + 0.5
+            + y_offset
+        )
     px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5 + x_offset
     return px, py
 
@@ -345,6 +447,7 @@ def rasterize(
     y_offset=0,
     x_offset=0,
     y_stride: int = 1,
+    y_pair: bool = False,
 ) -> VisibilityBuffer:
     """Rasterize all triangles into a visibility buffer.
 
@@ -358,7 +461,7 @@ def rasterize(
         framebuffer (multi-chip sharding); y_stride interleaves rows
         (load-balanced sharding).
     """
-    px, py = _pixel_centers(height, width, y_offset, x_offset, y_stride)
+    px, py = _pixel_centers(height, width, y_offset, x_offset, y_stride, y_pair)
     t_count = setup.num_triangles
     if depth_init is None:
         depth_init = jnp.ones((height, width), jnp.float32)

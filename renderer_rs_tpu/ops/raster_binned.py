@@ -64,7 +64,7 @@ def _is_banded(y_offset, y_stride) -> bool:
 
 
 def _tile_ranges(setup, height, width, tile_h, tile_w, nty, ntx,
-                 y_offset=0, y_stride=1):
+                 y_offset=0, y_stride=1, y_pair=False):
     """Per-triangle inclusive tile AABB ranges + liveness.
 
     Band mode (y_offset/y_stride, multi-chip row sharding): `height` is the
@@ -73,24 +73,42 @@ def _tile_ranges(setup, height, width, tile_h, tile_w, nty, ntx,
     uses conservative fractional bounds, so band tile lists are supersets of
     the covering triangles; coverage math culls exactly. The non-band path
     keeps the original integer formula (bit-identical membership)."""
-    xs = setup.xy[..., 0]  # [T,3]
-    ys = setup.xy[..., 1]
-    tx0 = jnp.clip(jnp.floor(jnp.min(xs, -1) / tile_w).astype(jnp.int32), 0, ntx - 1)
-    tx1 = jnp.clip(jnp.floor(jnp.max(xs, -1) / tile_w).astype(jnp.int32), 0, ntx - 1)
+    if setup.planes is not None:
+        # plane form: min/max over the three [T] vertex planes directly —
+        # equal to the [T,3] reduce for non-NaN coords (invalid tris are
+        # masked by `alive` below either way)
+        (px0, py0), (px1, py1), (px2, py2) = setup.planes
+        x_min = jnp.minimum(jnp.minimum(px0, px1), px2)
+        x_max = jnp.maximum(jnp.maximum(px0, px1), px2)
+        y_min = jnp.minimum(jnp.minimum(py0, py1), py2)
+        y_max = jnp.maximum(jnp.maximum(py0, py1), py2)
+    else:
+        xs = setup.xy[..., 0]  # [T,3]
+        ys = setup.xy[..., 1]
+        x_min, x_max = jnp.min(xs, -1), jnp.max(xs, -1)
+        y_min, y_max = jnp.min(ys, -1), jnp.max(ys, -1)
+    tx0 = jnp.clip(jnp.floor(x_min / tile_w).astype(jnp.int32), 0, ntx - 1)
+    tx1 = jnp.clip(jnp.floor(x_max / tile_w).astype(jnp.int32), 0, ntx - 1)
     if _is_banded(y_offset, y_stride):
         yo = jnp.asarray(y_offset, jnp.float32)
-        ky0 = (jnp.min(ys, -1) - 0.5 - yo) / y_stride  # fractional band rows
-        ky1 = (jnp.max(ys, -1) - 0.5 - yo) / y_stride
+        ky0 = (y_min - 0.5 - yo) / y_stride  # fractional band rows
+        ky1 = (y_max - 0.5 - yo) / y_stride
+        if y_pair:
+            # pair-interleave: global row g(j) = yo + s*j - (s-1)*(j%2),
+            # so g >= yo + s*j - (s-1) -> upper local-row bound gains a
+            # conservative (s-1)/s slack (membership supersets are fine;
+            # coverage culls exactly)
+            ky1 = ky1 + (y_stride - 1.0) / y_stride
         ty0 = jnp.clip(jnp.floor(ky0 / tile_h).astype(jnp.int32), 0, nty - 1)
         ty1 = jnp.clip(jnp.floor(ky1 / tile_h).astype(jnp.int32), 0, nty - 1)
         y_on = (ky1 >= 0.0) & (ky0 <= height)
     else:
-        ty0 = jnp.clip(jnp.floor(jnp.min(ys, -1) / tile_h).astype(jnp.int32), 0, nty - 1)
-        ty1 = jnp.clip(jnp.floor(jnp.max(ys, -1) / tile_h).astype(jnp.int32), 0, nty - 1)
-        y_on = (jnp.max(ys, -1) >= 0.0) & (jnp.min(ys, -1) <= height)
+        ty0 = jnp.clip(jnp.floor(y_min / tile_h).astype(jnp.int32), 0, nty - 1)
+        ty1 = jnp.clip(jnp.floor(y_max / tile_h).astype(jnp.int32), 0, nty - 1)
+        y_on = (y_max >= 0.0) & (y_min <= height)
     onscreen = (
-        (jnp.max(xs, -1) >= 0.0)
-        & (jnp.min(xs, -1) <= width)
+        (x_max >= 0.0)
+        & (x_min <= width)
         & y_on
     )
     alive = setup.valid & onscreen
@@ -106,6 +124,7 @@ def bin_triangles_dense(
     cap: int,
     y_offset=0,
     y_stride: int = 1,
+    y_pair: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, int, int]:
     """Dense-overlap binning (reference implementation, O(n_tiles*T)).
 
@@ -116,7 +135,8 @@ def bin_triangles_dense(
     t = setup.num_triangles
     nty, ntx = _cdiv(height, tile_h), _cdiv(width, tile_w)
     tx0, tx1, ty0, ty1, alive = _tile_ranges(
-        setup, height, width, tile_h, tile_w, nty, ntx, y_offset, y_stride
+        setup, height, width, tile_h, tile_w, nty, ntx, y_offset, y_stride,
+        y_pair,
     )
 
     tile_y = jnp.arange(nty, dtype=jnp.int32)
@@ -151,6 +171,7 @@ def bin_triangles(
     y_offset=0,
     y_stride: int = 1,
     small_limit: int | None = None,
+    y_pair: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, int, int]:
     """Sort-based binning — O(T·slots·logT) instead of O(n_tiles·T).
 
@@ -183,7 +204,8 @@ def bin_triangles(
         # stay small: the per-tile merge sorts [cap + cap_big] rows
         cap_big = max(64, t // 256)
     tx0, tx1, ty0, ty1, alive = _tile_ranges(
-        setup, height, width, tile_h, tile_w, nty, ntx, y_offset, y_stride
+        setup, height, width, tile_h, tile_w, nty, ntx, y_offset, y_stride,
+        y_pair,
     )
 
     span_ok = ((tx1 - tx0) < max_span_x) & ((ty1 - ty0) < max_span_y)
@@ -262,7 +284,8 @@ def bin_triangles(
         n_big <= kb,
         lambda: (sorted_idx, sorted_counts),
         lambda: bin_triangles_dense(
-            setup, height, width, tile_h, tile_w, cap, y_offset, y_stride
+            setup, height, width, tile_h, tile_w, cap, y_offset, y_stride,
+            y_pair,
         )[:2],
     )
     return tri_idx, counts, nty, ntx
@@ -280,6 +303,7 @@ def bin_triangles_compact(
     big_span: tuple[int, int] = (8, 4),
     y_offset=0,
     y_stride: int = 1,
+    y_pair: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, int, int, jnp.ndarray]:
     """COMPACT binning: exact per-bin candidate segments, no per-bin cap.
 
@@ -322,7 +346,8 @@ def bin_triangles_compact(
         env = os.environ.get("RENDERER_CAP_BIG")
         cap_big = int(env) if env else max(2048, t // 32)
     tx0, tx1, ty0, ty1, alive = _tile_ranges(
-        setup, height, width, bin_h, bin_w, nby, nbx, y_offset, y_stride
+        setup, height, width, bin_h, bin_w, nby, nbx, y_offset, y_stride,
+        y_pair,
     )
 
     small_ok = ((tx1 - tx0) < 2) & ((ty1 - ty0) < 2)
@@ -472,6 +497,7 @@ def rasterize_binned(
     y_offset=0,
     y_stride: int = 1,
     small_limit: int | None = None,
+    y_pair: bool = False,
 ) -> VisibilityBuffer:
     """Binned visibility-buffer rasterization (see module docstring).
 
@@ -492,6 +518,7 @@ def rasterize_binned(
     tri_idx, _, nty, ntx = bin_triangles(
         setup, height, width, tile_h, tile_w, cap,
         y_offset=y_offset, y_stride=y_stride, small_limit=small_limit,
+        y_pair=y_pair,
     )
     n_tiles = nty * ntx
 
@@ -548,7 +575,15 @@ def rasterize_binned(
         # (band rows remap through y_offset + row*stride; all quantities are
         # integers < 2^24 so f32 arithmetic order cannot change the value)
         px = local_px + (tx_i * tile_w).astype(jnp.float32)
-        py = (local_py - 0.5 + (ty_i * tile_h).astype(jnp.float32)) * y_stride + 0.5 + yo_f
+        jloc = local_py - 0.5 + (ty_i * tile_h).astype(jnp.float32)
+        if y_pair:
+            # pair-interleave band rows: g(j) = (j//2)*2s + j%2 (+ yo);
+            # jloc is an exact integer-valued f32 < 2^24, so floor/mod give
+            # the same integers as _pixel_centers' int path
+            half = jnp.floor(jloc * 0.5)
+            py = half * (2 * y_stride) + (jloc - 2.0 * half) + 0.5 + yo_f
+        else:
+            py = jloc * y_stride + 0.5 + yo_f
 
         def body(carry, chunk_slice):
             c_ids, c_xy, c_z, c_valid, c_s, c_inv = chunk_slice

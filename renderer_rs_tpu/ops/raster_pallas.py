@@ -84,7 +84,7 @@ def _canonical_edges(xy, s, valid=None):
     return edges
 
 
-def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, n_vary=0, n_flat=0, has_zfloor=False, skip_bary=False, sub_h=None, y_stride=1, ntx=1, gather_vary=False):
+def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, n_vary=0, n_flat=0, has_zfloor=False, skip_bary=False, sub_h=None, y_stride=1, ntx=1, gather_vary=False, y_pair=False):
     """Build the per-tile kernel body.
 
     Two-level binning (VERDICT r2 item 1): the grid step still covers a
@@ -168,11 +168,15 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, 
             r0, r1 = q * sub_h, (q + 1) * sub_h
             # band row -> physical row: y_offset + row*stride (+0.5 center);
             # integers < 2^24, so f32 op order matches _pixel_centers exactly
-            py = (
-                (sub_py + (ty * tile_h + q * sub_h).astype(jnp.float32)) * y_stride
-                + 0.5
-                + yo_f
-            )
+            jloc = sub_py + (ty * tile_h + q * sub_h).astype(jnp.float32)
+            if y_pair:
+                # pair-interleave: g(j) = (j//2)*2s + j%2 (+ yo); jloc is
+                # an exact integer-valued f32, so floor/mod are exact and
+                # match _pixel_centers' integer path bit-for-bit
+                half = jnp.floor(jloc * 0.5)
+                py = half * (2.0 * y_stride) + (jloc - 2.0 * half) + 0.5 + yo_f
+            else:
+                py = jloc * y_stride + 0.5 + yo_f
             zf_q = zfloor_ref[r0:r1, :] if has_zfloor else None
 
             n_chunks = (count + chunk - 1) // chunk
@@ -492,6 +496,47 @@ def _canonical_edges_block(xy, s, valid=None):
     return e.reshape(xy.shape[0], 15)
 
 
+def _canonical_edges_block_planes(planes, s, valid=None):
+    """_canonical_edges_block over flat per-vertex screen planes
+    ((sx0,sy0),(sx1,sy1),(sx2,sy2) — setup.planes). Identical formulas and
+    output layout; the [T,3,2] xy array and its roll relayouts never
+    materialize (r4 plane-form geometry)."""
+    (x0, y0), (x1, y1), (x2, y2) = planes
+    axs, ays = (x1, x2, x0), (y1, y2, y0)  # a = vertex (e+1)%3
+    bxs, bys = (x2, x0, x1), (y2, y0, y1)  # b = vertex (e+2)%3
+    cax_l, cay_l, sdx_l, sdy_l, th_l = [], [], [], [], []
+    for e in range(3):
+        ax, ay, bx, by = axs[e], ays[e], bxs[e], bys[e]
+        swap = (ay > by) | ((ay == by) & (ax > bx))
+        cax = jnp.where(swap, bx, ax)
+        cay = jnp.where(swap, by, ay)
+        cbx = jnp.where(swap, ax, bx)
+        cby = jnp.where(swap, ay, by)
+        sgn = jnp.where(swap, -s, s)
+        dx = s * (bx - ax)
+        dy = s * (by - ay)
+        tl = (dy < 0.0) | ((dy == 0.0) & (dx > 0.0))
+        thresh = jnp.where(tl, 0.0, _COV_MIN_NORMAL).astype(jnp.float32)
+        if valid is not None:
+            thresh = jnp.where(valid, thresh, jnp.inf)
+        cax_l.append(cax)
+        cay_l.append(cay)
+        sdx_l.append(sgn * (cbx - cax))
+        sdy_l.append(sgn * (cby - cay))
+        th_l.append(thresh)
+    e15 = jnp.stack(
+        [
+            jnp.stack(cax_l, axis=-1),
+            jnp.stack(cay_l, axis=-1),
+            jnp.stack(sdx_l, axis=-1),
+            jnp.stack(sdy_l, axis=-1),
+            jnp.stack(th_l, axis=-1),
+        ],
+        axis=-1,
+    )  # [T,3,5]
+    return e15.reshape(x0.shape[0], 15)
+
+
 def _base_coef_table(setup: TriangleSetup, ids_col: jnp.ndarray) -> jnp.ndarray:
     """The 20-column per-slot coefficient table of the kernel contract
     (edges x 5, z x 3, inv_area, ids — see rasterize_binned_pallas), NOT
@@ -506,7 +551,11 @@ def _base_coef_table(setup: TriangleSetup, ids_col: jnp.ndarray) -> jnp.ndarray:
     area_abs = jnp.abs(setup.area2)
     inv_area = jnp.where(area_abs > 0.0, 1.0 / jnp.maximum(area_abs, 1e-30), 0.0)
     if os.environ.get("RENDERER_KTBL", "block") == "block":
-        e15 = _canonical_edges_block(setup.xy, s, valid=setup.valid)
+        e15 = (
+            _canonical_edges_block_planes(setup.planes, s, valid=setup.valid)
+            if setup.planes is not None
+            else _canonical_edges_block(setup.xy, s, valid=setup.valid)
+        )
         return jnp.concatenate(
             [e15, setup.z, inv_area[:, None], ids_col[:, None]], axis=-1
         )
@@ -529,7 +578,7 @@ def _depth_coef_table(setup: TriangleSetup, t: int) -> jnp.ndarray:
 
 
 def _bin_compact(setup, height, width, tile_h, tile_w, sub_h, chunk,
-                 y_offset=0, y_stride=1, small_limit=None):
+                 y_offset=0, y_stride=1, small_limit=None, y_pair=False):
     """Compact-binning front end: bin at [sub_h, tile_w] granularity over
     the PADDED tile extent. Returns (slab_ids [n_slots+pad] — tri ids whose
     table gather builds the coefficient slab (pads select the inf-thresh
@@ -540,6 +589,7 @@ def _bin_compact(setup, height, width, tile_h, tile_w, sub_h, chunk,
     sorted_tris, seg, nby, nbx, overflow = bin_triangles_compact(
         setup, hp, wp, sub_h, tile_w,
         small_limit=small_limit, y_offset=y_offset, y_stride=y_stride,
+        y_pair=y_pair,
     )
     assert (nby, nbx) == (nty * n_sub, ntx)
     t = setup.num_triangles
@@ -678,6 +728,7 @@ def rasterize_binned_pallas(
     sub_h: int = 16,
     y_offset=0,
     y_stride: int = 1,
+    y_pair: bool = False,
     small_limit: int | None = None,
     defer_varyings: bool = False,
     defer_dtype: str | None = None,
@@ -745,6 +796,7 @@ def rasterize_binned_pallas(
     slab_ids, seg, nty, ntx, _overflow = _bin_compact(
         setup, height, width, tile_h, tile_w, sub_h, chunk,
         y_offset=y_offset, y_stride=y_stride, small_limit=small_limit,
+        y_pair=y_pair,
     )
     n_tiles = nty * ntx
 
@@ -1105,7 +1157,7 @@ def rasterize_binned_pallas(
     kernel = _make_kernel(
         pipeline, tile_h, tile_w, chunk, depth_only, k_vary, k_flat,
         has_zfloor=has_zfloor, skip_bary=skip_bary, sub_h=sub_h,
-        y_stride=y_stride, ntx=ntx, gather_vary=gmode,
+        y_stride=y_stride, ntx=ntx, gather_vary=gmode, y_pair=y_pair,
     )
 
     out_shapes = [jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32)]

@@ -34,6 +34,67 @@ def _once(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.optimization_barrier((x,))[0]
 
 
+def _barrier_post() -> bool:
+    """RENDERER_BARRIER=post moves the flagship fetches' barrier from the
+    raw gather to the BLENDED result: under matmul blend the taps have a
+    single consumer chain (weight multiply -> selection matmul), so the
+    no-refetch guarantee holds with the barrier after the blend — and the
+    gather's {2,1,0} output no longer needs the whole-frame {1,2,0} copy
+    the pre-blend barrier pins (probe_trace copy.826 1.6 + copy.840 2.0
+    ms). A/B knob; frame-measured before defaulting. Inert under the
+    "slice" blend (multi-consumer taps — the barrier must stay on the
+    gather there)."""
+    import os
+
+    return (
+        os.environ.get("RENDERER_BARRIER", "pre") == "post"
+        and _blend_mode() != "slice"
+    )
+
+
+def _once_pre(x: jnp.ndarray) -> jnp.ndarray:
+    return x if _barrier_post() else _once(x)
+
+
+def _once_post(x: jnp.ndarray) -> jnp.ndarray:
+    return _once(x) if _barrier_post() else x
+
+
+def upsample2x_y_idaware(
+    s: jnp.ndarray, tid: jnp.ndarray, height: int
+) -> jnp.ndarray:
+    """Vertical 2x upsample of an even-row-sampled field [h/2,W,C], guided
+    by the FULL-RATE winner-id image [H,W].
+
+    Even output rows copy s exactly. Each odd row reconstructs from its
+    two adjacent even rows EDGE-AWARELY: average when both neighbors share
+    the odd pixel's winner id (same surface — smooth interpolation), copy
+    the matching neighbor when only one does (silhouette — no ghosting
+    across the edge), average as a fallback when neither matches (a
+    surface thinner than 2 rows; no correct sample exists). Sky pixels
+    participate via id -1, so sky/surface silhouettes resolve the same
+    way. All ops are row-plane elementwise + one sublane interleave (the
+    yhalf rule: stride SUBLANES only, never lanes)."""
+    h2, w = s.shape[0], s.shape[1]
+    up = s  # even row 2i
+    dn = jnp.concatenate([s[1:], s[-1:]], axis=0)  # even row 2i+2 (clamped)
+    tid_even = tid[0::2]
+    tid_odd = tid[1::2]
+    n_odd = tid_odd.shape[0]
+    tid_dn = jnp.concatenate([tid_even[1:], tid_even[-1:]], axis=0)
+    m_up = (tid_odd == tid_even[:n_odd])[..., None]
+    m_dn = (tid_odd == tid_dn[:n_odd])[..., None]
+    avg = 0.5 * (up + dn)
+    odd = jnp.where(
+        m_up & m_dn, avg[:n_odd],
+        jnp.where(m_up, up[:n_odd], jnp.where(m_dn, dn[:n_odd], avg[:n_odd])),
+    )
+    if n_odd < h2:
+        odd = jnp.concatenate([odd, up[n_odd:]], axis=0)
+    full = jnp.stack([up, odd], axis=1).reshape(2 * h2, w, s.shape[-1])
+    return full[:height]
+
+
 def _blend_mode() -> str:
     """Window-blend strategy for the wide-row atlas fetches
     (RENDERER_BLEND): "matmul" (default — won the r3 frame A/B 61.4 vs
@@ -171,11 +232,35 @@ def screen_space_lod(uv: jnp.ndarray, tex_h: int, tex_w: int) -> jnp.ndarray:
     """Per-pixel LOD from screen-space UV derivatives.
 
     uv: [H,W,2] (the interpolated UVs of the deferred shading pass).
-    Hardware computes ddx/ddy per 2x2 quad; here forward differences over
-    the framebuffer grid give the same log2(max gradient) metric.
+
+    QUAD-UNIFORM derivatives (default since r4): both pixels of a 2x2
+    quad's row share ddx = uv[odd_x] - uv[even_x], both rows share
+    ddy = uv[odd_y] - uv[even_y] — exactly HLSL ddx/ddy semantics (the
+    reference's Texture2D.Sample implicit LOD). Besides reference parity,
+    quad derivatives are BAND-STABLE: a band shard aligned to even rows
+    computes bit-identical LOD to the full-frame render, whereas the old
+    per-pixel forward difference read the next row across the band edge
+    (r4: the sharded-flagship mismatch localized to band-final rows).
+    RENDERER_LOD=fwd restores the r3 forward-difference form.
     """
-    du_dx = jnp.diff(uv, axis=1, append=uv[:, -1:, :]) * tex_w
-    du_dy = jnp.diff(uv, axis=0, append=uv[-1:, :, :]) * tex_h
+    import os
+
+    fwd_x = jnp.diff(uv, axis=1, append=uv[:, -1:, :])
+    fwd_y = jnp.diff(uv, axis=0, append=uv[-1:, :, :])
+    if os.environ.get("RENDERER_LOD", "quad") == "fwd" or (
+        uv.shape[0] < 2 or uv.shape[1] < 2
+    ):
+        du_dx = fwd_x * tex_w
+        du_dy = fwd_y * tex_h
+    else:
+        # quad share: odd pixels reuse the preceding even pixel's forward
+        # difference (shift-by-one + parity select — no strided slicing)
+        ex = jax.lax.broadcasted_iota(jnp.int32, uv.shape[:2], 1) % 2 == 0
+        ey = jax.lax.broadcasted_iota(jnp.int32, uv.shape[:2], 0) % 2 == 0
+        prev_x = jnp.concatenate([fwd_x[:, :1], fwd_x[:, :-1]], axis=1)
+        prev_y = jnp.concatenate([fwd_y[:1], fwd_y[:-1]], axis=0)
+        du_dx = jnp.where(ex[..., None], fwd_x, prev_x) * tex_w
+        du_dy = jnp.where(ey[..., None], fwd_y, prev_y) * tex_h
     rho = jnp.maximum(
         jnp.sqrt(jnp.sum(du_dx * du_dx, axis=-1)),
         jnp.sqrt(jnp.sum(du_dy * du_dy, axis=-1)),
@@ -939,7 +1024,7 @@ def cube_trilinear_fetch(
         if plan is None:
             plan = cube_trilinear_plan(offsets, sizes, lo_level, face, uv)
         idx, fx, fy, fxh, fyh, jx, jy = plan
-        taps = _once(atlas13[idx])
+        taps = _once_pre(atlas13[idx])
     else:
         s = sizes[lo_level].astype(jnp.float32)
         si = sizes[lo_level]
@@ -966,9 +1051,11 @@ def cube_trilinear_fetch(
         jx = jnp.where(jnp.clip(x0h, 0, sh - 1) < x0c // 2, 0, 1)
         jy = jnp.where(jnp.clip(y0h, 0, sh - 1) < y0c // 2, 0, 1)
         idx = offsets[lo_level] + (face * si + y0c) * si + x0c
-        taps = _once(atlas13[idx])  # [..., 13C]
+        taps = _once_pre(atlas13[idx])  # [..., 13C]
 
-    return cube_trilinear_blend(taps, fx, fy, fxh, fyh, jx, jy, frac, c)
+    # RENDERER_BARRIER=post: taps were NOT barriered above (single consumer
+    # chain under the matmul blend) — pin the blended result instead.
+    return _once_post(cube_trilinear_blend(taps, fx, fy, fxh, fyh, jx, jy, frac, c))
 
 
 def cube_trilinear_blend(taps, fx, fy, fxh, fyh, jx, jy, frac, c):
@@ -1203,7 +1290,7 @@ def sample_material_atlas_tri(
                 idx = jnp.where(sel, idx_l, idx)
                 fx = jnp.where(sel[..., None], fx_l, fx)
                 fy = jnp.where(sel[..., None], fy_l, fy)
-    taps = _once(atlas[idx])  # [..., 8C] bf16 — THE one gather
+    taps = _once_pre(atlas[idx])  # [..., 8C] bf16 — THE one gather
     mode = _blend_mode()
     if mode != "slice":
         # fold the child/parent lerp into the per-window weights: ONE
@@ -1218,7 +1305,7 @@ def sample_material_atlas_tri(
         w11 = fx * fy
         ws = [w00 * lo, w10 * lo, w01 * lo, w11 * lo,
               w00 * hi, w10 * hi, w01 * hi, w11 * hi]
-        return _weighted_lane_reduce(taps_f, ws, c, mode)
+        return _once_post(_weighted_lane_reduce(taps_f, ws, c, mode))
     f_lo = _blend_window(taps[..., : 4 * c].astype(jnp.float32), fx, fy, c)
     f_hi = _blend_window(taps[..., 4 * c :].astype(jnp.float32), fx, fy, c)
     return f_lo * (1.0 - frac[..., None]) + f_hi * frac[..., None]

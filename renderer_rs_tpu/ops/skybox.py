@@ -21,6 +21,7 @@ def pixel_ray_directions(
     y_offset=0,
     full_height: int | None = None,
     y_stride: int = 1,
+    y_pair: bool = False,
 ) -> jnp.ndarray:
     """World-space ray direction per pixel [H,W,3].
 
@@ -31,11 +32,20 @@ def pixel_ray_directions(
     unprojections so no camera position is needed.
     """
     fh = full_height if full_height is not None else height
-    y = (
-        jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) * y_stride
-        + 0.5
-        + y_offset
-    ) / fh
+    if y_pair:
+        # pair-interleaved band rows (ops/raster._pixel_centers y_pair)
+        j = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+        y = (
+            ((j // 2) * (2 * y_stride) + (j % 2)).astype(jnp.float32)
+            + 0.5
+            + y_offset
+        ) / fh
+    else:
+        y = (
+            jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) * y_stride
+            + 0.5
+            + y_offset
+        ) / fh
     x = (jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5) / width
     ndc_x = x * 2.0 - 1.0
     ndc_y = y * 2.0 - 1.0
@@ -62,13 +72,14 @@ def skybox_pass(
     y_offset=0,
     full_height: int | None = None,
     y_stride: int = 1,
+    y_pair: bool = False,
 ) -> jnp.ndarray:
     """Composite the skybox into pixels still at the far plane (depth >= 1,
     ≙ the skybox's z=1 + LESS_OR_EQUAL depth test trick)."""
     from renderer_rs_tpu.ops.sampling import sample_cubemap
 
     h, w = depth.shape
-    dirs = pixel_ray_directions(inv_view_proj, h, w, y_offset, full_height, y_stride)
+    dirs = pixel_ray_directions(inv_view_proj, h, w, y_offset, full_height, y_stride, y_pair)
     sky = sample_cubemap(cubemap_faces, dirs)[..., :3] * intensity
     sky_rgba = jnp.concatenate([sky, jnp.ones_like(sky[..., :1])], axis=-1)
     far_mask = depth >= 1.0

@@ -71,6 +71,11 @@ def render_frame_sharded(
     if shard_h % n_rows != 0:
         raise ValueError(f"height {shard_h} not divisible by rows axis {n_rows}")
     band_h = shard_h // n_rows
+    if interleaved and band_h % 2 != 0:
+        raise ValueError(
+            f"interleaved sharding is pair-granular: band height {band_h} "
+            f"must be even (height {shard_h} over {n_rows} rows)"
+        )
 
     @jax.shard_map(
         mesh=mesh,
@@ -82,7 +87,16 @@ def render_frame_sharded(
         # scene_b leaves have leading dim F/n_frames == 1 on this shard
         scene = jax.tree.map(lambda x: x[0], scene_b)
         row = jax.lax.axis_index("rows")
-        spec = (row, band_h, n_rows) if interleaved else (row * band_h, band_h)
+        # Interleaving is PAIR-granular (since r4): device k renders row
+        # pairs (2k, 2k+1), (2k+2n, 2k+2n+1), ... — each 2x2 quad's rows
+        # stay on one shard, so quad-uniform screen derivatives (texture
+        # LOD) are bit-identical to the full-frame render while the load
+        # balancing is preserved (band=(y0, bh, stride, pair)).
+        spec = (
+            (2 * row, band_h, n_rows, True)
+            if interleaved
+            else (row * band_h, band_h)
+        )
         band = forward_frame(
             scene,
             layout,
@@ -127,16 +141,17 @@ def resolve_msaa(frames: jnp.ndarray, msaa_samples: int) -> jnp.ndarray:
 def unshard_rows(frames: jnp.ndarray, n_rows: int, interleaved: bool) -> jnp.ndarray:
     """Reassemble [F, H, W, 4] from the sharded output's row order.
 
-    Contiguous bands concatenate in place (identity); interleaved bands put
-    device k's band rows at absolute rows k, k+n, ... — de-interleave by a
-    [n, H/n] -> [H/n, n] transpose of the row axis.
+    Contiguous bands concatenate in place (identity); interleaved bands
+    are PAIR-granular (render_frame_sharded): device k's band rows are the
+    global row pairs (2k, 2k+1), (2k+2n, 2k+2n+1), ... — de-interleave by
+    a pair-axis transpose.
     """
     if not interleaved:
         return frames
     f, h, w, c = frames.shape
     band_h = h // n_rows
     return (
-        frames.reshape(f, n_rows, band_h, w, c)
-        .transpose(0, 2, 1, 3, 4)
+        frames.reshape(f, n_rows, band_h // 2, 2, w, c)
+        .transpose(0, 2, 1, 3, 4, 5)
         .reshape(f, h, w, c)
     )

@@ -333,15 +333,32 @@ def _shadow_kernel_knobs() -> dict:
     return out
 
 
+def _shadow_setup(clip, tris, size):
+    """Triangle setup for a depth-only pass; plane form when enabled
+    (RENDERER_TRI_PLANES — no [T,3,4] gather/reshape chain)."""
+    import os as _os_sp
+
+    if _os_sp.environ.get("RENDERER_TRI_PLANES", "0") == "1":
+        from renderer_rs_tpu.ops.raster import (
+            gather_triangle_planes,
+            setup_triangles_planes,
+        )
+
+        return setup_triangles_planes(
+            gather_triangle_planes(clip, tris), size, size, _SHADOW_PIPELINE
+        )
+    return setup_triangles(
+        gather_triangle_clip(clip, tris), size, size, _SHADOW_PIPELINE
+    )
+
+
 def shadow_map_pass(
     scene: GpuScene, layout: SceneLayout, size: int, light_matrix=None,
     world_pos=None,
 ) -> jnp.ndarray:
     """Depth-only sun shadow render (≙ the shadow pass, depth-only pipeline)."""
     clip = shadow_vertex_stage(scene, layout, light_matrix, world_pos=world_pos)
-    setup = setup_triangles(
-        gather_triangle_clip(clip, scene.tris), size, size, _SHADOW_PIPELINE
-    )
+    setup = _shadow_setup(clip, scene.tris, size)
     if supports_binned(_SHADOW_PIPELINE, layout.num_triangles):
         if _use_pallas():
             from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
@@ -375,12 +392,7 @@ def csm_shadow_pass(
             clip = shadow_vertex_stage(
                 scene, layout, scene.csm_matrices[c], world_pos=world_pos
             )
-            setups.append(
-                setup_triangles(
-                    gather_triangle_clip(clip, scene.tris), size, size,
-                    _SHADOW_PIPELINE,
-                )
-            )
+            setups.append(_shadow_setup(clip, scene.tris, size))
         return rasterize_depth_only_batch(
             setups, size, size, _SHADOW_PIPELINE, **_shadow_kernel_knobs()
         )
@@ -1041,6 +1053,39 @@ def _shade_pixels(
                     from renderer_rs_tpu.ops.sampling import cube_trilinear_fetch
 
                     if (
+                        _os2.environ.get("RENDERER_CUBE_RES", "yhalf")
+                        == "yhalf"
+                        and full_rows
+                        and lo_l.ndim == 2
+                        and lo_l.shape[0] >= 128
+                    ):
+                        # y-half prefiltered-radiance fetch (DEFAULT since
+                        # r4; RENDERER_CUBE_RES=full restores per-pixel —
+                        # measured −2.2 ms at 1080p/97k, probe_quality
+                        # accepts: mean 2.3e-4, p99 0.0046):
+                        # gather cost is INDEX-COUNT-bound, so fetching the
+                        # specular/sky radiance at even rows halves the
+                        # 2M-index cube gather + its copy/blend chain. Only
+                        # the RADIANCE is half-rate — calculate_ibl_fast's
+                        # analytic BRDF term (normal/view/roughness) stays
+                        # per-pixel, so normal-map specular detail survives.
+                        # Odd rows reconstruct id-awarely from the winner-id
+                        # image (sky id -1 included): no ghosting across
+                        # silhouettes, the failure the r3 note feared for
+                        # a naive y-half sky. Quality-gated via
+                        # probe_quality (cubeyhalf).
+                        from renderer_rs_tpu.ops.sampling import (
+                            upsample2x_y_idaware,
+                        )
+
+                        spec_h = cube_trilinear_fetch(
+                            env.atlas_tri, seg_offs, seg_sizes,
+                            lo_l[::2], frac[::2], face[::2], uv_c[::2], c,
+                        )[..., :3]
+                        spec_sky = upsample2x_y_idaware(
+                            spec_h, vis.tri_id, lo_l.shape[0]
+                        )
+                    elif (
                         _os2.environ.get("RENDERER_FETCH_FLAT", "0") != "0"
                         and lo_l.ndim == 2
                     ):
@@ -1295,6 +1340,20 @@ def forward_frame(
                 "forward_frame(diagnostics=True) does not compose with MSAA"
             )
         sx, sy = {2: (2, 1), 4: (2, 2), 8: (4, 2)}[pipeline.msaa_samples]
+        if width * height * sx * sy > 4_000_000:
+            # cost transparency (VERDICT r3 item 7): supersampling scales
+            # the whole frame cost by the sample count (measured: msaa4 at
+            # 1080p ≈ 4x the 1x frame time — docs/tpu_cost_model.md); warn
+            # once per specialization so an unwary msaa_samples(4) user at
+            # 1080p isn't surprised by ~4x frame cost
+            import logging as _logging
+
+            _logging.getLogger("renderer_rs_tpu.renderer.passes").warning(
+                "MSAA %dx supersamples to %dx%d (%.1f MP): expect ~%dx the "
+                "1-sample frame cost",
+                pipeline.msaa_samples, width * sx, height * sy,
+                width * height * sx * sy / 1e6, sx * sy,
+            )
         import dataclasses as _dc
 
         sub = _dc.replace(pipeline, msaa_samples=1)
@@ -1374,6 +1433,7 @@ def forward_frame(
         # lines too; bounded loss only within `eps` of the near plane)
         t_n = layout.num_triangles
         clip_valid = None
+        clip_overflow = None
         clip_src = jnp.arange(t_n, dtype=jnp.int32)
         clip_bary = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (t_n, 3, 3))
         clip_bary_planes = tuple(
@@ -1395,17 +1455,77 @@ def forward_frame(
             clip_triangles_near_planes,
         )
 
-        tri_clip, clip_valid, clip_src, clip_bary_planes = (
-            clip_triangles_near_planes(tri_clip)
+        # Secondary-slot compaction (r4 perf, RENDERER_CLIP_COMPACT): the
+        # [2T] clip layout makes every per-slot pass (setup, kernel-table
+        # build, binning side list) pay for T secondary slots that are
+        # ~all dead; compact them into a static cap = T/den block
+        # (ops/clip.py::compact_secondary — order-stable, so results are
+        # bit-identical while the valid count fits the cap; the overflow
+        # counter rides diagnostics/bench like bin_overflow). Measured
+        # −6.7 ms at 1080p/97k (56.48 -> 49.83, probe_frame_ab).
+        import os as _os_cc
+
+        _cc_den = int(_os_cc.environ.get("RENDERER_CLIP_COMPACT", "8"))
+        clip_overflow = None
+        t_prim = layout.num_triangles
+        _compact_on = _cc_den > 0 and t_prim >= 1024
+        _cc_cap = max(128, t_prim // max(_cc_den, 1))
+        n_raster_tris = (
+            t_prim + min(_cc_cap, t_prim) if _compact_on else 2 * t_prim
         )
+        # Plane-form geometry chain (r4, RENDERER_TRI_PLANES): per-vertex
+        # [T,4] gathers feed the clip and setup as flat planes — the
+        # [3T,4]->[T,3,4] reshape/slice/copy chain never materializes and
+        # the canonical-edge block reads the screen planes directly
+        # (gated for frame A/B; bit-identical by construction).
+        if _os_cc.environ.get("RENDERER_TRI_PLANES", "0") == "1":
+            from renderer_rs_tpu.ops.clip import (
+                clip_triangles_near_v,
+                compact_secondary_v,
+            )
+            from renderer_rs_tpu.ops.raster import (
+                gather_triangle_planes,
+                setup_triangles_planes,
+            )
+
+            va_, vb_, vc_ = gather_triangle_planes(vs.clip, scene.tris)
+            (
+                va_, vb_, vc_, clip_valid, clip_src, clip_bary_planes,
+            ) = clip_triangles_near_v(va_, vb_, vc_)
+            if _compact_on:
+                (
+                    (va_, vb_, vc_), clip_valid, clip_src,
+                    clip_bary_planes, clip_overflow,
+                ) = compact_secondary_v(
+                    va_, vb_, vc_, clip_valid, clip_src,
+                    clip_bary_planes, _cc_cap,
+                )
+            setup = setup_triangles_planes(
+                (va_, vb_, vc_), width, height, pipeline,
+                tri_valid=clip_valid,
+            )
+        else:
+            tri_clip, clip_valid, clip_src, clip_bary_planes = (
+                clip_triangles_near_planes(tri_clip)
+            )
+            if _compact_on:
+                from renderer_rs_tpu.ops.clip import compact_secondary
+
+                (
+                    tri_clip, clip_valid, clip_src, clip_bary_planes,
+                    clip_overflow,
+                ) = compact_secondary(
+                    tri_clip, clip_valid, clip_src, clip_bary_planes,
+                    _cc_cap,
+                )
+            # viewport transform always uses the FULL framebuffer extent
+            setup = setup_triangles(
+                tri_clip, width, height, pipeline, tri_valid=clip_valid
+            )
         # array form for the scan/binned/peel consumers; XLA DCEs it on the
         # fused SoA path (RENDERER_GEOM=soa), which consumes the planes
         clip_bary = bary_planes_to_array(clip_bary_planes)
-
-        # viewport transform always uses the FULL framebuffer extent
-        setup = setup_triangles(tri_clip, width, height, pipeline, tri_valid=clip_valid)
-        n_raster_tris = 2 * layout.num_triangles
-        # binning: the secondary clip half (live <1%) rides the dense side
+        # binning: the secondary clip block (live <1%) rides the dense side
         # list instead of the expand+sort — halves the sort size
         bin_small_limit = layout.num_triangles
 
@@ -1477,6 +1597,8 @@ def forward_frame(
             "stencil state machine runs on the full-frame scan path)"
         )
     y_stride = 1  # overwritten by the band branch; read by sky/env paths
+    y_pair = False  # band[3]: pair-granularity interleave (quad-derivative
+    # stability — ops/raster._pixel_centers y_pair)
     ids_are_source = False
     fused_materials = False
     shade_fused_mid = False
@@ -1588,6 +1710,21 @@ def forward_frame(
             # material id as a flat table lane; no ids payload at all
             ids_payload = None
             mat_flat = scene.tri_material[:, None].astype(jnp.float32)
+            if clip_overflow is not None:
+                # compacted secondaries break the slot%T source identity:
+                # carry the source id as one more flat lane instead (the
+                # [T] identity column gathers through vary_src=clip_src in
+                # the table build, so the winner lane IS clip_src[slot];
+                # exact in f32 for T < 2^24)
+                mat_flat = jnp.concatenate(
+                    [
+                        mat_flat,
+                        jnp.arange(
+                            layout.num_triangles, dtype=jnp.float32
+                        )[:, None],
+                    ],
+                    axis=-1,
+                )
         elif pack_ok:
             # id payload = source_tri | material_id << src_bits (exact:
             # src_bits + mat_bits <= 24); unpacked right after the raster
@@ -1651,7 +1788,20 @@ def forward_frame(
                 )
             ),
         )
-        if arith_src:
+        if arith_src and clip_overflow is not None:
+            # compacted secondaries: material id at flat lane -2, source
+            # id at the trailing lane (both exact winner-selected ints)
+            mat_id_img = jnp.where(
+                vis.tri_id >= 0, varying_img[..., -2].astype(jnp.int32), 0
+            )
+            vis = vis.replace(
+                tri_id=jnp.where(
+                    vis.tri_id >= 0,
+                    varying_img[..., -1].astype(jnp.int32),
+                    vis.tri_id,
+                )
+            )
+        elif arith_src:
             # winner slot -> (source triangle, material id): src is slot
             # mod T by clip construction; the material id is the trailing
             # flat lane (exact winner-selected int)
@@ -1712,6 +1862,7 @@ def forward_frame(
             # interleaved rows — the load-balanced multi-chip sharding
             y_offset, out_h = band[0], band[1]
             y_stride = band[2] if len(band) > 2 else 1
+            y_pair = len(band) > 3 and bool(band[3])
         else:
             y_offset, out_h, y_stride = 0, height, 1
         if (
@@ -1736,6 +1887,7 @@ def forward_frame(
                     setup, out_h, width, pipeline,
                     depth_init=band_dinit,
                     y_offset=y_offset, y_stride=y_stride,
+                    y_pair=y_pair,
                     small_limit=bin_small_limit,
                 )
             else:
@@ -1744,6 +1896,7 @@ def forward_frame(
                     cap=_binned_cap(n_raster_tris, height, width),
                     depth_init=band_dinit,
                     y_offset=y_offset, y_stride=y_stride,
+                    y_pair=y_pair,
                     small_limit=bin_small_limit,
                 )
         else:
@@ -1751,6 +1904,7 @@ def forward_frame(
             vis = rasterize(
                 setup, out_h, width, pipeline, y_offset=y_offset,
                 coverage_fn=coverage_fn, y_stride=y_stride,
+                y_pair=y_pair,
                 depth_init=(
                     None if depth_clear == 1.0
                     else jnp.full((out_h, width), depth_clear, jnp.float32)
@@ -1787,6 +1941,7 @@ def forward_frame(
         sky_dirs = pixel_ray_directions(
             inv_vp, out_h, width, y_offset, height,
             y_stride if band is not None else 1,
+            y_pair=y_pair,
         )
 
     color, sky_rgb = _shade_pixels(
@@ -1823,6 +1978,7 @@ def forward_frame(
             y_offset=y_offset,
             full_height=height,
             y_stride=y_stride if band is not None else 1,
+            y_pair=y_pair,
         )
 
     if tonemap != "none":
@@ -1841,7 +1997,14 @@ def forward_frame(
                     peel_exhausted
                     if peel_exhausted is not None
                     else jnp.int32(0)
-                )
+                ),
+                # near-clip secondary halves beyond the compaction cap
+                # (RENDERER_CLIP_COMPACT; dropped clipped halves)
+                "clip_overflow": (
+                    clip_overflow
+                    if clip_overflow is not None
+                    else jnp.int32(0)
+                ),
             },
         )
     return outs if len(outs) > 1 else out

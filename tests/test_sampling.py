@@ -332,7 +332,11 @@ def test_material_atlas_tri_matches_two_gather():
         for j, ch in enumerate(_SLOT_CHANNELS[slot]):
             a = np.asarray(exact[..., 4 * slot + ch])
             b = np.asarray(got[..., pos[slot] + j])
-            np.testing.assert_allclose(b, a, atol=3e-2, err_msg=f"slot {slot} ch {ch}")
+            # bound = bf16 quantization + parent-resample smoothing; 4e-2
+            # covers the worst random-UV pixel under quad-shared LOD (r4:
+            # quad derivatives can shift a pixel's mip pick vs per-pixel
+            # forward differences, max observed 0.0344)
+            np.testing.assert_allclose(b, a, atol=4e-2, err_msg=f"slot {slot} ch {ch}")
 
 
 def test_material_atlas_tri_exact_at_integer_lod():
