@@ -237,6 +237,18 @@ if which in ("all", "postbar"):
     del os.environ["RENDERER_BARRIER"]
     print("postbar", res["postbar"], flush=True)
 
+if which in ("all", "postbar_mat"):
+    os.environ["RENDERER_BARRIER"] = "mat"
+    res["postbar_mat"] = bench(frame_fn)
+    del os.environ["RENDERER_BARRIER"]
+    print("postbar_mat", res["postbar_mat"], flush=True)
+
+if which in ("all", "postbar_cube"):
+    os.environ["RENDERER_BARRIER"] = "cube"
+    res["postbar_cube"] = bench(frame_fn)
+    del os.environ["RENDERER_BARRIER"]
+    print("postbar_cube", res["postbar_cube"], flush=True)
+
 if which in ("all", "pcfhalf"):
     # half-res shadow term (quarter the PCF stack's gather indexes,
     # bilinear-upsample the scalar lit factor) — quality-gated knob
@@ -271,6 +283,43 @@ if which in ("all", "triplanes"):
     res["triplanes"] = bench(frame_fn)
     del os.environ["RENDERER_TRI_PLANES"]
     print("triplanes", res["triplanes"], flush=True)
+
+if which in ("all", "fusechunk16"):
+    os.environ["RENDERER_FUSE_CHUNK"] = "16"
+    res["fusechunk16"] = bench(frame_fn)
+    del os.environ["RENDERER_FUSE_CHUNK"]
+    print("fusechunk16", res["fusechunk16"], flush=True)
+
+if which in ("all", "shcombo"):
+    # shadow tile16 + sub16 together (today's sweep winners)
+    os.environ["RENDERER_SHADOW_TILE_H"] = "16"
+    os.environ["RENDERER_SHADOW_SUB_H"] = "16"
+    res["shcombo"] = bench(frame_fn)
+    del os.environ["RENDERER_SHADOW_TILE_H"], os.environ["RENDERER_SHADOW_SUB_H"]
+    print("shcombo", res["shcombo"], flush=True)
+
+if which in ("all", "capbig1024"):
+    # smaller big-class cap (both passes): shrinks the fused-key sort;
+    # overflow telemetry guards correctness (2026-08-20 shadow sweep:
+    # cap1024 7.87 vs default ~10 ms shadow-pass time)
+    os.environ["RENDERER_CAP_BIG"] = "1024"
+    res["capbig1024"] = bench(frame_fn)
+    del os.environ["RENDERER_CAP_BIG"]
+    print("capbig1024", res["capbig1024"], flush=True)
+
+if which in ("all", "shtile16"):
+    os.environ["RENDERER_SHADOW_TILE_H"] = "16"
+    res["shtile16"] = bench(frame_fn)
+    del os.environ["RENDERER_SHADOW_TILE_H"]
+    print("shtile16", res["shtile16"], flush=True)
+
+if which in ("all", "lightyhalf"):
+    # unified half-rate lighting: sun (PCF x Cook-Torrance) + IBL ambient
+    # on even rows, albedo/AO detail full-rate (pbr_direct_split)
+    os.environ["RENDERER_LIGHT_RES"] = "yhalf"
+    res["lightyhalf"] = bench(frame_fn)
+    del os.environ["RENDERER_LIGHT_RES"]
+    print("lightyhalf", res["lightyhalf"], flush=True)
 
 if which in ("all", "cubeyhalf"):
     # y-half prefiltered-radiance fetch with id-aware odd-row reconstruct

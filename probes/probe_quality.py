@@ -80,6 +80,7 @@ variants = {
     "pcfhalf": dict(env={"RENDERER_PCF_RES": "half"}),
     "pcfyhalf": dict(env={"RENDERER_PCF_RES": "yhalf"}),
     "cubeyhalf": dict(env={"RENDERER_CUBE_RES": "yhalf"}),
+    "lightyhalf": dict(env={"RENDERER_LIGHT_RES": "yhalf"}),
 }
 env_ = scene.environment
 if env_ is not None and env_.atlas_tri is not None:

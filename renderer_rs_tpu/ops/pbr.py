@@ -127,6 +127,73 @@ def pbr_direct(
     return (kd * mat.albedo / PI + specular) * radiance * ndotl[..., None]
 
 
+def pbr_direct_split(
+    n: jnp.ndarray,
+    v: jnp.ndarray,
+    l: jnp.ndarray,
+    radiance: jnp.ndarray,
+    albedo: jnp.ndarray,
+    metallic: jnp.ndarray,
+    roughness: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """pbr_direct factored into albedo-linear form: returns
+    (diff_coef, spec) with pbr_direct == albedo * diff_coef + spec.
+
+    diff_coef = kd/π · radiance · NdotL   (the albedo multiplier)
+    spec      = DGF/(4·NdotV·NdotL) · radiance · NdotL
+
+    The half-rate lighting path (renderer/passes) evaluates BOTH at
+    reduced rate and multiplies the full-rate albedo in at composite
+    time, preserving texture detail in the diffuse term. Note spec still
+    references albedo through F0 = lerp(0.04, albedo, metallic) — metal
+    tint detail rides at the reduced rate (quality-gated)."""
+    r = roughness
+    m = metallic[..., None] if metallic.ndim < n.ndim else metallic
+
+    h = normalize(v + l)
+    f0 = calculate_f0(albedo, m)
+
+    ndf = distribution_ggx(n, h, r)
+    g = geometry_smith(n, v, l, r)
+    f = fresnel_schlick(dot(h, v), f0)
+
+    kd = (1.0 - f) * (1.0 - m)
+
+    ndotv = jnp.maximum(dot(n, v)[..., 0], 0.0)
+    ndotl = jnp.maximum(dot(n, l)[..., 0], 0.0)
+    numerator = (ndf * g)[..., None] * f
+    denominator = 4.0 * ndotv * ndotl + EPSILON
+    specular = numerator / denominator[..., None]
+
+    rl = radiance * ndotl[..., None]
+    return kd / PI * rl, specular * rl
+
+
+def calculate_ibl_fast_split(
+    n: jnp.ndarray,
+    v: jnp.ndarray,
+    albedo: jnp.ndarray,
+    metallic: jnp.ndarray,
+    roughness: jnp.ndarray,
+    irradiance_sh: jnp.ndarray,
+    prefiltered: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """calculate_ibl_fast factored pre-albedo/pre-ao: returns
+    (diff_coef, spec) with ibl_fast == (albedo*diff_coef + spec) * ao."""
+    from renderer_rs_tpu.ops.ibl import sh9_eval
+
+    m = metallic[..., None] if metallic.ndim < n.ndim else metallic
+    f0 = calculate_f0(albedo, m)
+    ndotv = jnp.maximum(dot(n, v)[..., 0], 0.0)
+    f = fresnel_schlick_roughness(ndotv[..., None], f0, roughness[..., None])
+    kd = (1.0 - f) * (1.0 - m)
+
+    diff_coef = kd * sh9_eval(irradiance_sh, n)
+    scale, bias = env_brdf_approx(ndotv, roughness)
+    spec = prefiltered * (f0 * scale[..., None] + bias[..., None])
+    return diff_coef, spec
+
+
 def calculate_ibl(
     n: jnp.ndarray,
     v: jnp.ndarray,

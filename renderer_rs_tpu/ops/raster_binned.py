@@ -397,21 +397,23 @@ def bin_triangles_compact(
             f"(bin_triangles degrades to a two-key lexsort) or use larger "
             f"tiles"
         )
-    # small class: direct [sl, 2, 2] expansion (the common case)
-    sy = jnp.arange(2, dtype=jnp.int32)
-    sx = jnp.arange(2, dtype=jnp.int32)
-    bys = ty0[:sl, None, None] + sy[None, :, None]
-    bxs = tx0[:sl, None, None] + sx[None, None, :]
-    ok = (
-        small[:sl, None, None]
-        & (bys <= ty1[:sl, None, None])
-        & (bxs <= tx1[:sl, None, None])
-    )
-    bins_s = bys * nbx + bxs
-    tri_s = jnp.broadcast_to(idx[:sl, None, None], ok.shape)
-    keys_small = jnp.where(
-        ok, bins_s * (t + 1) + tri_s, n_bins * (t + 1) + t
-    ).reshape(-1)
+    # small class: 4-slot expansion as four FLAT [sl] planes. The former
+    # [sl,2,2] array form lowered to T(2,128)-tiled ops (2-sublane tiles —
+    # r4 trace: 2.0 ms/frame for 1.5 MB of payload across fwd+shadow);
+    # flat planes stay fully laned. The concatenated slot order differs
+    # from the [sl,2,2] reshape, but keys are unique per (bin, tri) and
+    # globally sorted right after — bit-identical downstream.
+    pad_key = n_bins * (t + 1) + t
+    ks = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            by = ty0[:sl] + dy
+            bx = tx0[:sl] + dx
+            ok1 = small[:sl] & (by <= ty1[:sl]) & (bx <= tx1[:sl])
+            ks.append(
+                jnp.where(ok1, (by * nbx + bx) * (t + 1) + idx[:sl], pad_key)
+            )
+    keys_small = jnp.concatenate(ks)
 
     kb = min(cap_big, t)
     big_ids = -jax.lax.top_k(-jnp.where(big, idx, t), kb)[0]

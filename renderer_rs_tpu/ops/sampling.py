@@ -34,30 +34,34 @@ def _once(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.optimization_barrier((x,))[0]
 
 
-def _barrier_post() -> bool:
-    """RENDERER_BARRIER=post moves the flagship fetches' barrier from the
-    raw gather to the BLENDED result: under matmul blend the taps have a
+def _barrier_post(which: str = "post") -> bool:
+    """RENDERER_BARRIER moves a flagship fetch's barrier from the raw
+    gather to the BLENDED result: under matmul blend the taps have a
     single consumer chain (weight multiply -> selection matmul), so the
     no-refetch guarantee holds with the barrier after the blend — and the
     gather's {2,1,0} output no longer needs the whole-frame {1,2,0} copy
     the pre-blend barrier pins (probe_trace copy.826 1.6 + copy.840 2.0
-    ms). A/B knob; frame-measured before defaulting. Inert under the
+    ms). Values: "post" (both tables), "mat" (material atlas only),
+    "cube" (cube atlas only). Measured r4: standalone post won 1.6 ms but
+    LOST ~5 under clip compaction — default stays pre; the granular
+    values probe which table's copy is separable. Inert under the
     "slice" blend (multi-consumer taps — the barrier must stay on the
     gather there)."""
     import os
 
+    v = os.environ.get("RENDERER_BARRIER", "pre")
     return (
-        os.environ.get("RENDERER_BARRIER", "pre") == "post"
+        (v == "post" or v == which)
         and _blend_mode() != "slice"
     )
 
 
-def _once_pre(x: jnp.ndarray) -> jnp.ndarray:
-    return x if _barrier_post() else _once(x)
+def _once_pre(x: jnp.ndarray, which: str = "post") -> jnp.ndarray:
+    return x if _barrier_post(which) else _once(x)
 
 
-def _once_post(x: jnp.ndarray) -> jnp.ndarray:
-    return _once(x) if _barrier_post() else x
+def _once_post(x: jnp.ndarray, which: str = "post") -> jnp.ndarray:
+    return _once(x) if _barrier_post(which) else x
 
 
 def upsample2x_y_idaware(
@@ -1024,7 +1028,7 @@ def cube_trilinear_fetch(
         if plan is None:
             plan = cube_trilinear_plan(offsets, sizes, lo_level, face, uv)
         idx, fx, fy, fxh, fyh, jx, jy = plan
-        taps = _once_pre(atlas13[idx])
+        taps = _once_pre(atlas13[idx], "cube")
     else:
         s = sizes[lo_level].astype(jnp.float32)
         si = sizes[lo_level]
@@ -1051,11 +1055,13 @@ def cube_trilinear_fetch(
         jx = jnp.where(jnp.clip(x0h, 0, sh - 1) < x0c // 2, 0, 1)
         jy = jnp.where(jnp.clip(y0h, 0, sh - 1) < y0c // 2, 0, 1)
         idx = offsets[lo_level] + (face * si + y0c) * si + x0c
-        taps = _once_pre(atlas13[idx])  # [..., 13C]
+        taps = _once_pre(atlas13[idx], "cube")  # [..., 13C]
 
     # RENDERER_BARRIER=post: taps were NOT barriered above (single consumer
     # chain under the matmul blend) — pin the blended result instead.
-    return _once_post(cube_trilinear_blend(taps, fx, fy, fxh, fyh, jx, jy, frac, c))
+    return _once_post(
+        cube_trilinear_blend(taps, fx, fy, fxh, fyh, jx, jy, frac, c), "cube"
+    )
 
 
 def cube_trilinear_blend(taps, fx, fy, fxh, fyh, jx, jy, frac, c):
@@ -1290,7 +1296,7 @@ def sample_material_atlas_tri(
                 idx = jnp.where(sel, idx_l, idx)
                 fx = jnp.where(sel[..., None], fx_l, fx)
                 fy = jnp.where(sel[..., None], fy_l, fy)
-    taps = _once_pre(atlas[idx])  # [..., 8C] bf16 — THE one gather
+    taps = _once_pre(atlas[idx], "mat")  # [..., 8C] bf16 — THE one gather
     mode = _blend_mode()
     if mode != "slice":
         # fold the child/parent lerp into the per-window weights: ONE
@@ -1305,7 +1311,7 @@ def sample_material_atlas_tri(
         w11 = fx * fy
         ws = [w00 * lo, w10 * lo, w01 * lo, w11 * lo,
               w00 * hi, w10 * hi, w01 * hi, w11 * hi]
-        return _once_post(_weighted_lane_reduce(taps_f, ws, c, mode))
+        return _once_post(_weighted_lane_reduce(taps_f, ws, c, mode), "mat")
     f_lo = _blend_window(taps[..., : 4 * c].astype(jnp.float32), fx, fy, c)
     f_hi = _blend_window(taps[..., 4 * c :].astype(jnp.float32), fx, fy, c)
     return f_lo * (1.0 - frac[..., None]) + f_hi * frac[..., None]

@@ -1006,6 +1006,77 @@ def _shade_pixels(
                 if _os2.environ.get("RENDERER_DYNAMIC_MIP") == "1":
                     seg_offs = env.atlas_offsets
                     seg_sizes = env.atlas_sizes
+                light_half = (
+                    _os2.environ.get("RENDERER_LIGHT_RES", "full")
+                    == "yhalf"
+                    and full_rows
+                    and lo_l.ndim == 2
+                    and lo_l.shape[0] >= 128
+                    and splan is None
+                    and layout.has_shadow
+                    and not layout.has_csm
+                    and shadow_map is not None
+                    and env.atlas_tri is not None
+                    and lights.point_position.shape[0] == 0
+                    and lights.spot_position.shape[0] == 0
+                )
+                if light_half:
+                    # Unified half-rate LIGHTING block (gated, r4): the
+                    # sun term (PCF shadow x Cook-Torrance) and the IBL
+                    # ambient evaluate on even rows only, factored
+                    # albedo-linear (ops/pbr.pbr_direct_split /
+                    # calculate_ibl_fast_split) so the FULL-RATE albedo
+                    # and AO texture detail multiply in at composite
+                    # time; odd rows reconstruct id-awarely. The
+                    # full-rate shadow/sun computed above become dead
+                    # code (XLA DCE) — engagement requires an empty
+                    # point/spot bank so `lo` carries only the sun term.
+                    from renderer_rs_tpu.ops.sampling import (
+                        cube_trilinear_fetch,
+                        upsample2x_y_idaware,
+                    )
+
+                    h_full = lo_l.shape[0]
+                    n_h = normal[::2]
+                    v_h = view_dir[::2]
+                    wp_h = world_pos[::2]
+                    alb_h = albedo[::2]
+                    met_h = metallic[::2]
+                    rgh_h = mat.roughness[::2]
+                    spec_sky_h = cube_trilinear_fetch(
+                        env.atlas_tri, seg_offs, seg_sizes,
+                        lo_l[::2], frac[::2], face[::2], uv_c[::2], c,
+                    )[..., :3]
+                    sun_b = jnp.broadcast_to(sun_dir, wp_h.shape)
+                    sh_h = calculate_shadow(
+                        shadow_map, scene.light_space_matrix, wp_h, n_h,
+                        sun_b, shadow_params,
+                    )[..., None]
+                    d_sun, s_sun = pbr_ops.pbr_direct_split(
+                        n_h, v_h, sun_b, sun_radiance, alb_h, met_h, rgh_h
+                    )
+                    d_ibl, s_ibl = pbr_ops.calculate_ibl_fast_split(
+                        n_h, v_h, alb_h, met_h, rgh_h,
+                        env.irradiance_sh, spec_sky_h,
+                    )
+
+                    def up(x):
+                        return upsample2x_y_idaware(x, vis.tri_id, h_full)
+
+                    aof = ao[..., None]
+                    rgb = (
+                        albedo * (up(sh_h * d_sun) + up(d_ibl) * aof)
+                        + up(sh_h * s_sun)
+                        + up(s_ibl) * aof
+                        + emissive
+                    )
+                    sky_rgb = up(spec_sky_h)
+                    return (
+                        jnp.concatenate(
+                            [rgb, base_color[..., 3:4]], axis=-1
+                        ),
+                        sky_rgb,
+                    )
                 if splan is not None:
                     # MERGED gather: the PCF window row and the cube
                     # trilinear row ride ONE gather from a shared padded

@@ -149,9 +149,11 @@ def test_peeled_pallas_branch_matches_xla_branch(monkeypatch):
     assert np.isfinite(pallas).all()
     # fused in-kernel varying interpolation vs the XLA branch's deferred
     # interpolation are different fp arithmetic: covered pixels agree to
-    # tolerance, not bit-exactly; only cutoff-boundary texels may flip
+    # tolerance, not bit-exactly; cutoff-boundary texels may flip, and
+    # quad-shared LOD (r4) lets a ~1-ulp uv delta flip a boundary quad's
+    # mip pick (2 pixels at a time — hence the 1% allowance)
     mismatch = np.mean(np.any(np.abs(pallas - xla) > 2e-3, axis=-1))
-    assert mismatch < 0.005, f"pallas vs xla peel mismatch frac {mismatch:.4f}"
+    assert mismatch < 0.01, f"pallas vs xla peel mismatch frac {mismatch:.4f}"
 
 
 def test_peel_exhaustion_telemetry():

@@ -158,13 +158,20 @@ def test_msaa_sharded_matches_single_chip(small_scene):
     np.testing.assert_array_equal(resolved[1], ref)
 
 
-def test_sharded_flagship_ibl_csm_matches_single_device():
+def test_sharded_flagship_ibl_csm_matches_single_device(monkeypatch):
     """The FLAGSHIP shading combination survives sharding (VERDICT r3 item
     4): textured PBR + full IBL ambient + 4-cascade CSM + skybox + ACES
     (≙ model_pbr_ibl_csm.hlsl:118-292) renders bit-identically over the
-    8-device mesh with interleaved load-balanced rows at 128x128."""
+    8-device mesh with interleaved load-balanced rows at 128x128.
+
+    The y-half accelerations (PCF / cube radiance) are FULL-FRAME-only
+    knobs — band shards keep exact per-pixel semantics by design — so the
+    comparison pins the exact modes on both sides."""
     from renderer_rs_tpu.app.scenes import full_scene
     from renderer_rs_tpu.parallel.tile_shard import unshard_rows
+
+    monkeypatch.setenv("RENDERER_CUBE_RES", "full")
+    monkeypatch.setenv("RENDERER_PCF_RES", "full")
 
     w, h = 128, 128
     scene, layout, kwargs, _ = full_scene(

@@ -262,7 +262,14 @@ def test_fused_forward_frame_matches_deferred(monkeypatch):
     assert np.isfinite(out).all()
     # same rasterization (bit-identical visibility) -> shading differs only
     # by the varying interpolation order; tolerance covers fp reassociation
-    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+    # plus isolated mip-boundary flips: quad-shared LOD (r4) picks one mip
+    # per 2x2 quad from the EVEN pixel's uv difference, so a ~1-ulp uv
+    # delta between the kernel and deferred interpolation can flip a
+    # boundary quad's mip (bound = bf16 atlas + parent-smoothing delta)
+    err = np.abs(out - ref)
+    flipped = err > 2e-3 + 2e-3 * np.abs(ref)
+    assert flipped.mean() < 2e-3, f"{flipped.mean():.4%} pixels off"
+    assert err.max() < 0.05, f"max err {err.max()}"
 
 
 def test_fused_frame_ibl_matches_deferred(monkeypatch):
@@ -293,7 +300,12 @@ def test_fused_frame_ibl_matches_deferred(monkeypatch):
     monkeypatch.setattr(passes, "_use_pallas", lambda: True)
     out = frame()
     assert np.isfinite(out).all()
-    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+    # fp-reassociation tolerance + isolated quad-LOD mip-boundary flips
+    # (see test_fused_forward_frame_matches_deferred)
+    _err = np.abs(out - ref)
+    _flipped = _err > 2e-3 + 2e-3 * np.abs(ref)
+    assert _flipped.mean() < 2e-3, f"{_flipped.mean():.4%} pixels off"
+    assert _err.max() < 0.05, f"max err {_err.max()}"
 
 
 def test_fused_frame_csm_matches_deferred(monkeypatch):
@@ -323,7 +335,12 @@ def test_fused_frame_csm_matches_deferred(monkeypatch):
     monkeypatch.setattr(passes, "_use_pallas", lambda: True)
     out = frame()
     assert np.isfinite(out).all()
-    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+    # fp-reassociation tolerance + isolated quad-LOD mip-boundary flips
+    # (see test_fused_forward_frame_matches_deferred)
+    _err = np.abs(out - ref)
+    _flipped = _err > 2e-3 + 2e-3 * np.abs(ref)
+    assert _flipped.mean() < 2e-3, f"{_flipped.mean():.4%} pixels off"
+    assert _err.max() < 0.05, f"max err {_err.max()}"
 
 
 def test_fused_frame_arith_src_matches_packed_ids(monkeypatch):
@@ -592,7 +609,12 @@ def test_fused_frame_kernel_defer_matches(monkeypatch):
     monkeypatch.setenv("RENDERER_DEFER_VARY", "kernel")
     out = frame()
     assert np.isfinite(out).all()
-    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+    # fp-reassociation tolerance + isolated quad-LOD mip-boundary flips
+    # (see test_fused_forward_frame_matches_deferred)
+    _err = np.abs(out - ref)
+    _flipped = _err > 2e-3 + 2e-3 * np.abs(ref)
+    assert _flipped.mean() < 2e-3, f"{_flipped.mean():.4%} pixels off"
+    assert _err.max() < 0.05, f"max err {_err.max()}"
 
 
 def test_defer_tbl_einsum_matches_stack(monkeypatch):
