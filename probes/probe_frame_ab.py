@@ -313,6 +313,19 @@ if which in ("all", "shtile16"):
     del os.environ["RENDERER_SHADOW_TILE_H"]
     print("shtile16", res["shtile16"], flush=True)
 
+if which in ("all", "pcfyquarter"):
+    os.environ["RENDERER_PCF_RES"] = "yquarter"
+    res["pcfyquarter"] = bench(frame_fn)
+    del os.environ["RENDERER_PCF_RES"]
+    print("pcfyquarter", res["pcfyquarter"], flush=True)
+
+if which in ("all", "triplanes_shadow"):
+    # plane-form setup for the SHADOW pass only (no clip stage there)
+    os.environ["RENDERER_TRI_PLANES"] = "shadow"
+    res["triplanes_shadow"] = bench(frame_fn)
+    del os.environ["RENDERER_TRI_PLANES"]
+    print("triplanes_shadow", res["triplanes_shadow"], flush=True)
+
 if which in ("all", "lightyhalf"):
     # unified half-rate lighting: sun (PCF x Cook-Torrance) + IBL ambient
     # on even rows, albedo/AO detail full-rate (pbr_direct_split)

@@ -81,6 +81,7 @@ variants = {
     "pcfyhalf": dict(env={"RENDERER_PCF_RES": "yhalf"}),
     "cubeyhalf": dict(env={"RENDERER_CUBE_RES": "yhalf"}),
     "lightyhalf": dict(env={"RENDERER_LIGHT_RES": "yhalf"}),
+    "pcfyquarter": dict(env={"RENDERER_PCF_RES": "yquarter"}),
 }
 env_ = scene.environment
 if env_ is not None and env_.atlas_tri is not None:

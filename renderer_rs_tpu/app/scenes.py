@@ -247,10 +247,13 @@ def full_scene(
     cb = CommandBuffer().begin().bind_pipeline(pipeline).set_viewport(width, height)
     builder = SceneBuilder()
     tex_kw = {}
+    gltf_textured = bool(gltf) and textured
     if gltf:
         # the model's own texture table binds through add_model; an explicit
         # set_textures would shadow it (build() only auto-assembles the
-        # accumulated model images when set_textures was NOT called)
+        # accumulated model images when set_textures was NOT called).
+        # textured=True becomes the textured-override below: degenerate
+        # stripped model images are replaced with the procedural maps.
         textured = False
     if textured:
         # one shared 5-slot set; per-material FACTORS still vary across the
@@ -274,6 +277,33 @@ def full_scene(
         from renderer_rs_tpu.resources.model import Model
 
         model = Model.load(gltf)
+        if gltf_textured:
+            # textured-override (VERDICT r3 Missing 4): the snapshot strips
+            # the dancer's base/MR maps to 1x1 white
+            # (/root/reference/.MISSING_LARGE_BLOBS:2-3), which makes the
+            # true-glTF bench sample near-degenerate atlases for those
+            # slots. Substitute DEGENERATE (<=2px) model images with the
+            # procedural 256^2 maps of the matching slot so the glTF
+            # workload carries full texture-fetch cost; real images are
+            # kept untouched.
+            maps = meshgen.procedural_pbr_textures(256)
+            slot_map = {}
+            for m in model.materials or []:
+                for attr, name in (
+                    ("base_color_texture", "base_color"),
+                    ("normal_texture", "normal"),
+                    ("metallic_roughness_texture", "metallic_roughness"),
+                    ("occlusion_texture", "occlusion"),
+                    ("emissive_texture", "emissive"),
+                ):
+                    ti = getattr(m, attr)
+                    if ti is not None and ti >= 0:
+                        slot_map.setdefault(ti, name)
+            for ti, name in slot_map.items():
+                if ti < len(model.textures) and max(
+                    model.textures[ti].shape[:2]
+                ) <= 2:
+                    model.textures[ti] = np.asarray(maps[name], np.float32)
         n_inst = max(1, round(tri_budget / max(model.total_triangle_count(), 1)))
         scale = 2.4 / max(model.diagonal(), 1e-6)
         # feet on the floor: AABB min.y maps to y=0 (the plane)

@@ -240,6 +240,24 @@ def upsample2x_bilinear(s: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     return full.reshape(-1, width)[:height]
 
 
+def upsample4x_y(s: jnp.ndarray, height: int) -> jnp.ndarray:
+    """Vertical-only 4x upsample of a scalar field sampled at every 4th
+    row (s[i, :] is the value at full-res row 4i); edge-clamped linear in
+    y. Same sublane-only striding rule as upsample2x_y (the
+    RENDERER_PCF_RES=yquarter knob)."""
+    down = jnp.concatenate([s[1:], s[-1:]], axis=0)
+    full = jnp.stack(
+        [
+            s,
+            s + 0.25 * (down - s),
+            s + 0.5 * (down - s),
+            s + 0.75 * (down - s),
+        ],
+        axis=1,
+    )  # [h, 4, W]
+    return full.reshape(-1, s.shape[1])[:height]
+
+
 def upsample2x_y(s: jnp.ndarray, height: int) -> jnp.ndarray:
     """Vertical-only 2x upsample of a scalar field sampled at even rows
     (s[i, :] is the value at full-res row 2i); edge-clamped linear in y.

@@ -335,10 +335,13 @@ def _shadow_kernel_knobs() -> dict:
 
 def _shadow_setup(clip, tris, size):
     """Triangle setup for a depth-only pass; plane form when enabled
-    (RENDERER_TRI_PLANES — no [T,3,4] gather/reshape chain)."""
+    (RENDERER_TRI_PLANES=1 for both passes, =shadow for this pass only —
+    no [T,3,4] gather/reshape chain; the full-frame variant measured a
+    13 ms LOSS, the shadow pass has no clip stage so its plane form may
+    behave differently)."""
     import os as _os_sp
 
-    if _os_sp.environ.get("RENDERER_TRI_PLANES", "0") == "1":
+    if _os_sp.environ.get("RENDERER_TRI_PLANES", "shadow") in ("1", "shadow"):
         from renderer_rs_tpu.ops.raster import (
             gather_triangle_planes,
             setup_triangles_planes,
@@ -852,6 +855,30 @@ def _shade_pixels(
             shadow = upsample2x_bilinear(
                 s_h, world_pos.shape[0], world_pos.shape[1]
             )[..., None]
+        elif (
+            _os_mg.environ.get("RENDERER_PCF_RES", "yquarter") == "yquarter"
+            and full_rows
+            and world_pos.ndim == 3
+            and world_pos.shape[0] >= 256
+        ):
+            # y-quarter PCF (DEFAULT since r4 on frames >= 256 rows;
+            # yhalf takes over at 128-255, per-pixel below): same
+            # sublane-only striding as yhalf at 1/4 rate. Measured
+            # 44.5 -> 41.4 ms at 1080p/97k; probe_quality pcfyquarter
+            # accepts (mean 2.9e-4, p99 0.0 — penumbrae smooth over 4
+            # rows). RENDERER_PCF_RES=yhalf|full restores.
+            from renderer_rs_tpu.ops.shadow import upsample4x_y
+
+            wp_q = world_pos[::4]
+            s_q = calculate_shadow(
+                shadow_map,
+                scene.light_space_matrix,
+                wp_q,
+                normal[::4],
+                jnp.broadcast_to(sun_dir, wp_q.shape),
+                shadow_params,
+            )
+            shadow = upsample4x_y(s_q, world_pos.shape[0])[..., None]
         elif (
             _os_mg.environ.get("RENDERER_PCF_RES", "yhalf") == "yhalf"
             and full_rows
