@@ -313,6 +313,34 @@ if which in ("all", "shtile16"):
     del os.environ["RENDERER_SHADOW_TILE_H"]
     print("shtile16", res["shtile16"], flush=True)
 
+if which in ("all", "deferxla"):
+    # XLA-side defer resolve (RENDERER_DEFER_VARY=1) re-probe: the r3
+    # measurement (60.75 vs kernel 56.9) predates the r4 frame diet
+    os.environ["RENDERER_DEFER_VARY"] = "1"
+    res["deferxla"] = bench(frame_fn)
+    del os.environ["RENDERER_DEFER_VARY"]
+    print("deferxla", res["deferxla"], flush=True)
+
+if which in ("all", "fusesub32"):
+    os.environ["RENDERER_FUSE_SUB_H"] = "32"
+    res["fusesub32"] = bench(frame_fn)
+    del os.environ["RENDERER_FUSE_SUB_H"]
+    print("fusesub32", res["fusesub32"], flush=True)
+
+if which in ("all", "cubeyquarter"):
+    os.environ["RENDERER_CUBE_RES"] = "yquarter"
+    res["cubeyquarter"] = bench(frame_fn)
+    del os.environ["RENDERER_CUBE_RES"]
+    print("cubeyquarter", res["cubeyquarter"], flush=True)
+
+if which in ("all", "svworld2"):
+    # shadow vertex stage from forward world_pos — re-probe under the
+    # plane-form shadow setup default
+    os.environ["RENDERER_SHADOW_VSTAGE"] = "world"
+    res["svworld2"] = bench(frame_fn)
+    del os.environ["RENDERER_SHADOW_VSTAGE"]
+    print("svworld2", res["svworld2"], flush=True)
+
 if which in ("all", "pcfyquarter"):
     os.environ["RENDERER_PCF_RES"] = "yquarter"
     res["pcfyquarter"] = bench(frame_fn)

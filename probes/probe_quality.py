@@ -73,15 +73,21 @@ def render(env=None, scene_override=None):
                 os.environ[k] = v
 
 
-ref = render()
+# the reference pins the EXACT per-pixel modes: since r4 the DEFAULT env
+# ships the quality-gated rate reductions (PCF/cube y-quarter), so an
+# unpinned ref would measure variants against the fast path
+ref = render(env={"RENDERER_PCF_RES": "full", "RENDERER_CUBE_RES": "full"})
 res = {}
 variants = {
+    # the shipped default combo vs the exact reference
+    "defaults": dict(env={}),
     "bf16d": dict(env={"RENDERER_DEFER_DTYPE": "bf16"}),
     "pcfhalf": dict(env={"RENDERER_PCF_RES": "half"}),
     "pcfyhalf": dict(env={"RENDERER_PCF_RES": "yhalf"}),
     "cubeyhalf": dict(env={"RENDERER_CUBE_RES": "yhalf"}),
     "lightyhalf": dict(env={"RENDERER_LIGHT_RES": "yhalf"}),
     "pcfyquarter": dict(env={"RENDERER_PCF_RES": "yquarter"}),
+    "cubeyquarter": dict(env={"RENDERER_CUBE_RES": "yquarter"}),
 }
 env_ = scene.environment
 if env_ is not None and env_.atlas_tri is not None:

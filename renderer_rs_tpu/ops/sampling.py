@@ -64,39 +64,53 @@ def _once_post(x: jnp.ndarray, which: str = "post") -> jnp.ndarray:
     return _once(x) if _barrier_post(which) else x
 
 
+def upsample_y_idaware(
+    s: jnp.ndarray, tid: jnp.ndarray, height: int, factor: int
+) -> jnp.ndarray:
+    """Vertical `factor`x upsample of a field sampled at rows 0, factor,
+    2*factor, ... ([ceil(H/f),W,C]), guided by the FULL-RATE winner-id
+    image [H,W].
+
+    Sample rows copy s exactly. Each in-between row reconstructs from the
+    two bracketing sample rows EDGE-AWARELY: positional lerp when both
+    share the row's winner id (same surface — smooth interpolation), copy
+    the matching neighbor when only one does (silhouette — no ghosting
+    across the edge), lerp as a fallback when neither matches (a surface
+    thinner than `factor` rows; no correct sample exists). Sky pixels
+    participate via id -1, so sky/surface silhouettes resolve the same
+    way. All ops are row-plane elementwise + one sublane interleave (the
+    y-half/quarter rule: stride SUBLANES only, never lanes)."""
+    h2, w = s.shape[0], s.shape[1]
+    up = s  # sample row f*i
+    dn = jnp.concatenate([s[1:], s[-1:]], axis=0)  # sample row f*(i+1)
+    tid_s = tid[0::factor]
+    tid_dn = jnp.concatenate([tid_s[1:], tid_s[-1:]], axis=0)
+    rows = [up]
+    for m in range(1, factor):
+        t = m / factor
+        tid_m = tid[m::factor]
+        n_m = tid_m.shape[0]
+        m_up = (tid_m == tid_s[:n_m])[..., None]
+        m_dn = (tid_m == tid_dn[:n_m])[..., None]
+        lerp = up * (1.0 - t) + dn * t
+        val = jnp.where(
+            m_up & m_dn, lerp[:n_m],
+            jnp.where(
+                m_up, up[:n_m], jnp.where(m_dn, dn[:n_m], lerp[:n_m])
+            ),
+        )
+        if n_m < h2:
+            val = jnp.concatenate([val, up[n_m:]], axis=0)
+        rows.append(val)
+    full = jnp.stack(rows, axis=1).reshape(factor * h2, w, s.shape[-1])
+    return full[:height]
+
+
 def upsample2x_y_idaware(
     s: jnp.ndarray, tid: jnp.ndarray, height: int
 ) -> jnp.ndarray:
-    """Vertical 2x upsample of an even-row-sampled field [h/2,W,C], guided
-    by the FULL-RATE winner-id image [H,W].
-
-    Even output rows copy s exactly. Each odd row reconstructs from its
-    two adjacent even rows EDGE-AWARELY: average when both neighbors share
-    the odd pixel's winner id (same surface — smooth interpolation), copy
-    the matching neighbor when only one does (silhouette — no ghosting
-    across the edge), average as a fallback when neither matches (a
-    surface thinner than 2 rows; no correct sample exists). Sky pixels
-    participate via id -1, so sky/surface silhouettes resolve the same
-    way. All ops are row-plane elementwise + one sublane interleave (the
-    yhalf rule: stride SUBLANES only, never lanes)."""
-    h2, w = s.shape[0], s.shape[1]
-    up = s  # even row 2i
-    dn = jnp.concatenate([s[1:], s[-1:]], axis=0)  # even row 2i+2 (clamped)
-    tid_even = tid[0::2]
-    tid_odd = tid[1::2]
-    n_odd = tid_odd.shape[0]
-    tid_dn = jnp.concatenate([tid_even[1:], tid_even[-1:]], axis=0)
-    m_up = (tid_odd == tid_even[:n_odd])[..., None]
-    m_dn = (tid_odd == tid_dn[:n_odd])[..., None]
-    avg = 0.5 * (up + dn)
-    odd = jnp.where(
-        m_up & m_dn, avg[:n_odd],
-        jnp.where(m_up, up[:n_odd], jnp.where(m_dn, dn[:n_odd], avg[:n_odd])),
-    )
-    if n_odd < h2:
-        odd = jnp.concatenate([odd, up[n_odd:]], axis=0)
-    full = jnp.stack([up, odd], axis=1).reshape(2 * h2, w, s.shape[-1])
-    return full[:height]
+    """Vertical 2x id-aware upsample (see upsample_y_idaware)."""
+    return upsample_y_idaware(s, tid, height, 2)
 
 
 def _blend_mode() -> str:

@@ -880,7 +880,8 @@ def _shade_pixels(
             )
             shadow = upsample4x_y(s_q, world_pos.shape[0])[..., None]
         elif (
-            _os_mg.environ.get("RENDERER_PCF_RES", "yhalf") == "yhalf"
+            _os_mg.environ.get("RENDERER_PCF_RES", "yhalf")
+            in ("yhalf", "yquarter")
             and full_rows
             and world_pos.ndim == 3
             and world_pos.shape[0] >= 128
@@ -1150,9 +1151,33 @@ def _shade_pixels(
                     # ONE gather: child 2x2 + parent 3x3 ride the same row
                     from renderer_rs_tpu.ops.sampling import cube_trilinear_fetch
 
+                    _cube_res = _os2.environ.get("RENDERER_CUBE_RES", "yhalf")
                     if (
-                        _os2.environ.get("RENDERER_CUBE_RES", "yhalf")
-                        == "yhalf"
+                        _cube_res == "yquarter"
+                        and full_rows
+                        and lo_l.ndim == 2
+                        and lo_l.shape[0] >= 256
+                    ):
+                        # y-quarter radiance fetch (gated knob — NOT
+                        # default: it measured only −0.4 ms on top of
+                        # y-quarter PCF, and the COMBINED defaults drift
+                        # crossed the gate at p99 0.0115 vs the exact
+                        # reference; the shipped combo is PCF yquarter +
+                        # cube yhalf, p99-gated below 0.01): same
+                        # id-aware reconstruct at 1/4 rate.
+                        from renderer_rs_tpu.ops.sampling import (
+                            upsample_y_idaware,
+                        )
+
+                        spec_q = cube_trilinear_fetch(
+                            env.atlas_tri, seg_offs, seg_sizes,
+                            lo_l[::4], frac[::4], face[::4], uv_c[::4], c,
+                        )[..., :3]
+                        spec_sky = upsample_y_idaware(
+                            spec_q, vis.tri_id, lo_l.shape[0], 4
+                        )
+                    elif (
+                        _cube_res in ("yhalf", "yquarter")
                         and full_rows
                         and lo_l.ndim == 2
                         and lo_l.shape[0] >= 128
@@ -1879,6 +1904,7 @@ def forward_frame(
             # bigger chunks cost vreg pressure in the main loop; the
             # transposed slab lane-pads to 128 either way).
             defer_varyings="kernel" if defer_kernel else defer_on,
+            sub_h=int(_os_fm.environ.get("RENDERER_FUSE_SUB_H", "16")),
             defer_dtype=defer_dtype,
             chunk=int(
                 _os_fm.environ.get(
