@@ -607,3 +607,46 @@ def test_fetch_flat_matches_image_form(monkeypatch):
     monkeypatch.setenv("RENDERER_FETCH_FLAT", "1")
     flat = render()
     np.testing.assert_array_equal(flat, ref)
+
+
+def test_upsample_y_idaware_edges_and_lerp():
+    """Id-aware vertical upsample: same-surface rows lerp positionally,
+    silhouette rows copy the matching neighbor, orphan rows fall back to
+    the lerp (ops/sampling.upsample_y_idaware)."""
+    import jax.numpy as jnp
+
+    from renderer_rs_tpu.ops.sampling import upsample_y_idaware
+
+    w = 4
+    # samples at rows 0,2,4 (factor 2); values 0, 10, 20
+    s = jnp.stack(
+        [jnp.full((w, 3), v, jnp.float32) for v in (0.0, 10.0, 20.0)]
+    )
+    # tid: rows 0-2 surface A(=1); row 3 surface B(=2); rows 4-5 A again
+    tid = jnp.asarray(
+        [[1] * w, [1] * w, [1] * w, [2] * w, [1] * w, [1] * w], jnp.int32
+    )
+    out = np.asarray(upsample_y_idaware(s, tid, 6, 2))
+    np.testing.assert_allclose(out[0], 0.0)  # sample rows copy exactly
+    np.testing.assert_allclose(out[2], 10.0)
+    np.testing.assert_allclose(out[4], 20.0)
+    # row 1: tid matches both neighbors (A) -> lerp 0..10 at t=0.5
+    np.testing.assert_allclose(out[1], 5.0)
+    # row 3: tid B matches NEITHER sample row (10 and 20 are A) -> lerp
+    # fallback (no correct sample exists for a 1-row surface)
+    np.testing.assert_allclose(out[3], 15.0)
+
+    # silhouette: odd row's tid matches only the LOWER sample -> copies it
+    tid2 = jnp.asarray(
+        [[1] * w, [7] * w, [7] * w, [7] * w, [7] * w, [7] * w], jnp.int32
+    )
+    out2 = np.asarray(upsample_y_idaware(s, tid2, 6, 2))
+    np.testing.assert_allclose(out2[1], 10.0)  # copies row-2 sample (tid 7)
+
+    # factor 4: rows 1..3 lerp quarters between samples 0 and 10
+    s4 = jnp.stack([jnp.full((w, 1), v, jnp.float32) for v in (0.0, 10.0)])
+    tid4 = jnp.ones((8, w), jnp.int32)
+    out4 = np.asarray(upsample_y_idaware(s4, tid4, 8, 4))
+    np.testing.assert_allclose(out4[1][:, 0], 2.5)
+    np.testing.assert_allclose(out4[2][:, 0], 5.0)
+    np.testing.assert_allclose(out4[3][:, 0], 7.5)
