@@ -287,7 +287,12 @@ def full_scene(
             # workload carries full texture-fetch cost; real images are
             # kept untouched.
             maps = meshgen.procedural_pbr_textures(256)
-            slot_map = {}
+            # Per (material, slot): a DEGENERATE texture is replaced by the
+            # procedural map of THAT slot. A stripped image shared by two
+            # slots gets one dedicated replacement per slot (appended to
+            # the model's table and the material repointed) — substituting
+            # a single shared index would feed one slot the wrong map.
+            repl: dict = {}  # slot name -> texture index of its replacement
             for m in model.materials or []:
                 for attr, name in (
                     ("base_color_texture", "base_color"),
@@ -297,13 +302,19 @@ def full_scene(
                     ("emissive_texture", "emissive"),
                 ):
                     ti = getattr(m, attr)
-                    if ti is not None and ti >= 0:
-                        slot_map.setdefault(ti, name)
-            for ti, name in slot_map.items():
-                if ti < len(model.textures) and max(
-                    model.textures[ti].shape[:2]
-                ) <= 2:
-                    model.textures[ti] = np.asarray(maps[name], np.float32)
+                    if (
+                        ti is None
+                        or ti < 0
+                        or ti >= len(model.textures)
+                        or max(model.textures[ti].shape[:2]) > 2
+                    ):
+                        continue
+                    if name not in repl:
+                        model.textures.append(
+                            np.asarray(maps[name], np.float32)
+                        )
+                        repl[name] = len(model.textures) - 1
+                    setattr(m, attr, repl[name])
         n_inst = max(1, round(tri_budget / max(model.total_triangle_count(), 1)))
         scale = 2.4 / max(model.diagonal(), 1e-6)
         # feet on the floor: AABB min.y maps to y=0 (the plane)

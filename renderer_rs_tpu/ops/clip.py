@@ -102,22 +102,32 @@ def compact_secondary(
     secondaries beyond `cap` (those drop — a hole at the near plane;
     surface the counter, size the cap generously).
     """
-    t = tri_clip2.shape[0] // 2
+    (out_clip,), valid, src, planes, overflow = _compact_core(
+        [tri_clip2], valid2, src2, planes2, cap
+    )
+    return out_clip, valid, src, planes, overflow
+
+
+def _compact_core(arrays, valid2, src2, planes2, cap):
+    """Shared compaction core: stable valid-first ordering of the
+    secondary half, per-array [primary | gathered-secondary] concat,
+    overflow count. `arrays` is any list of [2T,...]-leading arrays."""
+    t = valid2.shape[0] // 2
     cap = min(cap, t)
     sec_valid = valid2[t:]
     order = jnp.argsort(~sec_valid, stable=True)[:cap].astype(jnp.int32)
     keep = sec_valid[order]
-    out_clip = jnp.concatenate([tri_clip2[:t], tri_clip2[t + order]], axis=0)
+
+    def cc(x):
+        return jnp.concatenate([x[:t], x[t + order]], axis=0)
+
     out_valid = jnp.concatenate([valid2[:t], keep])
     out_src = jnp.concatenate([src2[:t], order])
-    out_planes = tuple(
-        tuple(jnp.concatenate([p[:t], p[t + order]]) for p in row)
-        for row in planes2
-    )
+    out_planes = tuple(tuple(cc(p) for p in row) for row in planes2)
     overflow = jnp.maximum(
         jnp.sum(sec_valid.astype(jnp.int32)) - jnp.int32(cap), 0
     )
-    return out_clip, out_valid, out_src, out_planes, overflow
+    return [cc(a) for a in arrays], out_valid, out_src, out_planes, overflow
 
 
 def clip_triangles_near_v(
@@ -162,22 +172,10 @@ def compact_secondary_v(
 ) -> tuple:
     """compact_secondary over the plane-form clip output (per-vertex
     [2T,4] rows instead of the [2T,3,4] array). Same slot semantics."""
-    t = a.shape[0] // 2
-    cap = min(cap, t)
-    sec_valid = valid2[t:]
-    order = jnp.argsort(~sec_valid, stable=True)[:cap].astype(jnp.int32)
-    keep = sec_valid[order]
-
-    def cc(x):
-        return jnp.concatenate([x[:t], x[t + order]], axis=0)
-
-    out_valid = jnp.concatenate([valid2[:t], keep])
-    out_src = jnp.concatenate([src2[:t], order])
-    out_planes = tuple(tuple(cc(p) for p in row) for row in planes2)
-    overflow = jnp.maximum(
-        jnp.sum(sec_valid.astype(jnp.int32)) - jnp.int32(cap), 0
+    outs, valid, src, planes, overflow = _compact_core(
+        [a, b, c], valid2, src2, planes2, cap
     )
-    return (cc(a), cc(b), cc(c)), out_valid, out_src, out_planes, overflow
+    return tuple(outs), valid, src, planes, overflow
 
 
 def _clip_core(v0, v1, v2, eps):

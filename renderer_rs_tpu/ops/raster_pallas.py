@@ -464,6 +464,28 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, 
 _THRESH_COLS = (4, 9, 14)  # per-edge coverage-threshold columns
 
 
+def _canonical_edge_cols(ax, ay, bx, by, s, valid):
+    """Per-edge canonical columns (cax, cay, sdx, sdy, thresh) — the ONE
+    home of the swap / sign-fold / top-left formulas for the block table
+    builds (shape-generic elementwise: the [T,3] array form and the flat
+    [T]-plane form call it with differently shaped operands and get
+    bit-identical values). Keep in sync with raster.py::_edge/_top_left
+    (CLAUDE.md architecture invariant)."""
+    swap = (ay > by) | ((ay == by) & (ax > bx))
+    cax = jnp.where(swap, bx, ax)
+    cay = jnp.where(swap, by, ay)
+    cbx = jnp.where(swap, ax, bx)
+    cby = jnp.where(swap, ay, by)
+    sgn = jnp.where(swap, -s, s)
+    dx = s * (bx - ax)
+    dy = s * (by - ay)
+    tl = (dy < 0.0) | ((dy == 0.0) & (dx > 0.0))
+    thresh = jnp.where(tl, 0.0, _COV_MIN_NORMAL).astype(jnp.float32)
+    if valid is not None:
+        thresh = jnp.where(valid, thresh, jnp.inf)
+    return cax, cay, sgn * (cbx - cax), sgn * (cby - cay), thresh
+
+
 def _canonical_edges_block(xy, s, valid=None):
     """_canonical_edges vectorized over the EDGE axis, returning one
     [T, 15] block (edge-major: ax, ay, sdx, sdy, thresh per edge — the
@@ -475,62 +497,30 @@ def _canonical_edges_block(xy, s, valid=None):
     # edge i is opposite vertex i: a = vertex (i+1)%3, b = vertex (i+2)%3
     a = jnp.roll(xy, -1, axis=1)  # [T,3,2]
     b = jnp.roll(xy, 1, axis=1)
-    ax, ay = a[..., 0], a[..., 1]  # [T,3]
-    bx, by = b[..., 0], b[..., 1]
-    swap = (ay > by) | ((ay == by) & (ax > bx))
-    cax = jnp.where(swap, bx, ax)
-    cay = jnp.where(swap, by, ay)
-    cbx = jnp.where(swap, ax, bx)
-    cby = jnp.where(swap, ay, by)
-    s3 = s[:, None]
-    sgn = jnp.where(swap, -s3, s3)
-    dx = s3 * (bx - ax)
-    dy = s3 * (by - ay)
-    tl = (dy < 0.0) | ((dy == 0.0) & (dx > 0.0))
-    thresh = jnp.where(tl, 0.0, _COV_MIN_NORMAL).astype(jnp.float32)
-    if valid is not None:
-        thresh = jnp.where(valid[:, None], thresh, jnp.inf)
-    e = jnp.stack(
-        [cax, cay, sgn * (cbx - cax), sgn * (cby - cay), thresh], axis=-1
-    )  # [T, 3, 5]
+    cols = _canonical_edge_cols(
+        a[..., 0], a[..., 1], b[..., 0], b[..., 1],
+        s[:, None], None if valid is None else valid[:, None],
+    )
+    e = jnp.stack(cols, axis=-1)  # [T, 3, 5]
     return e.reshape(xy.shape[0], 15)
 
 
 def _canonical_edges_block_planes(planes, s, valid=None):
     """_canonical_edges_block over flat per-vertex screen planes
-    ((sx0,sy0),(sx1,sy1),(sx2,sy2) — setup.planes). Identical formulas and
-    output layout; the [T,3,2] xy array and its roll relayouts never
-    materialize (r4 plane-form geometry)."""
+    ((sx0,sy0),(sx1,sy1),(sx2,sy2) — setup.planes). Identical formulas
+    (shared _canonical_edge_cols) and output layout; the [T,3,2] xy array
+    and its roll relayouts never materialize (r4 plane-form geometry)."""
     (x0, y0), (x1, y1), (x2, y2) = planes
     axs, ays = (x1, x2, x0), (y1, y2, y0)  # a = vertex (e+1)%3
     bxs, bys = (x2, x0, x1), (y2, y0, y1)  # b = vertex (e+2)%3
-    cax_l, cay_l, sdx_l, sdy_l, th_l = [], [], [], [], []
-    for e in range(3):
-        ax, ay, bx, by = axs[e], ays[e], bxs[e], bys[e]
-        swap = (ay > by) | ((ay == by) & (ax > bx))
-        cax = jnp.where(swap, bx, ax)
-        cay = jnp.where(swap, by, ay)
-        cbx = jnp.where(swap, ax, bx)
-        cby = jnp.where(swap, ay, by)
-        sgn = jnp.where(swap, -s, s)
-        dx = s * (bx - ax)
-        dy = s * (by - ay)
-        tl = (dy < 0.0) | ((dy == 0.0) & (dx > 0.0))
-        thresh = jnp.where(tl, 0.0, _COV_MIN_NORMAL).astype(jnp.float32)
-        if valid is not None:
-            thresh = jnp.where(valid, thresh, jnp.inf)
-        cax_l.append(cax)
-        cay_l.append(cay)
-        sdx_l.append(sgn * (cbx - cax))
-        sdy_l.append(sgn * (cby - cay))
-        th_l.append(thresh)
+    per_edge = [
+        _canonical_edge_cols(axs[e], ays[e], bxs[e], bys[e], s, valid)
+        for e in range(3)
+    ]
     e15 = jnp.stack(
         [
-            jnp.stack(cax_l, axis=-1),
-            jnp.stack(cay_l, axis=-1),
-            jnp.stack(sdx_l, axis=-1),
-            jnp.stack(sdy_l, axis=-1),
-            jnp.stack(th_l, axis=-1),
+            jnp.stack([per_edge[e][f] for e in range(3)], axis=-1)
+            for f in range(5)
         ],
         axis=-1,
     )  # [T,3,5]

@@ -246,7 +246,9 @@ def sample_lod(
     return out_lo * (1 - frac) + out_hi * frac
 
 
-def screen_space_lod(uv: jnp.ndarray, tex_h: int, tex_w: int) -> jnp.ndarray:
+def screen_space_lod(
+    uv: jnp.ndarray, tex_h: int, tex_w: int, y_parity=0
+) -> jnp.ndarray:
     """Per-pixel LOD from screen-space UV derivatives.
 
     uv: [H,W,2] (the interpolated UVs of the deferred shading pass).
@@ -260,6 +262,12 @@ def screen_space_lod(uv: jnp.ndarray, tex_h: int, tex_w: int) -> jnp.ndarray:
     per-pixel forward difference read the next row across the band edge
     (r4: the sharded-flagship mismatch localized to band-final rows).
     RENDERER_LOD=fwd restores the r3 forward-difference form.
+
+    y_parity: GLOBAL parity of this image's first row (0 or 1, may be
+    traced) — a contiguous band starting at an odd framebuffer row
+    passes 1 so its quad row-pairing matches the full-frame render for
+    every interior row (the band's boundary rows still clamp locally —
+    the same one-row residual the forward-difference form had).
     """
     import os
 
@@ -274,7 +282,9 @@ def screen_space_lod(uv: jnp.ndarray, tex_h: int, tex_w: int) -> jnp.ndarray:
         # quad share: odd pixels reuse the preceding even pixel's forward
         # difference (shift-by-one + parity select — no strided slicing)
         ex = jax.lax.broadcasted_iota(jnp.int32, uv.shape[:2], 1) % 2 == 0
-        ey = jax.lax.broadcasted_iota(jnp.int32, uv.shape[:2], 0) % 2 == 0
+        ey = (
+            jax.lax.broadcasted_iota(jnp.int32, uv.shape[:2], 0) + y_parity
+        ) % 2 == 0
         prev_x = jnp.concatenate([fwd_x[:, :1], fwd_x[:, :-1]], axis=1)
         prev_y = jnp.concatenate([fwd_y[:1], fwd_y[:-1]], axis=0)
         du_dx = jnp.where(ex[..., None], fwd_x, prev_x) * tex_w
@@ -287,13 +297,14 @@ def screen_space_lod(uv: jnp.ndarray, tex_h: int, tex_w: int) -> jnp.ndarray:
 
 
 def sample_textured(
-    mips: tuple, uv: jnp.ndarray, sampler: Sampler = Sampler()
+    mips: tuple, uv: jnp.ndarray, sampler: Sampler = Sampler(), y_parity=0
 ) -> jnp.ndarray:
     """Full Texture2D.Sample for the deferred pass: implicit LOD from screen
-    derivatives + trilinear (or per-sampler) filtering. uv must be [H,W,2]."""
+    derivatives + trilinear (or per-sampler) filtering. uv must be [H,W,2].
+    y_parity: global parity of the image's first row (band shards)."""
     if len(mips) == 1 or sampler.mipmap_mode == MipmapMode.NEAREST:
         return _sample_level(mips, 0, uv, sampler)
-    lod = screen_space_lod(uv, mips[0].shape[0], mips[0].shape[1])
+    lod = screen_space_lod(uv, mips[0].shape[0], mips[0].shape[1], y_parity)
     return sample_lod(mips, uv, lod, sampler)
 
 
@@ -330,7 +341,8 @@ def sample_array_bilinear(
 
 
 def sample_array_textured(
-    mips: tuple, tid: jnp.ndarray, uv: jnp.ndarray, sampler: Sampler = Sampler()
+    mips: tuple, tid: jnp.ndarray, uv: jnp.ndarray,
+    sampler: Sampler = Sampler(), y_parity=0,
 ) -> jnp.ndarray:
     """Trilinear texture-array sampling with implicit screen-derivative LOD.
 
@@ -342,7 +354,7 @@ def sample_array_textured(
     n = len(mips)
     if n == 1:
         return sample_array_bilinear(mips[0], tid, uv, sampler)
-    lod = screen_space_lod(uv, mips[0].shape[1], mips[0].shape[2])
+    lod = screen_space_lod(uv, mips[0].shape[1], mips[0].shape[2], y_parity)
     lod = jnp.clip(lod, 0.0, n - 1.0)
     lo = jnp.floor(lod).astype(jnp.int32)
     frac = (lod - lo.astype(lod.dtype))[..., None]
@@ -767,6 +779,7 @@ def sample_array_textured_atlas(
     tid: jnp.ndarray,
     uv: jnp.ndarray,
     sampler: Sampler = Sampler(),
+    y_parity=0,
 ) -> jnp.ndarray:
     """Trilinear texture-array sampling with implicit screen-derivative LOD
     in exactly TWO gathers (lo/hi mip), replacing sample_array_textured's
@@ -775,7 +788,7 @@ def sample_array_textured_atlas(
         return _array_atlas_fetch(
             atlas, offsets, sizes, jnp.zeros_like(tid), tid, uv, c, sampler
         )
-    lod = screen_space_lod(uv, base_hw[0], base_hw[1])
+    lod = screen_space_lod(uv, base_hw[0], base_hw[1], y_parity)
     lod = jnp.clip(lod, 0.0, n_levels - 1.0)
     lo = jnp.floor(lod).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, n_levels - 1)
@@ -1261,6 +1274,7 @@ def sample_material_atlas_tri(
     uv: jnp.ndarray,
     sampler: Sampler = Sampler(),
     lod: jnp.ndarray | None = None,
+    y_parity=0,
 ) -> jnp.ndarray:
     """Implicit-LOD trilinear fetch of all material slots in ONE gather from
     the build_material_atlas_tri layout. Returns [...,C] f32 (see
@@ -1275,7 +1289,7 @@ def sample_material_atlas_tri(
         frac = jnp.zeros(uv.shape[:-1], jnp.float32)
     else:
         if lod is None:
-            lod = screen_space_lod(uv, base_hw[0], base_hw[1])
+            lod = screen_space_lod(uv, base_hw[0], base_hw[1], y_parity)
         lod = jnp.clip(lod, 0.0, n_levels - 1.0)
         lo = jnp.floor(lod).astype(jnp.int32)
         frac = lod - lo.astype(lod.dtype)

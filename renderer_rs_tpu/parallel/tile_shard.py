@@ -48,13 +48,16 @@ def render_frame_sharded(
     as P('frame', 'rows'). F must equal the mesh 'frame' axis size (one
     frame per frame-group; generalize by looping batches of F).
 
-    interleaved=True assigns each device rows (k, k+n, k+2n, ...) instead of
-    one contiguous band — the LOAD-BALANCED sharding: contiguous bands skew
-    badly (sky rows are cheap, geometry rows dense), interleaving gives every
-    device a representative row mix. Per-row pixel math is anchored at
-    absolute row indices either way, so the stitched image is bit-identical
-    to the single-device render (tests assert); use unshard_rows() to
-    de-interleave the output.
+    interleaved=True assigns each device the row PAIRS (2k, 2k+1),
+    (2k+2n, 2k+2n+1), ... instead of one contiguous band — the
+    LOAD-BALANCED sharding: contiguous bands skew badly (sky rows are
+    cheap, geometry rows dense), interleaving gives every device a
+    representative row mix. Pair granularity (r4) keeps each 2x2 quad's
+    rows on one shard so quad-uniform screen derivatives (texture LOD)
+    match the full-frame render. Per-row pixel math is anchored at
+    absolute row indices either way, so the stitched image is
+    bit-identical to the single-device render (tests assert); use
+    unshard_rows() to de-interleave the output.
     """
     n_frames = mesh.shape["frame"]
     n_rows = mesh.shape["rows"]

@@ -425,6 +425,7 @@ def _shade_pixels(
     fused_mid: bool = False,
     mat_id_img: jnp.ndarray | None = None,
     full_rows: bool = True,
+    y_parity=0,
 ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     """The fragment stage over the visibility buffer. Returns (linear HDR
     [H,W,4], sky_rgb or None); misses contain garbage in the color — the
@@ -589,7 +590,7 @@ def _shade_pixels(
 
             hh, ww = uv.shape[0], uv.shape[1]
             lod_img = (
-                screen_space_lod(uv, shapes[0][0], shapes[0][1])
+                screen_space_lod(uv, shapes[0][0], shapes[0][1], y_parity)
                 if len(mips) > 1
                 else None
             )
@@ -602,7 +603,7 @@ def _shade_pixels(
         else:
             samp = sample_material_atlas_tri(
                 tex.mat_atlas_tri, tuple(offs), shapes,
-                len(mips), shapes[0], c13, mid, uv,
+                len(mips), shapes[0], c13, mid, uv, y_parity=y_parity,
             )
         if 0 in pos:
             base_color = base_color * samp[..., pos[0] : pos[0] + 4]
@@ -664,7 +665,7 @@ def _shade_pixels(
         samp = sample_array_textured_atlas(
             tex.mat_atlas, tuple(offs), shapes,
             len(mips), shapes[0],
-            c_all, mid, uv,
+            c_all, mid, uv, y_parity=y_parity,
         )
         if 0 in pos:
             base_color = base_color * samp[..., pos[0] : pos[0] + 4]
@@ -718,10 +719,10 @@ def _shade_pixels(
                 s = sample_array_textured_atlas(
                     tex.atlas, tuple(offs), shapes,
                     len(mips), shapes[0],
-                    mips[0].shape[-1], t, uv,
+                    mips[0].shape[-1], t, uv, y_parity=y_parity,
                 )
             else:
-                s = sample_array_textured(mips, t, uv)
+                s = sample_array_textured(mips, t, uv, y_parity=y_parity)
             return s, (t >= 0)[..., None]
 
         # Unused slots are statically skipped (layout.texture_slots), so a
@@ -1798,6 +1799,11 @@ def forward_frame(
                 arith_src
                 and not defer_kernel  # kernel mode reads the f32 slab
                 and n_mats <= 256  # ids stay exact at 8 mantissa bits
+                # compacted secondaries add a SOURCE-ID flat lane (values
+                # up to T) that bf16 would quantize above 256 — the
+                # arithmetic slot%T mapping the bf16 diet relied on does
+                # not exist under compaction
+                and clip_overflow is None
                 and _os_fm.environ.get("RENDERER_DEFER_DTYPE") == "bf16"
             )
             else None
@@ -2079,6 +2085,11 @@ def forward_frame(
         fused_mid=(fuse and not peel and shade_fused_mid),
         mat_id_img=shade_mat_id_img,
         full_rows=band is None,
+        # contiguous bands starting at an odd framebuffer row keep the
+        # full-frame quad row-pairing for the texture-LOD derivatives
+        # (interior rows; pair-interleaved shards start even by
+        # construction, so their parity is 0)
+        y_parity=(y_offset % 2 if (band is not None and not y_pair) else 0),
     )
 
     bg = jnp.broadcast_to(

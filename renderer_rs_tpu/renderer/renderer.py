@@ -420,16 +420,23 @@ class Renderer:
         not a per-frame call."""
         if self._scene is None or self._layout is None:
             raise RuntimeError("no scene bound — call set_scene first")
+        import jax
+
         from renderer_rs_tpu.renderer.passes import forward_frame
 
-        _, diag = forward_frame(
-            self._scene, self._layout, self.pipeline, self.shading,
-            self.config.width, self.config.height,
-            clear_color=self.clear_color, tonemap=self.tonemap,
-            shadow_map_size=self.shadow_map_size,
-            shadow_params=self.shadow_params,
-            diagnostics=True,
-        )
+        # ONE jitted program (eager jnp ops on the TPU backend each pay
+        # the remote-compile hop — CLAUDE.md); closure captures the
+        # static config, the scene rides as the traced argument
+        _, diag = jax.jit(
+            lambda s: forward_frame(
+                s, self._layout, self.pipeline, self.shading,
+                self.config.width, self.config.height,
+                clear_color=self.clear_color, tonemap=self.tonemap,
+                shadow_map_size=self.shadow_map_size,
+                shadow_params=self.shadow_params,
+                diagnostics=True,
+            )
+        )(self._scene)
         out = {k: int(v) for k, v in diag.items()}
         for name, count in out.items():
             if count:

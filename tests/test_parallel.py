@@ -199,6 +199,40 @@ def test_sharded_flagship_ibl_csm_matches_single_device(monkeypatch):
     np.testing.assert_array_equal(out[1], ref)
 
 
+def test_odd_offset_band_lod_parity(monkeypatch):
+    """A contiguous band starting at an ODD framebuffer row must compute
+    the same quad-paired texture-LOD derivatives as the full frame for
+    every interior row (r4 review finding: local row parity shifted every
+    quad pairing in odd-aligned bands; only the band's boundary rows may
+    clamp differently — the same one-row residual the old
+    forward-difference form had). The y-half/quarter accelerations are
+    full-frame-only knobs, so the comparison pins the exact modes."""
+    from renderer_rs_tpu.app.scenes import full_scene
+
+    monkeypatch.setenv("RENDERER_PCF_RES", "full")
+    monkeypatch.setenv("RENDERER_CUBE_RES", "full")
+
+    w, h = 128, 128
+    scene, layout, kwargs, _ = full_scene(
+        w, h, tri_budget=900, ibl=False, textured=True
+    )
+    pipe = GraphicsPipelineBuilder().build()
+    common = dict(
+        tonemap="aces", shadow_map_size=128,
+        shadow_params=kwargs["shadow_params"],
+    )
+    full = np.asarray(
+        forward_frame(scene, layout, pipe, kwargs["shading"], w, h, **common)
+    )
+    band = np.asarray(
+        forward_frame(
+            scene, layout, pipe, kwargs["shading"], w, h,
+            band=(jnp.int32(31), 30), **common,
+        )
+    )
+    np.testing.assert_array_equal(band[1:-1], full[32:60])
+
+
 def test_interleaved_rows_match_single_device(small_scene):
     """Load-balanced (interleaved-row) sharding: de-interleaved output is
     bit-identical to the single-device frame — per-row pixel math anchors at
