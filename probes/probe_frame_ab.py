@@ -313,6 +313,14 @@ if which in ("all", "shtile16"):
     del os.environ["RENDERER_SHADOW_TILE_H"]
     print("shtile16", res["shtile16"], flush=True)
 
+if which in ("all", "edgecull"):
+    # conservative edge-based bin rejection in the small-class expansion
+    # (drops never-covering (bin, tri) pairs -> smaller kernel segments)
+    os.environ["RENDERER_BIN_EDGECULL"] = "1"
+    res["edgecull"] = bench(frame_fn)
+    del os.environ["RENDERER_BIN_EDGECULL"]
+    print("edgecull", res["edgecull"], flush=True)
+
 if which in ("all", "deferxla"):
     # XLA-side defer resolve (RENDERER_DEFER_VARY=1) re-probe: the r3
     # measurement (60.75 vs kernel 56.9) predates the r4 frame diet

@@ -404,12 +404,68 @@ def bin_triangles_compact(
     # from the [sl,2,2] reshape, but keys are unique per (bin, tri) and
     # globally sorted right after — bit-identical downstream.
     pad_key = n_bins * (t + 1) + t
+    # Edge-based bin rejection (RENDERER_BIN_EDGECULL, r4 gated probe):
+    # a small triangle's exact-bbox 2x2 slots include bins its EDGES
+    # never enter (diagonal tris). Per slot, evaluate each sign-folded
+    # canonical edge at the bin's maximizing pixel-center corner (e is
+    # affine; the kernel computes the IDENTICAL expression per pixel) —
+    # e_max < -1.0 proves no pixel center in the bin passes that edge,
+    # so the pair can't contribute coverage and is dropped. The -1.0
+    # margin dwarfs fp evaluation error at framebuffer magnitudes, so
+    # OUTPUT is unchanged (candidate lists shrink; the membership-
+    # equality tests vs bbox-dense run with the knob off). Full-frame
+    # addressing only (band py mapping would need its own corner math).
+    import os as _os_ec
+
+    edge_cull = (
+        _os_ec.environ.get("RENDERER_BIN_EDGECULL", "0") == "1"
+        and not _is_banded(y_offset, y_stride)
+        and not y_pair
+    )
+    if edge_cull:
+        from renderer_rs_tpu.ops.raster_pallas import _canonical_edge_cols
+
+        s_sign = jnp.sign(setup.area2[:sl])
+        if setup.planes is not None:
+            (px0, py0v), (px1, py1v), (px2, py2v) = setup.planes
+            everts = (
+                (px1[:sl], py1v[:sl], px2[:sl], py2v[:sl]),
+                (px2[:sl], py2v[:sl], px0[:sl], py0v[:sl]),
+                (px0[:sl], py0v[:sl], px1[:sl], py1v[:sl]),
+            )
+        else:
+            xy_s = setup.xy[:sl]
+            everts = tuple(
+                (
+                    xy_s[:, (e + 1) % 3, 0], xy_s[:, (e + 1) % 3, 1],
+                    xy_s[:, (e + 2) % 3, 0], xy_s[:, (e + 2) % 3, 1],
+                )
+                for e in range(3)
+            )
+        ecols = [
+            _canonical_edge_cols(ax, ay, bx, by, s_sign, None)
+            for (ax, ay, bx, by) in everts
+        ]
+
     ks = []
     for dy in (0, 1):
         for dx in (0, 1):
             by = ty0[:sl] + dy
             bx = tx0[:sl] + dx
             ok1 = small[:sl] & (by <= ty1[:sl]) & (bx <= tx1[:sl])
+            if edge_cull:
+                # bin pixel-center extremes for this slot
+                x_lo = bx.astype(jnp.float32) * bin_w + 0.5
+                x_hi = x_lo + (bin_w - 1)
+                y_lo = by.astype(jnp.float32) * bin_h + 0.5
+                y_hi = y_lo + (bin_h - 1)
+                for cax, cay, sdx, sdy, _th in ecols:
+                    # e = sdx*(py-cay) - sdy*(px-cax): maximize over the
+                    # rect corner by coefficient signs
+                    pxc = jnp.where(sdy > 0.0, x_lo, x_hi)
+                    pyc = jnp.where(sdx > 0.0, y_hi, y_lo)
+                    e_max = sdx * (pyc - cay) - sdy * (pxc - cax)
+                    ok1 = ok1 & (e_max >= -1.0)
             ks.append(
                 jnp.where(ok1, (by * nbx + bx) * (t + 1) + idx[:sl], pad_key)
             )
