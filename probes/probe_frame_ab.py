@@ -81,7 +81,7 @@ if which in ("all", "stub_atlas"):
 
     real = sampling.sample_material_atlas_tri
 
-    def stub(atlas, offsets, sizes, n_levels, base_hw, c, mid, uv, sampler=None):
+    def stub(atlas, offsets, sizes, n_levels, base_hw, c, mid, uv, sampler=None, **kw):
         return jnp.ones(uv.shape[:-1] + (c,), jnp.float32) * (
             uv[..., :1] * 1e-8 + 1.0
         )
