@@ -41,8 +41,10 @@ CONFIGS = {
     "full_csm": lambda: full_scene(W, H, tri_budget=TRIS, csm=True),
     "full_textured": lambda: full_scene(W, H, tri_budget=TRIS, textured=True),
     "full_hdr": lambda: full_scene(W, H, tri_budget=TRIS, hdr=HDR),
+    # textured=True applies the textured-override: the snapshot's stripped
+    # 1x1 base/MR maps substitute procedural 256^2 maps (bench parity)
     "full_gltf": lambda: full_scene(
-        W, H, tri_budget=TRIS,
+        W, H, tri_budget=TRIS, textured=True,
         gltf="/root/reference/assets/models/a_contortionist_dancer/scene.gltf",
     ),
 }
