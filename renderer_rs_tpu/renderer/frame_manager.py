@@ -96,12 +96,15 @@ class FrameManager:
         fence = self._in_flight.popleft()
         result = fence.wait()
         if self.present_mode == PRESENT_MAILBOX:
+            dropped_now = 0
             while self._in_flight and self._in_flight[0].is_signaled():
                 result = self._in_flight.popleft().wait()
-                self.frames_dropped += 1
-            if self.frames_dropped:
+                dropped_now += 1
+            if dropped_now:
+                self.frames_dropped += dropped_now
                 log.debug(
-                    "mailbox present: %d stale frame(s) dropped total",
+                    "mailbox present: %d stale frame(s) dropped (%d total)",
+                    dropped_now,
                     self.frames_dropped,
                 )
         return np.asarray(result)

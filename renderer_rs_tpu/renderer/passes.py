@@ -1594,6 +1594,21 @@ def forward_frame(
         t_prim = layout.num_triangles
         _compact_on = _cc_den > 0 and t_prim >= 1024
         _cc_cap = max(128, t_prim // max(_cc_den, 1))
+        if _compact_on:
+            # Trace-time transparency (ADVICE r4): the static cap bounds
+            # how many near-plane-CROSSING triangles keep their clipped
+            # half. A camera-inside-geometry scene exceeding it drops
+            # halves (holes); the counter surfaces via
+            # Renderer.frame_diagnostics / bench clip_overflow, and
+            # RENDERER_CLIP_COMPACT=0 is the exact-layout escape hatch.
+            import logging as _logging_cc
+
+            _logging_cc.getLogger("renderer_rs_tpu.renderer.passes").info(
+                "near-clip secondary compaction on: cap %d of %d tris "
+                "(>%d clipped tris drop halves; check frame_diagnostics "
+                "clip_overflow, RENDERER_CLIP_COMPACT=0 disables)",
+                _cc_cap, t_prim, _cc_cap,
+            )
         n_raster_tris = (
             t_prim + min(_cc_cap, t_prim) if _compact_on else 2 * t_prim
         )

@@ -115,6 +115,13 @@ class Renderer:
         # requires must resolve to a non-None scene binding
         for set_layout in layouts_for(self.shading, layout):
             set_layout.validate(scene)
+        if self.config.enable_validation:
+            # validation mode (≙ enabling VK_LAYER_KHRONOS_validation,
+            # instance.rs:62-131): finite-sweep the bound state; findings
+            # route through core.validation.debug_callback
+            from renderer_rs_tpu.core.validation import validate_scene
+
+            validate_scene(scene, layout)
         if layout != self._layout:
             self._frame_fn = None
             self._shadow_fn = None
@@ -175,11 +182,22 @@ class Renderer:
         layout = self._layout
         sm_size = self.shadow_map_size
 
-        @jax.jit
-        def shadow(scene: GpuScene):
+        def shadow_py(scene: GpuScene):
             if layout.has_csm:
                 return csm_shadow_pass(scene, layout, sm_size)
             return shadow_map_pass(scene, layout, sm_size)
+
+        if self.config.enable_validation:
+            # validation mode: run the pass eagerly (≙ the validation
+            # layers interposing every call; stage boundaries become real
+            # values instead of one fused program)
+            def shadow_eager(scene: GpuScene):
+                with jax.disable_jit():
+                    return shadow_py(scene)
+
+            return shadow_eager
+
+        shadow = jax.jit(shadow_py)
 
         t0 = time.perf_counter()
         compiled = shadow.lower(self._scene).compile()
@@ -251,8 +269,7 @@ class Renderer:
 
         if split_shadow:
 
-            @jax.jit
-            def frame(scene: GpuScene, shadow_map):
+            def frame_py(scene: GpuScene, shadow_map):
                 return forward_frame(
                     scene, layout, pipeline, shading, width, height,
                     rendering=rc, tonemap=tonemap,
@@ -263,8 +280,7 @@ class Renderer:
             example = (self._scene, self._shadow_fn(self._scene))
         else:
 
-            @jax.jit
-            def frame(scene: GpuScene):
+            def frame_py(scene: GpuScene):
                 return forward_frame(
                     scene, layout, pipeline, shading, width, height,
                     rendering=rc, tonemap=tonemap,
@@ -272,6 +288,18 @@ class Renderer:
                 )
 
             example = (self._scene,)
+
+        if self.config.enable_validation:
+            # validation mode: eager frame (≙ running under the layers —
+            # slow by design; a CPU-backend debugging tool, see
+            # core/validation.py)
+            def frame_eager(*args):
+                with jax.disable_jit():
+                    return frame_py(*args)
+
+            return frame_eager
+
+        frame = jax.jit(frame_py)
 
         t0 = time.perf_counter()
         compiled = frame.lower(*example).compile()
@@ -329,8 +357,16 @@ class Renderer:
                 a is b for a, b in zip(self._shadow_cache[0], key)
             ):
                 self._shadow_cache = (key, self._shadow_fn(scene))
-            return self._frame_fn(scene, self._shadow_cache[1])
-        return self._frame_fn(scene)
+            out = self._frame_fn(scene, self._shadow_cache[1])
+        else:
+            out = self._frame_fn(scene)
+        if self.config.enable_validation:
+            # frame-product validation (≙ the layers flagging a bad
+            # present source); synchronous by design in validation mode
+            from renderer_rs_tpu.core.validation import validate_frame_output
+
+            validate_frame_output(out)
+        return out
 
     def precompile_buckets(self) -> None:
         """Pre-warm forward-pass specializations for config.shape_buckets so
@@ -426,17 +462,29 @@ class Renderer:
 
         # ONE jitted program (eager jnp ops on the TPU backend each pay
         # the remote-compile hop — CLAUDE.md); closure captures the
-        # static config, the scene rides as the traced argument
-        _, diag = jax.jit(
-            lambda s: forward_frame(
-                s, self._layout, self.pipeline, self.shading,
-                self.config.width, self.config.height,
-                clear_color=self.clear_color, tonemap=self.tonemap,
-                shadow_map_size=self.shadow_map_size,
-                shadow_params=self.shadow_params,
-                diagnostics=True,
+        # static config, the scene rides as the traced argument. pjit's
+        # trace cache keys on the CALLABLE's identity, so the closure is
+        # built once per (layout, pipeline, shading) specialization and
+        # cached on self — a fresh lambda per call would re-trace (and on
+        # the TPU backend re-pay the remote-compile hop) every time.
+        diag_key = (
+            self._layout, self.pipeline, self.shading,
+            self.config.width, self.config.height, self.clear_color,
+            self.tonemap, self.shadow_map_size, self.shadow_params,
+        )
+        if getattr(self, "_diag_key", None) != diag_key:
+            self._diag_fn = jax.jit(
+                lambda s: forward_frame(
+                    s, self._layout, self.pipeline, self.shading,
+                    self.config.width, self.config.height,
+                    clear_color=self.clear_color, tonemap=self.tonemap,
+                    shadow_map_size=self.shadow_map_size,
+                    shadow_params=self.shadow_params,
+                    diagnostics=True,
+                )
             )
-        )(self._scene)
+            self._diag_key = diag_key
+        _, diag = self._diag_fn(self._scene)
         out = {k: int(v) for k, v in diag.items()}
         for name, count in out.items():
             if count:

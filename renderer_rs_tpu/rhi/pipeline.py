@@ -138,8 +138,12 @@ class GraphicsPipeline:
     depth_test_enable: bool = True
     depth_write_enable: bool = True
     depth_compare_op: CompareOp = CompareOp.LESS
+    # Depth bias (≙ pipeline.rs:609-613 raster state, applied by
+    # ops/raster._biased_z at triangle setup so all three rasterizers
+    # inherit the same biased depth plane).
     depth_bias_enable: bool = False
     depth_bias_constant: float = 0.0
+    depth_bias_clamp: float = 0.0  # 0 = unclamped (Vulkan semantics)
     depth_bias_slope: float = 0.0
     blend: ColorBlendAttachment = dataclasses.field(
         default_factory=ColorBlendAttachment.disabled
@@ -189,10 +193,14 @@ class GraphicsPipelineBuilder:
     def depth_compare_op(self, op: CompareOp):
         return self._set(depth_compare_op=op)
 
-    def depth_bias(self, constant: float, slope: float):
+    def depth_bias(self, constant: float, slope: float, clamp: float = 0.0):
+        """≙ depth_bias(constant_factor, clamp, slope_factor),
+        pipeline.rs:781-789 (clamp keyword-only-ish here: the common call
+        sites set constant+slope and leave clamp 0 = unclamped)."""
         return self._set(
             depth_bias_enable=True,
             depth_bias_constant=constant,
+            depth_bias_clamp=clamp,
             depth_bias_slope=slope,
         )
 

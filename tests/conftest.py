@@ -17,6 +17,12 @@ os.environ["XLA_FLAGS"] = (
 ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# Stand-in textures for stripped asset images (resources/model.py): keep
+# them small under pytest — synthesis + mip builds at the production 2048
+# default would add minutes to the asset-loading tests for no coverage
+# gain. Tests that pin their own value (monkeypatch.setenv) still win.
+os.environ.setdefault("RENDERER_STANDIN_TEX", "128")
+
 import jax  # noqa: E402
 
 # The machine's sitecustomize registers the axon (TPU-tunnel) backend and

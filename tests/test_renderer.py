@@ -260,6 +260,12 @@ def test_frame_diagnostics_counters():
     diag = r.frame_diagnostics()
     assert diag == {"peel_exhausted": 0, "clip_overflow": 0}
 
+    # repeat calls reuse the cached jitted closure (ADVICE r4: a fresh
+    # jax.jit(lambda) per call re-traces — pjit keys on callable identity)
+    fn_first = r._diag_fn
+    r.frame_diagnostics()
+    assert r._diag_fn is fn_first
+
     # force the warning path by faking a counter
     rec = []
 
@@ -282,13 +288,15 @@ def test_frame_diagnostics_counters():
                 return color, {**d, "peel_exhausted": 3}
             return out
 
-        # frame_diagnostics imports forward_frame at call time, so the
-        # module patch takes effect
+        # frame_diagnostics builds its closure over forward_frame once per
+        # specialization; drop the cache so the module patch takes effect
         passes_mod.forward_frame = fake
+        r._diag_key = None
         try:
             diag2 = r.frame_diagnostics()
         finally:
             passes_mod.forward_frame = orig
+            r._diag_key = None
     finally:
         log.removeHandler(h)
     assert diag2["peel_exhausted"] == 3
