@@ -141,6 +141,12 @@ class X11Window:
         x.XCreateImage.restype = ctypes.c_void_p
         x.XInternAtom.restype = ctypes.c_ulong
         x.XDefaultGC.restype = ctypes.c_void_p
+        # pointer/XID returns MUST be declared: ctypes' default c_int
+        # restype truncates 64-bit returns (the XDefaultVisual truncation
+        # segfaulted XCreateImage — caught by the scripted-server e2e test)
+        x.XDefaultVisual.restype = ctypes.c_void_p
+        x.XRootWindow.restype = ctypes.c_ulong
+        x.XBlackPixel.restype = ctypes.c_ulong
         self._x = x
         self._dpy = x.XOpenDisplay(None)
         if not self._dpy:
@@ -234,9 +240,14 @@ class X11Window:
         return True
 
     def close(self) -> None:
-        if self._dpy and not self._closed:
+        # _closed only means the WM asked to close (pump saw WM_DELETE) —
+        # the window and display connection still exist and must be torn
+        # down here (caught by the scripted-server e2e test: a WM-closed
+        # window previously leaked its display connection)
+        if self._dpy:
             self._x.XDestroyWindow(
                 ctypes.c_void_p(self._dpy), ctypes.c_ulong(self._win)
             )
             self._x.XCloseDisplay(ctypes.c_void_p(self._dpy))
+            self._dpy = None
         self._closed = True
