@@ -195,6 +195,26 @@ def main() -> int:
         result["gltf_dancer_fps"] = round(fps_g, 3)
         result["gltf_dancer_tris"] = layout_g.num_triangles
 
+    # --- CSM at flagship scale (VERDICT r4 item 7): the richest shader
+    # path (model_pbr_ibl_csm.hlsl:118-292 / shadow_csm.hlsli:56-166 —
+    # 4 camera-fitted cascades re-rendered per frame + cascade-selected
+    # PCF) priced at the same 1080p/100k textured workload as the
+    # headline, not presumed from the 160x120 goldens.
+    scene_c, layout_c, kwargs_c, _ = full_scene(
+        width, height, tri_budget=tri_budget, textured=True, csm=True
+    )
+
+    def frame_c(s, layout=layout_c, kwargs=kwargs_c):
+        return forward_frame(
+            s, layout, pipeline, kwargs["shading"], width, height,
+            tonemap=kwargs.get("tonemap", "aces"),
+            shadow_map_size=kwargs.get("shadow_map_size", 1024),
+            shadow_params=kwargs.get("shadow_params"),
+        )
+
+    fps_c, _ = _bench_frame(jax.jit(frame_c), scene_c, frames)
+    result["csm_fps"] = round(fps_c, 3)
+
     # --- deviation telemetry: density-cap truncation on both passes --------
     sm = kwargs_tex.get("shadow_map_size", 1024)
 

@@ -283,6 +283,79 @@ def _biased_z(z, planes, area2, pipeline: GraphicsPipeline):
     return z + o[..., None]
 
 
+def z_plane_mode() -> bool:
+    """RENDERER_Z_FORM=plane: DEPTH-ONLY rasterization (the shadow pass)
+    evaluates the triangle's screen-space depth PLANE (anchored at a
+    vertex) instead of blending the three vertex depths with
+    barycentrics — 4 vector ops per candidate instead of 9 in the
+    depth-only inner loops. Read at TRACE time (CLAUDE.md pjit caveat).
+
+    Scope and contract: applies ONLY to depth-only paths (the Pallas
+    depth kernel, the binned depth variant, the CSM batch). Depth-only
+    reductions are pure min/max — no float-equality winner reselection —
+    and measured plane-vs-plane agreement across implementations is a
+    few ulp (6e-8 on the micro scene). The full visibility paths keep
+    the bary form unconditionally: their winner selection compares zc
+    for exact equality against its own reduction, and XLA's context-
+    dependent FMA contraction of the plane chain broke that equality at
+    scattered pixels (measured: dropped fragments — the reason this knob
+    is depth-only). Plane-vs-bary depth differs by the anchored form's
+    cancellation bound (~1e-4 worst case for thin/steep triangles) —
+    harmless under the shadow pass's >=1e-3 bias thresholds, gated by
+    probe_quality before any default flip."""
+    import os
+
+    return os.environ.get("RENDERER_Z_FORM", "bary") == "plane"
+
+
+def z_plane_coeffs(xy, z, area2):
+    """Screen-space depth plane per triangle, anchored at edge 0's
+    CANONICAL anchor vertex (the same swap rule the canonical-edge fold
+    uses, raster_pallas._canonical_edges: edge 0 = v1->v2, anchor = the
+    lexicographically smaller of v1/v2 in (y, x)).
+
+    xy [...,3,2], z [...,3], area2 [...] (signed). Returns
+    (zdx, zdy, zA, ax, ay), each [...]: z(px,py) is evaluated by ALL
+    THREE rasterizers as `eval_z_plane(zdx, zdy, zA, px-ax, py-ay)` —
+    same ops, same order, so the tri-rasterizer bit-identity contract
+    holds by construction. Anchoring at a vertex of the triangle keeps
+    the evaluation a LOCAL difference (no big-coordinate cancellation);
+    zA is exactly that vertex's z."""
+    x0, y0 = xy[..., 0, 0], xy[..., 0, 1]
+    x1, y1 = xy[..., 1, 0], xy[..., 1, 1]
+    x2, y2 = xy[..., 2, 0], xy[..., 2, 1]
+    z0, z1, z2 = z[..., 0], z[..., 1], z[..., 2]
+    inv = jnp.where(
+        area2 != 0.0, 1.0 / jnp.where(area2 == 0.0, 1.0, area2), 0.0
+    )
+    zdx = ((z1 - z0) * (y2 - y0) - (z2 - z0) * (y1 - y0)) * inv
+    zdy = ((z2 - z0) * (x1 - x0) - (z1 - z0) * (x2 - x0)) * inv
+    swap = (y1 > y2) | ((y1 == y2) & (x1 > x2))
+    ax = jnp.where(swap, x2, x1)
+    ay = jnp.where(swap, y2, y1)
+    za = jnp.where(swap, z2, z1)
+    return zdx, zdy, za, ax, ay
+
+
+def eval_z_plane(zdx, zdy, za, dxp, dyp):
+    """THE canonical per-pixel depth-plane evaluation (op order is part
+    of the tri-rasterizer contract): (zdx*dx + zdy*dy) + zA.
+
+    The optimization_barrier pins the result's BITS across programs:
+    without it, XLA's CSE/contraction choices depend on the surrounding
+    graph (the edge functions share the px-ax/py-ay subexpressions), and
+    the same formula rounds 1 ulp apart between the scan, binned, and
+    kernel programs — measured on XLA CPU. Barriering the diffs gives
+    the multiply-add chain an identical local context everywhere, which
+    restores deterministic lowering (tests assert tri-identity)."""
+    dxp, dyp = jax.lax.optimization_barrier((dxp, dyp))
+    # barrier the RESULT too: downstream the raster compares zc for exact
+    # equality against its own min-reduction (winner selection); letting
+    # XLA rematerialize zc per consumer with different contraction makes
+    # zc != min(zc) at scattered pixels (measured: dropped fragments)
+    return jax.lax.optimization_barrier((zdx * dxp + zdy * dyp) + za)
+
+
 def _pixel_centers(
     height: int, width: int, y_offset=0, x_offset=0, y_stride: int = 1,
     y_pair: bool = False,

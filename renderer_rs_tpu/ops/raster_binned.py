@@ -41,6 +41,9 @@ from renderer_rs_tpu.ops.raster import (
     VisibilityBuffer,
     _edge,
     _top_left,
+    eval_z_plane,
+    z_plane_coeffs,
+    z_plane_mode,
 )
 from renderer_rs_tpu.rhi.pipeline import CompareOp, GraphicsPipeline
 
@@ -341,10 +344,16 @@ def bin_triangles_compact(
         # RENDERER_CAP_BIG overrides for probe-time sort-size tuning (the
         # big class contributes cap_big*big_span slots to the fused-key
         # sort; overflow telemetry catches a too-small cap).
+        # r5: default cap max(2048, t//32) -> max(1024, t//96) — the big
+        # class at flagship scale is far below either bound (bench
+        # bin_overflow 0), and the smaller fused-key sort measured
+        # -1.1 ms/frame at 1080p/97k (probe_frame_ab capbig1024 39.09 vs
+        # 40.23, cap 512 no further gain; the floor keeps the low-tri
+        # starvation fix).
         import os
 
         env = os.environ.get("RENDERER_CAP_BIG")
-        cap_big = int(env) if env else max(2048, t // 32)
+        cap_big = int(env) if env else max(1024, t // 96)
     tx0, tx1, ty0, ty1, alive = _tile_ranges(
         setup, height, width, bin_h, bin_w, nby, nbx, y_offset, y_stride,
         y_pair,
@@ -493,7 +502,7 @@ def bin_triangles_compact(
     return sorted_tris, seg_start, nby, nbx, overflow
 
 
-def _chunk_coverage(xy, z, valid, s, inv_area, px, py):
+def _chunk_coverage(xy, z, valid, s, inv_area, px, py, zplane=None):
     """Coverage/depth/bary for a chunk of C triangles over a tile.
 
     TPU layout note: all per-candidate tensors are [C,TH,TW] — the chunk axis
@@ -533,10 +542,16 @@ def _chunk_coverage(xy, z, valid, s, inv_area, px, py):
     inv = inv_area.reshape(c, 1, 1)
     b0 = e0 * inv
     b1 = e1 * inv
-    b2 = 1.0 - b0 - b1
-    depth = b0 * z[:, 0].reshape(c, 1, 1) + b1 * z[:, 1].reshape(c, 1, 1) + b2 * z[
-        :, 2
-    ].reshape(c, 1, 1)
+    if zplane is not None:
+        # shared anchored depth plane (raster.z_plane_coeffs — same
+        # precomputed [T] coeffs and eval op order as scan/Pallas)
+        zdx, zdy, za, ax_, ay_ = (v.reshape(c, 1, 1) for v in zplane)
+        depth = eval_z_plane(zdx, zdy, za, pxb - ax_, pyb - ay_)
+    else:
+        b2 = 1.0 - b0 - b1
+        depth = b0 * z[:, 0].reshape(c, 1, 1) + b1 * z[:, 1].reshape(
+            c, 1, 1
+        ) + b2 * z[:, 2].reshape(c, 1, 1)
     cov = cov & (depth >= 0.0) & (depth <= 1.0)
     return cov, depth, b0, b1
 
@@ -590,6 +605,8 @@ def rasterize_binned(
     s_b = jnp.sign(area_b)
     area_abs = jnp.abs(area_b)
     inv_area_b = jnp.where(area_abs > 0.0, 1.0 / jnp.maximum(area_abs, 1e-30), 0.0)
+    # (full visibility path: always bary-form depth — z_plane_mode is
+    # depth-only scoped, see raster.z_plane_mode / the depth variant below)
 
     # order-aware depth reduction setup
     greater = pipeline.depth_compare_op in (
@@ -714,8 +731,8 @@ def rasterize_binned(
         return depth, tid, b0, b1
 
     depth_t, tid_t, b0_t, b1_t = jax.vmap(tile_fn)(
-        tri_idx, xy_b, z_b, valid_b, s_b, inv_area_b, depth_tiles, zfloor_tiles,
-        ty, tx
+        tri_idx, xy_b, z_b, valid_b, s_b, inv_area_b, depth_tiles,
+        zfloor_tiles, ty, tx
     )
 
     def stitch(tiles):
@@ -774,6 +791,12 @@ def rasterize_depth_only_binned(
     s_b = jnp.sign(area_b)
     area_abs = jnp.abs(area_b)
     inv_area_b = jnp.where(area_abs > 0.0, 1.0 / jnp.maximum(area_abs, 1e-30), 0.0)
+    zp_b = (
+        jnp.stack(z_plane_coeffs(setup.xy, setup.z, setup.area2), -1)[safe_idx]
+        if z_plane_mode()
+        else None
+    )
+    use_zp = zp_b is not None
 
     hp, wp = nty * tile_h, ntx * tile_w
     if depth_init is None:
@@ -791,13 +814,20 @@ def rasterize_depth_only_binned(
     local_py = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0) + 0.5
     local_px = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1) + 0.5
 
-    def tile_fn(xy, z, valid, s, inv_area, d_init, ty_i, tx_i):
+    def tile_fn(xy, z, valid, s, inv_area, d_init, ty_i, tx_i, zp=None):
         px = local_px + (tx_i * tile_w).astype(jnp.float32)
         py = local_py + (ty_i * tile_h).astype(jnp.float32)
 
         def body(depth, chunk_slice):
-            c_xy, c_z, c_valid, c_s, c_inv = chunk_slice
-            cov, zc, _, _ = _chunk_coverage(c_xy, c_z, c_valid, c_s, c_inv, px, py)
+            if use_zp:
+                c_xy, c_z, c_valid, c_s, c_inv, c_zp = chunk_slice
+                c_zp = tuple(c_zp[:, k] for k in range(5))
+            else:
+                c_xy, c_z, c_valid, c_s, c_inv = chunk_slice
+                c_zp = None
+            cov, zc, _, _ = _chunk_coverage(
+                c_xy, c_z, c_valid, c_s, c_inv, px, py, zplane=c_zp
+            )
             big = -_INF if greater else _INF
             key = jnp.where(cov, zc, big)
             zbest = jnp.max(key, axis=0) if greater else jnp.min(key, axis=0)
@@ -811,13 +841,18 @@ def rasterize_depth_only_binned(
             valid.reshape(n_chunks, chunk),
             s.reshape(n_chunks, chunk),
             inv_area.reshape(n_chunks, chunk),
-        )
+        ) + ((zp.reshape(n_chunks, chunk, 5),) if use_zp else ())
         depth, _ = jax.lax.scan(body, d_init, chunks)
         return depth
 
-    depth_t = jax.vmap(tile_fn)(
-        xy_b, z_b, valid_b, s_b, inv_area_b, depth_tiles, ty, tx
-    )
+    if use_zp:
+        depth_t = jax.vmap(lambda *a: tile_fn(*a[:-1], zp=a[-1]))(
+            xy_b, z_b, valid_b, s_b, inv_area_b, depth_tiles, ty, tx, zp_b
+        )
+    else:
+        depth_t = jax.vmap(tile_fn)(
+            xy_b, z_b, valid_b, s_b, inv_area_b, depth_tiles, ty, tx
+        )
     full = depth_t.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3)
     return full.reshape(hp, wp)[:height, :width]
 

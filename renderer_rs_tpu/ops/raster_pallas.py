@@ -84,7 +84,7 @@ def _canonical_edges(xy, s, valid=None):
     return edges
 
 
-def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, n_vary=0, n_flat=0, has_zfloor=False, skip_bary=False, sub_h=None, y_stride=1, ntx=1, gather_vary=False, y_pair=False):
+def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, n_vary=0, n_flat=0, has_zfloor=False, skip_bary=False, sub_h=None, y_stride=1, ntx=1, gather_vary=False, y_pair=False, zplane=False):
     """Build the per-tile kernel body.
 
     Two-level binning (VERDICT r2 item 1): the grid step still covers a
@@ -119,7 +119,11 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, 
         if depth_only:
             (depth_out,) = outs
         elif skip_bary:
-            depth_out, tid_out, vary_out = outs
+            if n_vary or n_flat:
+                depth_out, tid_out, vary_out = outs
+            else:  # pure ids+depth visibility kernel (no attribute lanes)
+                depth_out, tid_out = outs
+                vary_out = None
             b0_out = b1_out = None
         elif n_vary or n_flat:
             depth_out, tid_out, b0_out, b1_out, vary_out = outs
@@ -144,6 +148,13 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, 
         # Mosaic iota must be integer-typed; cast to f32 after
         sub_py = jax.lax.broadcasted_iota(jnp.int32, (sub_h, tile_w), 0).astype(
             jnp.float32
+        )
+        # loop-invariant slot iota (candidate row index within the chunk):
+        # hoisted out of the per-chunk body — Mosaic does not LICM it, and
+        # two fresh [chunk, sub_h, tile_w] iotas per chunk iteration are
+        # measurable at 97k-pair workloads
+        slot_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (chunk, sub_h, tile_w), 0
         )
         yo_f = yoff_ref[0].astype(jnp.float32)  # band origin (0 full-frame)
         px = (
@@ -211,20 +222,33 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, 
                     # columns: ax, ay, sdx, sdy, thresh — sign-folded edge
                     # (exact vs sgn * _edge) + one-compare coverage that
                     # folds the top-left rule AND the valid/pad mask
-                    e = col(k0 + 2) * (py[None] - col(k0 + 1)) - col(k0 + 3) * (
-                        px[None] - col(k0)
-                    )
-                    return e, e >= col(k0 + 4)
+                    dyk = py[None] - col(k0 + 1)
+                    dxk = px[None] - col(k0)
+                    e = col(k0 + 2) * dyk - col(k0 + 3) * dxk
+                    return e, e >= col(k0 + 4), dxk, dyk
 
-                e0, c0 = edge_cov(0)
-                e1, c1 = edge_cov(5)
-                e2, c2 = edge_cov(10)
+                e0, c0, dx0, dy0 = edge_cov(0)
+                e1, c1, _, _ = edge_cov(5)
+                e2, c2, _, _ = edge_cov(10)
                 cov = c0 & c1 & c2
-                inv = col(18)
-                b0 = e0 * inv
-                b1 = e1 * inv
-                b2 = 1.0 - b0 - b1
-                zc = b0 * col(15) + b1 * col(16) + b2 * col(17)
+                if zplane:
+                    # RENDERER_Z_FORM=plane (depth-only): cols 15-17 =
+                    # (zdx, zdy, zA) anchored at edge 0's canonical
+                    # anchor — the dx0/dy0 diffs above are reused. RAW
+                    # formula, no optimization_barrier: Mosaic does not
+                    # lower it, and the depth-only min-reduce needs no
+                    # bit pinning (tolerance contract, raster.z_plane_mode)
+                    zc = (col(15) * dx0 + col(16) * dy0) + col(17)
+                    if not depth_only and not gather_vary:
+                        inv = col(18)
+                        b0 = e0 * inv
+                        b1 = e1 * inv
+                else:
+                    inv = col(18)
+                    b0 = e0 * inv
+                    b1 = e1 * inv
+                    b2 = 1.0 - b0 - b1
+                    zc = b0 * col(15) + b1 * col(16) + b2 * col(17)
                 # one-sided viewport-z bound: the other side is implied by
                 # the depth test against a clear value in [0, 1] (an
                 # out-of-range winner never passes; exact equivalence)
@@ -242,15 +266,26 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, 
                     # tail overrun into the NEXT. Coverage culls foreign
                     # non-covering rows and covering ones are duplicates of
                     # in-segment rows — fine for depth — but they break the
-                    # ROW-ORDER tie-break (a duplicate twin in the next
-                    # segment sits at a higher row than this bin's last
-                    # candidate). Masking to [seg0, seg1) restores exact
-                    # id-ascending candidate order; depth-only skips it
-                    # (equal-z duplicates are idempotent under min/max).
-                    slot_rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-                    lo = seg0 - (base + j * chunk)
-                    hi = seg1 - (base + j * chunk)
-                    cov = cov & (slot_rows >= lo) & (slot_rows < hi)
+                    # ROW-ORDER tie-break (a duplicate twin of triangle X
+                    # outside [seg0, seg1) can displace the correct equal-
+                    # depth winner Y). Only ONE side can do that per tie
+                    # rule (r5): strict compares pick the MIN winner row,
+                    # which a tail duplicate (row > its in-segment twin)
+                    # can never win — only the LEADING overrun needs
+                    # masking; equality compares pick the MAX row, where
+                    # only the TAIL overrun can displace — mask it alone.
+                    # The foreign duplicate that does win on the unmasked
+                    # side carries identical row content (same triangle),
+                    # so every output is unchanged. One compare+and per
+                    # candidate saved; bit-identity suites assert.
+                    if op in (
+                        CompareOp.LESS_OR_EQUAL, CompareOp.GREATER_OR_EQUAL
+                    ):
+                        hi = seg1 - (base + j * chunk)
+                        cov = cov & (slot_iota < hi)
+                    else:
+                        lo = seg0 - (base + j * chunk)
+                        cov = cov & (slot_iota >= lo)
                 key = jnp.where(cov, zc, big)
                 z_best = jnp.max(key, axis=0) if greater else jnp.min(key, axis=0)
                 if depth_only:
@@ -267,7 +302,7 @@ def _make_kernel(pipeline: GraphicsPipeline, tile_h, tile_w, chunk, depth_only, 
                 vary = list(vary)
                 winners = cov & (zc == z_best[None])
                 cov_best = jnp.any(winners, axis=0)
-                slot_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                slot_i = slot_iota  # hoisted loop-invariant
                 # equal-depth tie order matches the scan oracle / Vulkan:
                 # strict compares keep the FIRST submitted winner, equality-
                 # passing compares the LAST (candidates are id-ascending;
@@ -527,7 +562,9 @@ def _canonical_edges_block_planes(planes, s, valid=None):
     return e15.reshape(x0.shape[0], 15)
 
 
-def _base_coef_table(setup: TriangleSetup, ids_col: jnp.ndarray) -> jnp.ndarray:
+def _base_coef_table(
+    setup: TriangleSetup, ids_col: jnp.ndarray, zplane: bool = False
+) -> jnp.ndarray:
     """The 20-column per-slot coefficient table of the kernel contract
     (edges x 5, z x 3, inv_area, ids — see rasterize_binned_pallas), NOT
     yet lane-padded. The default assembles it from [T,k] blocks
@@ -537,9 +574,21 @@ def _base_coef_table(setup: TriangleSetup, ids_col: jnp.ndarray) -> jnp.ndarray:
     RENDERER_KTBL=stack restores the per-column build."""
     import os
 
+    from renderer_rs_tpu.ops.raster import z_plane_coeffs
+
     s = jnp.sign(setup.area2)
     area_abs = jnp.abs(setup.area2)
     inv_area = jnp.where(area_abs > 0.0, 1.0 / jnp.maximum(area_abs, 1e-30), 0.0)
+    if zplane:
+        # depth-only plane mode: cols 15-17 hold the anchored depth-plane
+        # coeffs (zdx, zdy, zA) instead of the 3 vertex depths; the
+        # anchor point IS edge 0's canonical anchor (cols 0-1), so the
+        # kernel reuses the dx/dy it already forms for edge 0's coverage
+        # — zc costs 4 vector ops per candidate instead of 9.
+        zdx, zdy, za, _, _ = z_plane_coeffs(setup.xy, setup.z, setup.area2)
+        zcols = jnp.stack([zdx, zdy, za], axis=-1)
+    else:
+        zcols = setup.z
     if os.environ.get("RENDERER_KTBL", "block") == "block":
         e15 = (
             _canonical_edges_block_planes(setup.planes, s, valid=setup.valid)
@@ -547,13 +596,13 @@ def _base_coef_table(setup: TriangleSetup, ids_col: jnp.ndarray) -> jnp.ndarray:
             else _canonical_edges_block(setup.xy, s, valid=setup.valid)
         )
         return jnp.concatenate(
-            [e15, setup.z, inv_area[:, None], ids_col[:, None]], axis=-1
+            [e15, zcols, inv_area[:, None], ids_col[:, None]], axis=-1
         )
     edges = _canonical_edges(setup.xy, s, valid=setup.valid)
     cols = []
     for e in edges:
         cols += [e["ax"], e["ay"], e["sdx"], e["sdy"], e["thresh"]]
-    cols += [setup.z[..., 0], setup.z[..., 1], setup.z[..., 2]]
+    cols += [zcols[..., 0], zcols[..., 1], zcols[..., 2]]
     cols += [inv_area, ids_col]
     return jnp.stack(cols, axis=-1)
 
@@ -562,7 +611,11 @@ def _depth_coef_table(setup: TriangleSetup, t: int) -> jnp.ndarray:
     """The 20-column per-slot coefficient table of the kernel contract
     (edges/z/inv_area/id — see rasterize_binned_pallas), lane-padded to 128
     with the pad row at index t (whose thresholds are +inf -> never covers)."""
-    table = _base_coef_table(setup, jnp.arange(t, dtype=jnp.float32))
+    from renderer_rs_tpu.ops.raster import z_plane_mode
+
+    table = _base_coef_table(
+        setup, jnp.arange(t, dtype=jnp.float32), zplane=z_plane_mode()
+    )
     table = jnp.pad(table, ((0, 1), (0, 128 - table.shape[-1])))
     return table.at[t, jnp.asarray(_THRESH_COLS)].set(jnp.inf)
 
@@ -659,8 +712,11 @@ def rasterize_depth_only_batch(
         [tp.at[:, 2].set(b * n_bins) for b in range(n_batch)]
     ).reshape(-1)
 
+    from renderer_rs_tpu.ops.raster import z_plane_mode as _zpm_b
+
     kernel = _make_kernel(
-        pipeline, tile_h, tile_w, chunk, True, sub_h=sub_h, ntx=ntx
+        pipeline, tile_h, tile_w, chunk, True, sub_h=sub_h, ntx=ntx,
+        zplane=_zpm_b(),  # table via _depth_coef_table follows the same env
     )
     out_shapes = [
         jax.ShapeDtypeStruct((n_batch * n_tiles, tile_h, tile_w), jnp.float32)
@@ -830,6 +886,8 @@ def rasterize_binned_pallas(
         )
         assert chunk <= tile_w, "gather-mode chunk must fit the lane width"
         defer = False
+    from renderer_rs_tpu.ops.raster import z_plane_mode as _zpm0
+
     import os as _os_sub
 
     # RENDERER_DEFER_SUBLANE: vertex-SUBLANE defer-table layout [t, 3, L]
@@ -855,6 +913,7 @@ def rasterize_binned_pallas(
         ids.astype(jnp.float32)
         if (ids is not None and not defer)
         else jnp.arange(t, dtype=jnp.float32),
+        zplane=_zpm0() and depth_only,  # depth-only scoped (see kernel)
     )
     cols: list = []  # extra non-defer varying/flat columns (stacked)
     n_vary = 0
@@ -1141,13 +1200,23 @@ def rasterize_binned_pallas(
     # plain visibility form; attributes resolve post-kernel by gather)
     k_vary = 0 if defer else n_vary
     k_flat = 0 if defer else n_flat
-    skip_bary = skip_bary and not depth_only and bool(k_vary or k_flat)
+    # skip_bary with no attribute lanes = the ids+depth visibility kernel
+    # (the resolve-mode MSAA sample pass): b0/b1 reductions and outputs
+    # are dropped entirely. The XLA defer path (defer=True) reads
+    # vis.bary for its post-kernel blend, so bary stays on there.
+    skip_bary = skip_bary and not depth_only and not defer
     if gmode:
         skip_bary = True  # gather mode blends in-kernel; bary never leaves
+    from renderer_rs_tpu.ops.raster import z_plane_mode as _zpm
+
     kernel = _make_kernel(
         pipeline, tile_h, tile_w, chunk, depth_only, k_vary, k_flat,
         has_zfloor=has_zfloor, skip_bary=skip_bary, sub_h=sub_h,
         y_stride=y_stride, ntx=ntx, gather_vary=gmode, y_pair=y_pair,
+        # depth-only scoped (raster.z_plane_mode): the full path's
+        # winner-equality reselection breaks under the plane form's
+        # context-dependent contraction
+        zplane=_zpm() and depth_only,
     )
 
     out_shapes = [jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32)]
@@ -1222,7 +1291,11 @@ def rasterize_binned_pallas(
     if depth_only:
         return stitch(outs[0])
     if skip_bary:
-        depth_t, tid_t, vary_t = outs
+        if k_vary or k_flat:
+            depth_t, tid_t, vary_t = outs
+        else:
+            depth_t, tid_t = outs
+            vary_t = None
         b0_t = b1_t = None
     elif k_vary or k_flat:
         depth_t, tid_t, b0_t, b1_t, vary_t = outs

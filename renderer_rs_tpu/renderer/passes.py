@@ -290,24 +290,32 @@ def _use_pallas() -> bool:
 
 
 def _rasterize_dispatch(setup, height, width, pipeline, num_triangles,
-                        depth_init=None, small_limit=None):
+                        depth_init=None, small_limit=None, skip_bary=False,
+                        ids=None):
     """Pick the raster backend: the Pallas per-tile-count kernel on TPU, the
     XLA binned path elsewhere, the exact sequential scan for small scenes /
-    blending / exotic compare ops."""
+    blending / exotic compare ops.
+
+    skip_bary: ids/depth-only consumers (the resolve-mode MSAA sample
+    pass) skip the kernel's per-candidate barycentric reductions — the
+    cheapest id-producing kernel mode. ids: optional [T] source-id
+    payload the Pallas kernel writes directly (skips the per-pixel
+    slot->source remap gather; only honored on the Pallas backend —
+    check the return flag)."""
     if supports_binned(pipeline, num_triangles):
         if _use_pallas():
             from renderer_rs_tpu.ops.raster_pallas import rasterize_binned_pallas
 
             return rasterize_binned_pallas(
                 setup, height, width, pipeline, depth_init=depth_init,
-                small_limit=small_limit,
-            )
+                small_limit=small_limit, skip_bary=skip_bary, ids=ids,
+            ), ids is not None
         cap = _binned_cap(num_triangles, height, width)
         return rasterize_binned(
             setup, height, width, pipeline, cap=cap, depth_init=depth_init,
             small_limit=small_limit,
-        )
-    return rasterize(setup, height, width, pipeline, depth_init=depth_init)
+        ), False
+    return rasterize(setup, height, width, pipeline, depth_init=depth_init), False
 
 
 def _shadow_kernel_knobs() -> dict:
@@ -1414,6 +1422,8 @@ def forward_frame(
     rendering=None,
     depth_clear: float = 1.0,
     diagnostics: bool = False,
+    ids_only: bool = False,
+    return_ids: bool = False,
 ) -> jnp.ndarray:
     """The full frame: ≙ record_commands + queue_submit fused
     (renderer.rs:452-557). Returns linear [H,W,4] ready for sRGB encode.
@@ -1464,23 +1474,56 @@ def forward_frame(
                 "forward_frame(diagnostics=True) does not compose with MSAA"
             )
         sx, sy = {2: (2, 1), 4: (2, 2), 8: (4, 2)}[pipeline.msaa_samples]
+        import dataclasses as _dc
+
+        sub = _dc.replace(pipeline, msaa_samples=1)
+        import os as _os_ms
+
+        if (
+            _os_ms.environ.get("RENDERER_MSAA", "resolve") == "resolve"
+            and band is None
+            and stencil is None
+            and not return_depth
+            and not return_ids
+        ):
+            # Shade-once-per-pixel MSAA (r5 default; RENDERER_MSAA=super
+            # restores full supersampling): visibility rasterizes at
+            # sample rate (ids only — correct per-sample depth/coverage),
+            # shading runs ONCE at pixel rate, and the resolve id-matches
+            # each sample to the pixel's own / neighboring shaded color
+            # (ops/msaa.py). Measured 128.4 -> see cost model; quality
+            # gated by probe_quality msaa_resolve.
+            from renderer_rs_tpu.ops.msaa import msaa_id_resolve
+
+            lo, lo_ids = forward_frame(
+                scene, layout, sub, shading, width, height,
+                clear_color=clear_color, tonemap=tonemap,
+                shadow_map_size=shadow_map_size, shadow_params=shadow_params,
+                shadow_map=shadow_map, depth_clear=depth_clear,
+                return_ids=True,
+            )
+            sample_ids = forward_frame(
+                scene, layout, sub, shading, width * sx, height * sy,
+                clear_color=clear_color, tonemap=tonemap,
+                shadow_map_size=shadow_map_size, shadow_params=shadow_params,
+                shadow_map=shadow_map, depth_clear=depth_clear,
+                ids_only=True,
+            )
+            return msaa_id_resolve(lo, lo_ids, sample_ids, sx, sy)
         if width * height * sx * sy > 4_000_000:
-            # cost transparency (VERDICT r3 item 7): supersampling scales
+            # cost transparency (VERDICT r3 item 7): SUPERSAMPLING scales
             # the whole frame cost by the sample count (measured: msaa4 at
-            # 1080p ≈ 4x the 1x frame time — docs/tpu_cost_model.md); warn
-            # once per specialization so an unwary msaa_samples(4) user at
-            # 1080p isn't surprised by ~4x frame cost
+            # 1080p ≈ 4x the 1x frame time — docs/tpu_cost_model.md); the
+            # resolve-mode branch above only pays sample-rate VISIBILITY
             import logging as _logging
 
             _logging.getLogger("renderer_rs_tpu.renderer.passes").warning(
                 "MSAA %dx supersamples to %dx%d (%.1f MP): expect ~%dx the "
-                "1-sample frame cost",
+                "1-sample frame cost (RENDERER_MSAA=resolve for the "
+                "shade-once path)",
                 pipeline.msaa_samples, width * sx, height * sy,
                 width * height * sx * sy / 1e6, sx * sy,
             )
-        import dataclasses as _dc
-
-        sub = _dc.replace(pipeline, msaa_samples=1)
         if band is not None:
             # Band sharding composes with MSAA by sharding the SUPERSAMPLED
             # frame: `band` is interpreted in supersampled row coordinates
@@ -1524,7 +1567,9 @@ def forward_frame(
     # only the forward pass — ≙ the reference's per-pipeline compiles,
     # pipeline.rs:161-268 being independent objects)
     vs = vertex_stage(scene, layout)
-    if shadow_map is None:
+    if ids_only:
+        shadow_map = None  # visibility-only: never render shadows
+    elif shadow_map is None:
         # RENDERER_SHADOW_VSTAGE=world reuses vs.world_pos for the in-frame
         # shadow projection (one [V,4]@[4,4] instead of the per-object
         # lsm@model loop) — see shadow_vertex_stage for the associativity
@@ -1589,7 +1634,12 @@ def forward_frame(
         # −6.7 ms at 1080p/97k (56.48 -> 49.83, probe_frame_ab).
         import os as _os_cc
 
-        _cc_den = int(_os_cc.environ.get("RENDERER_CLIP_COMPACT", "8"))
+        # r5: default denominator 8 -> 16 (cap T/16, floor 128): the
+        # secondary-slot table work halves again and the frame measured
+        # 38.71 vs 40.23 ms at 1080p/97k (clip16, /tmp ladder 2026-08-20);
+        # den=24 measured no further gain. clip_overflow telemetry guards
+        # the tighter cap; RENDERER_CLIP_COMPACT=8|0 restores.
+        _cc_den = int(_os_cc.environ.get("RENDERER_CLIP_COMPACT", "16"))
         clip_overflow = None
         t_prim = layout.num_triangles
         _compact_on = _cc_den > 0 and t_prim >= 1024
@@ -1680,6 +1730,7 @@ def forward_frame(
         and layout.has_textures
         and band is None
         and stencil is None
+        and not ids_only
         and shading != ShadingModel.FLAT
         and supports_binned(pipeline, n_raster_tris, allow_alpha_cutoff=True)
     )
@@ -1720,6 +1771,7 @@ def forward_frame(
         and stencil is None
         and coverage_fn is None
         and not peel
+        and not ids_only  # visibility-only render: plain raster, no lanes
         and shading != ShadingModel.FLAT
         and supports_binned(pipeline, n_raster_tris)
         and _use_pallas()
@@ -1991,8 +2043,13 @@ def forward_frame(
         out_h = height
         y_offset = 0
     elif band is None and coverage_fn is None:
-        vis = _rasterize_dispatch(
+        vis, ids_are_source = _rasterize_dispatch(
             setup, height, width, pipeline, n_raster_tris,
+            skip_bary=ids_only,  # ids+depth only: no bary reductions
+            # the kernel writes SOURCE ids directly (col 19 payload) so
+            # the ids-only consumer skips the 8M-index slot->source
+            # remap gather at sample resolution
+            ids=clip_src if ids_only else None,
             depth_init=(
                 None if depth_clear == 1.0
                 else jnp.full((height, width), depth_clear, jnp.float32)
@@ -2055,7 +2112,7 @@ def forward_frame(
                     else jnp.full((out_h, width), depth_clear, jnp.float32)
                 ),
             )
-    if varying_img is None:
+    if varying_img is None and not ids_only:
         bary3 = perspective_bary(vis, setup)
         # map clipped winners back to source triangles + source barycentrics
         slot = jnp.maximum(vis.tri_id, 0)
@@ -2069,6 +2126,10 @@ def forward_frame(
         vis = vis.replace(
             tri_id=jnp.where(vis.tri_id >= 0, clip_src[slot], vis.tri_id)
         )
+    if ids_only:
+        # visibility-only render (the sample-rate pass of the resolve-mode
+        # MSAA): source-triangle winner ids, no shading
+        return vis.tri_id
 
     # Fast-ambient environments: hand the per-pixel sky rays to the shading
     # stage so the skybox sample merges into the specular-IBL atlas fetch.
@@ -2138,6 +2199,9 @@ def forward_frame(
         outs = outs + (vis.depth,)
     if return_stencil:
         outs = outs + (stencil_buf,)
+    if return_ids:
+        # per-pixel winner SOURCE ids (resolve-mode MSAA's 1x pass)
+        outs = outs + (vis.tri_id,)
     if diagnostics:
         # deviation telemetry (VERDICT r2 item 9): scalar counters proving
         # the documented bounds did not fire this frame

@@ -834,3 +834,66 @@ def test_geom_soa_frame_bit_identical(monkeypatch):
         monkeypatch.setenv("RENDERER_GEOM", "soa")
         soa = render()
         np.testing.assert_array_equal(aos, soa)
+
+
+def test_pallas_ids_only_visibility_mode():
+    """skip_bary with no attribute lanes (the resolve-mode MSAA sample
+    pass): depth+tid outputs only, ids payload written directly."""
+    clip, tris = _scene(seed=12)
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    h, w = 64, 128
+    setup = setup_triangles(gather_triangle_clip(clip, tris), w, h, pipe)
+    vx = rasterize_binned(setup, h, w, pipe, cap=256)
+    src = jnp.arange(setup.num_triangles, dtype=jnp.int32) + 1000
+    vp = rp.rasterize_binned_pallas(
+        setup, h, w, pipe, skip_bary=True, ids=src, chunk=16
+    )
+    np.testing.assert_array_equal(np.asarray(vx.depth), np.asarray(vp.depth))
+    cov = np.asarray(vx.covered)
+    # payload ids ride through exactly (offset +1000 proves no remap ran)
+    np.testing.assert_array_equal(
+        np.asarray(vx.tri_id)[cov] + 1000, np.asarray(vp.tri_id)[cov]
+    )
+    # bary intentionally zeroed in skip_bary mode
+    assert float(np.abs(np.asarray(vp.bary)).max()) == 0.0
+
+
+def test_zplane_depth_only_tolerance_contract(monkeypatch):
+    """RENDERER_Z_FORM=plane (the shadow-pass perf knob, DEPTH-ONLY
+    scoped — raster.z_plane_mode): the Pallas depth kernel and the
+    binned depth variant agree with each other to a few ulp, track the
+    default bary-form depth within the anchored form's cancellation
+    bound, and the FULL visibility paths are untouched by the knob."""
+    from renderer_rs_tpu.ops.raster_binned import rasterize_depth_only_binned
+
+    clip, tris = _scene(seed=21)
+    pipe = GraphicsPipelineBuilder().cull_mode(CullMode.NONE).build()
+    h, w = 96, 256
+    setup = setup_triangles(gather_triangle_clip(clip, tris), w, h, pipe)
+    ref = rasterize(setup, h, w, pipe)  # bary-form oracle
+
+    monkeypatch.setenv("RENDERER_Z_FORM", "plane")
+    dp = rp.rasterize_binned_pallas(setup, h, w, pipe, depth_only=True)
+    db = rasterize_depth_only_binned(setup, h, w, pipe, cap=256)
+    # plane-vs-plane across implementations: a few ulp
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(db), atol=1e-5)
+    # same pixels covered as the oracle (z-range culls agree away from
+    # the z in {0,1} boundaries this scene avoids)
+    np.testing.assert_array_equal(
+        np.asarray(dp) < 1.0, np.asarray(ref.covered)
+    )
+    # plane-vs-bary depth within the cancellation bound
+    cov = np.asarray(ref.covered)
+    np.testing.assert_allclose(
+        np.asarray(dp)[cov], np.asarray(ref.depth)[cov], atol=2e-4
+    )
+    # the FULL visibility path ignores the knob: bitwise vs default mode
+    vp_knob = rp.rasterize_binned_pallas(setup, h, w, pipe, chunk=16)
+    monkeypatch.delenv("RENDERER_Z_FORM")
+    vp_def = rp.rasterize_binned_pallas(setup, h, w, pipe, chunk=16)
+    np.testing.assert_array_equal(
+        np.asarray(vp_knob.depth), np.asarray(vp_def.depth)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vp_knob.tri_id), np.asarray(vp_def.tri_id)
+    )
