@@ -74,7 +74,9 @@ def render_frame_sharded(
     # MSAA composes with row sharding by sharding the SUPERSAMPLED frame:
     # each device renders unresolved supersampled band rows (forward_frame's
     # msaa+band contract) and the caller box-resolves after stitching with
-    # resolve_msaa() — bit-identical to the single-chip MSAA render.
+    # resolve_msaa() — bit-identical to the single-chip SUPERSAMPLING
+    # render (RENDERER_MSAA=super; the r5 shade-once resolve default is a
+    # full-frame-only path, like the other full_rows accelerations).
     _, s_y = (
         {2: (2, 1), 4: (2, 2), 8: (4, 2)}[pipeline.msaa_samples]
         if pipeline.msaa_samples > 1

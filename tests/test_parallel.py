@@ -135,13 +135,19 @@ def test_band_binned_matches_scan_path():
         np.testing.assert_array_equal(np.asarray(out.bary), np.asarray(ref.bary))
 
 
-def test_msaa_sharded_matches_single_chip(small_scene):
+def test_msaa_sharded_matches_single_chip(small_scene, monkeypatch):
     """8-device MSAA render == single-chip MSAA bit-for-bit (VERDICT r2
-    item 7): supersampled bands render sharded, box-resolve after stitch."""
+    item 7): supersampled bands render sharded, box-resolve after stitch.
+
+    Sharded MSAA keeps SUPERSAMPLING semantics (each device renders
+    unresolved supersampled band rows — the r5 shade-once resolve mode
+    is a full-frame path), so the single-chip reference pins
+    RENDERER_MSAA=super."""
     from renderer_rs_tpu.parallel import resolve_msaa, unshard_rows
 
     scene, layout = small_scene
     pipe = GraphicsPipelineBuilder().msaa_samples(4).build()
+    monkeypatch.setenv("RENDERER_MSAA", "super")
     ref = np.asarray(
         forward_frame(scene, layout, pipe, ShadingModel.BLINN_PHONG, W, H)
     )

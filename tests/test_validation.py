@@ -42,24 +42,49 @@ def _poison(scene):
     return scene.replace(positions=jnp.asarray(pos))
 
 
-def test_debug_callback_severity_routing(caplog):
+class _Capture(logging.Handler):
+    """Explicit handler on the validation logger: caplog attaches to the
+    ROOT logger, and other tests' init_logging calls stop propagation on
+    the package logger — a root-level capture then sees nothing (full-
+    suite-order flakiness)."""
+
+    def __init__(self):
+        super().__init__(level=logging.DEBUG)
+        self.records = []
+
+    def emit(self, record):
+        self.records.append(record)
+
+
+@pytest.fixture
+def vlog():
+    log = logging.getLogger("renderer_rs_tpu.validation")
+    h = _Capture()
+    old_level = log.level
+    log.addHandler(h)
+    log.setLevel(logging.DEBUG)
+    yield h
+    log.removeHandler(h)
+    log.setLevel(old_level)
+
+
+def test_debug_callback_severity_routing(vlog):
     """Severity taxonomy maps onto logging levels like the reference's
     match arms (instance.rs:252-262)."""
-    with caplog.at_level(logging.DEBUG, logger="renderer_rs_tpu.validation"):
-        validation.debug_callback(validation.SEVERITY_ERROR,
-                                  validation.TYPE_VALIDATION, "e")
-        validation.debug_callback(validation.SEVERITY_WARNING,
-                                  validation.TYPE_PERFORMANCE, "w")
-        validation.debug_callback(validation.SEVERITY_VERBOSE,
-                                  validation.TYPE_GENERAL, "v")
-    levels = [rec.levelno for rec in caplog.records]
+    validation.debug_callback(validation.SEVERITY_ERROR,
+                              validation.TYPE_VALIDATION, "e")
+    validation.debug_callback(validation.SEVERITY_WARNING,
+                              validation.TYPE_PERFORMANCE, "w")
+    validation.debug_callback(validation.SEVERITY_VERBOSE,
+                              validation.TYPE_GENERAL, "v")
+    levels = [rec.levelno for rec in vlog.records]
     assert levels == [logging.ERROR, logging.WARNING, logging.DEBUG]
-    assert "[PERFORMANCE] w" in caplog.records[1].getMessage()
+    assert "[PERFORMANCE] w" in vlog.records[1].getMessage()
     assert validation.findings(validation.SEVERITY_ERROR) == 1
     assert validation.findings(validation.SEVERITY_WARNING) == 1
 
 
-def test_validation_catches_injected_nan_normal_mode_does_not(caplog):
+def test_validation_catches_injected_nan_normal_mode_does_not(vlog):
     """The VERDICT item 5 acceptance test: a NaN vertex is flagged at
     set_scene under enable_validation=True and silently accepted in
     normal mode."""
@@ -70,10 +95,10 @@ def test_validation_catches_injected_nan_normal_mode_does_not(caplog):
 
     # validation mode: ERROR finding naming the leaf
     rv, scene_v, layout_v = _renderer(validate=True)
-    with caplog.at_level(logging.ERROR, logger="renderer_rs_tpu.validation"):
-        rv.set_scene(_poison(scene_v), layout_v)
+    rv.set_scene(_poison(scene_v), layout_v)
     assert validation.findings(validation.SEVERITY_ERROR) == 1
-    msg = caplog.records[-1].getMessage()
+    errs = [r for r in vlog.records if r.levelno == logging.ERROR]
+    msg = errs[-1].getMessage()
     assert "positions" in msg and "non-finite" in msg
 
 
