@@ -215,6 +215,24 @@ def main() -> int:
     fps_c, _ = _bench_frame(jax.jit(frame_c), scene_c, frames)
     result["csm_fps"] = round(fps_c, 3)
 
+    # --- msaa4 at flagship scale (VERDICT r4 item 8): the shade-once
+    # resolve default (sample-rate visibility + pixel-rate shading,
+    # ops/msaa.py; RENDERER_MSAA=super restores supersampling at ~2x).
+    import dataclasses as _dc
+
+    pipe4 = _dc.replace(pipeline, msaa_samples=4)
+
+    def frame_m(s, layout=layout_tex, kwargs=kwargs_tex):
+        return forward_frame(
+            s, layout, pipe4, kwargs["shading"], width, height,
+            tonemap=kwargs.get("tonemap", "aces"),
+            shadow_map_size=kwargs.get("shadow_map_size", 1024),
+            shadow_params=kwargs.get("shadow_params"),
+        )
+
+    fps_m, _ = _bench_frame(jax.jit(frame_m), scene_tex, frames)
+    result["msaa4_fps"] = round(fps_m, 3)
+
     # --- deviation telemetry: density-cap truncation on both passes --------
     sm = kwargs_tex.get("shadow_map_size", 1024)
 

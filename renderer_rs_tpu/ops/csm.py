@@ -96,7 +96,57 @@ def sample_cascade_pcf(
     # no Y-flip: sampler v == framebuffer row in this renderer (see shadow.py)
     v = ndc[..., 1] * 0.5 + 0.5
     z = ndc[..., 2]
+    return _sample_pcf_uvz(
+        shadow_maps, u, v, z, cascade_index, normal, light_dir, params,
+        pcf_window,
+    )
 
+
+def project_cascades(
+    cascade_matrices: jnp.ndarray,
+    world_pos: jnp.ndarray,
+    normal: jnp.ndarray,
+    normal_bias: float,
+) -> tuple:
+    """Project offset world positions through ALL cascades at once.
+
+    cascade_matrices [C,4,4] are scene CONSTANTS: broadcasting them over
+    the pixels costs pure VPU FLOPs (C small matmuls), while gathering
+    `cascade_matrices[idx]` per pixel — the naive ≙ of the HLSL's
+    dynamically-indexed cbuffer read — is a 16-lane-per-pixel gather
+    (x2 for the blended variant), one of the two reasons the r5 bench's
+    first csm_fps measured 4.2 FPS. Returns (u, v, z), each [C, ...];
+    select with `select_by_cascade`."""
+    p = world_pos + normal * normal_bias
+    m = cascade_matrices
+    lead = (CASCADE_COUNT,) + (1,) * (p.ndim - 1)
+    clip = jnp.einsum("cij,...j->c...i", m[:, :3, :3], p) + m[:, :3, 3].reshape(
+        lead + (3,)
+    )
+    w = jnp.einsum("cj,...j->c...", m[:, 3, :3], p) + m[:, 3, 3].reshape(lead)
+    ndc = clip / jnp.where(w == 0.0, 1.0, w)[..., None]
+    u = ndc[..., 0] * 0.5 + 0.5
+    v = ndc[..., 1] * 0.5 + 0.5
+    z = ndc[..., 2]
+    return u, v, z
+
+
+def select_by_cascade(arr_c: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """arr_c [C, ...] -> [...] picked per pixel by idx — C-1 selects, no
+    gather (C is a static 4)."""
+    out = arr_c[0]
+    for c in range(1, CASCADE_COUNT):
+        out = jnp.where(idx == c, arr_c[c], out)
+    return out
+
+
+def _sample_pcf_uvz(
+    shadow_maps, u, v, z, cascade_index, normal, light_dir, params,
+    pcf_window=None,
+):
+    """The post-projection half of SampleCascadePCF: bounds, slope bias,
+    and the one-wide-row-gather 3x3 PCF (shadow_csm.hlsli:107-145)."""
+    s = shadow_maps.shape[1]
     in_bounds = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0) & (z >= 0.0) & (z <= 1.0)
 
     ndotl = dot(normal, light_dir)[..., 0]
@@ -142,9 +192,13 @@ def calculate_shadow_csm(
     clip_depth [...] = the fragment's own NDC z (SV_Position.z analog).
     """
     idx = select_cascade(split_depths, clip_depth)
-    mats = cascade_matrices[idx]  # [...,4,4]
-    return sample_cascade_pcf(
-        shadow_maps, mats, idx, world_pos, normal, light_dir, params
+    uc, vc, zc = project_cascades(
+        cascade_matrices, world_pos, normal, params.normal_bias
+    )
+    return _sample_pcf_uvz(
+        shadow_maps,
+        select_by_cascade(uc, idx), select_by_cascade(vc, idx),
+        select_by_cascade(zc, idx), idx, normal, light_dir, params,
     )
 
 
@@ -164,14 +218,24 @@ def calculate_shadow_csm_blended(
     # the window table is built ONCE for both cascade samples (2 row
     # gathers total instead of 18 pointwise gathers)
     window = _cascade_pcf_window(shadow_maps) if params.pcf else None
-    shadow = sample_cascade_pcf(
-        shadow_maps, cascade_matrices[idx], idx, world_pos, normal, light_dir,
-        params, pcf_window=window,
+    # project through ALL cascades once, then pick per pixel — kills the
+    # two per-pixel [4,4] matrix gathers (r5 csm_fps fix; bit-equal
+    # selection: the picked cascade's projection is the same math)
+    uc, vc, zc = project_cascades(
+        cascade_matrices, world_pos, normal, params.normal_bias
+    )
+    shadow = _sample_pcf_uvz(
+        shadow_maps,
+        select_by_cascade(uc, idx), select_by_cascade(vc, idx),
+        select_by_cascade(zc, idx), idx, normal, light_dir, params,
+        pcf_window=window,
     )
     next_idx = jnp.minimum(idx + 1, CASCADE_COUNT - 1)
-    next_shadow = sample_cascade_pcf(
-        shadow_maps, cascade_matrices[next_idx], next_idx, world_pos, normal,
-        light_dir, params, pcf_window=window,
+    next_shadow = _sample_pcf_uvz(
+        shadow_maps,
+        select_by_cascade(uc, next_idx), select_by_cascade(vc, next_idx),
+        select_by_cascade(zc, next_idx), next_idx, normal, light_dir, params,
+        pcf_window=window,
     )
     split = split_depths[idx]
     prev_split = jnp.where(idx > 0, split_depths[jnp.maximum(idx - 1, 0)], 0.0)

@@ -389,13 +389,22 @@ def csm_shadow_pass(
     """Render the 4-cascade shadow array [C,S,S] (≙ the Texture2DArray the
     CSM shader samples, shadow_csm.hlsli:94-166).
 
-    On TPU all four cascades rasterize in ONE Pallas launch (a grid of
-    4*n_tiles steps — the batched form of the reference's 4 sequential
-    shadow submissions); elsewhere they fall back to sequential passes,
-    which the batch is bit-identical to (tests assert)."""
+    The cascades render as four sequential depth passes stacked (the
+    reference's own submission shape). A single-launch BATCHED kernel
+    (grid of 4*n_tiles steps) exists behind RENDERER_CSM_BATCH=1 —
+    bit-identical (tests assert) but measured 2.1x SLOWER under the
+    2026-08-20 compiler (103.9 vs 48.8 ms at 1024^2/97k; sub-linear
+    scaling of the sequential form: 4 cascades cost 3.4x one), so it
+    stays an A/B knob for compiler-shift recovery."""
     from renderer_rs_tpu.ops.csm import CASCADE_COUNT
 
-    if _use_pallas() and supports_binned(_SHADOW_PIPELINE, layout.num_triangles):
+    import os as _os_cb
+
+    if (
+        _os_cb.environ.get("RENDERER_CSM_BATCH", "0") == "1"
+        and _use_pallas()
+        and supports_binned(_SHADOW_PIPELINE, layout.num_triangles)
+    ):
         from renderer_rs_tpu.ops.raster_pallas import rasterize_depth_only_batch
 
         setups = []
@@ -810,20 +819,47 @@ def _shade_pixels(
         # the cascade (≙ CalculateShadowCSMBlended with SV_Position.z)
         from renderer_rs_tpu.ops.csm import CSMParams, calculate_shadow_csm_blended
 
-        shadow = calculate_shadow_csm_blended(
-            shadow_map,
-            scene.csm_matrices,
-            scene.csm_splits,
-            world_pos,
-            normal,
-            jnp.broadcast_to(sun_dir, world_pos.shape),
-            vis.depth,
-            CSMParams(
-                shadow_bias=shadow_params.shadow_bias,
-                normal_bias=shadow_params.normal_bias,
-                pcf=shadow_params.pcf,
-            ),
-        )[..., None]
+        cp = CSMParams(
+            shadow_bias=shadow_params.shadow_bias,
+            normal_bias=shadow_params.normal_bias,
+            pcf=shadow_params.pcf,
+        )
+        _csm_res = _os_mg.environ.get("RENDERER_PCF_RES", "yquarter")
+        # y-strided rate reduction, same ladder/gates as the single-map
+        # PCF term below (full_rows only, >=256 rows -> y-quarter,
+        # >=128 -> y-half; RENDERER_PCF_RES=full restores): the blended
+        # cascade factor is as smooth over rows as the single-map lit
+        # factor the pcfyquarter gate accepted, and the full-rate 2x
+        # cascade stack was the other half of the r5 csm_fps = 4.2
+        # pathology.
+        if (
+            _csm_res in ("yquarter", "yhalf")
+            and full_rows
+            and world_pos.ndim == 3
+            and world_pos.shape[0] >= 128
+        ):
+            stride = 4 if (_csm_res == "yquarter" and world_pos.shape[0] >= 256) else 2
+            s_q = calculate_shadow_csm_blended(
+                shadow_map, scene.csm_matrices, scene.csm_splits,
+                world_pos[::stride], normal[::stride],
+                jnp.broadcast_to(sun_dir, world_pos[::stride].shape),
+                vis.depth[::stride], cp,
+            )
+            from renderer_rs_tpu.ops.shadow import upsample2x_y, upsample4x_y
+
+            up = upsample4x_y if stride == 4 else upsample2x_y
+            shadow = up(s_q, world_pos.shape[0])[..., None]
+        else:
+            shadow = calculate_shadow_csm_blended(
+                shadow_map,
+                scene.csm_matrices,
+                scene.csm_splits,
+                world_pos,
+                normal,
+                jnp.broadcast_to(sun_dir, world_pos.shape),
+                vis.depth,
+                cp,
+            )[..., None]
     elif layout.has_shadow and shadow_map is not None:
         if merge_ok:
             from renderer_rs_tpu.ops.shadow import shadow_window_plan
@@ -1577,11 +1613,15 @@ def forward_frame(
         # the same program.
         import os as _os_sv
 
-        wp = (
-            vs.world_pos
-            if _os_sv.environ.get("RENDERER_SHADOW_VSTAGE", "0") == "world"
-            else None
+        # CSM defaults to reusing the forward world positions (ONE
+        # [V,4]@[4,4] per cascade instead of 4x the per-object loop — and
+        # world-then-light is the reference shader's own associativity,
+        # vertex/shadow.hlsl:22-33); the single-map pass keeps the exact
+        # pre-composed form (A/B measured neutral there).
+        _sv = _os_sv.environ.get(
+            "RENDERER_SHADOW_VSTAGE", "world" if layout.has_csm else "0"
         )
+        wp = vs.world_pos if _sv == "world" else None
         if layout.has_csm:
             shadow_map = csm_shadow_pass(scene, layout, shadow_map_size, world_pos=wp)
         elif layout.has_shadow:

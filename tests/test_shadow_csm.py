@@ -438,3 +438,40 @@ def test_pcf_res_yhalf_default(monkeypatch):
     monkeypatch.setenv("RENDERER_PCF_RES", "full")
     exact = render(width, height, scene, layout, kwargs)
     np.testing.assert_array_equal(dflt, exact)
+
+
+def test_csm_yquarter_rate_quality(monkeypatch):
+    """The r5 y-strided CSM shadow term (same ladder as the single-map
+    PCF reduction): engages only on full-row frames >= 128 rows, stays
+    within the probe_quality-style tolerance of the exact per-pixel
+    evaluation, and RENDERER_PCF_RES=full restores the exact path."""
+    from renderer_rs_tpu.app.scenes import full_scene
+    from renderer_rs_tpu.renderer.passes import forward_frame
+    from renderer_rs_tpu.rhi.pipeline import GraphicsPipelineBuilder
+
+    w, h = 128, 256  # tall enough for the y-quarter gate
+    scene, layout, kwargs, _ = full_scene(w, h, tri_budget=600, ibl=False, csm=True)
+    pipe = GraphicsPipelineBuilder().build()
+
+    def render():
+        return np.asarray(
+            forward_frame(
+                scene, layout, pipe, kwargs["shading"], w, h,
+                tonemap="aces", shadow_map_size=128,
+                shadow_params=kwargs["shadow_params"],
+            )
+        )
+
+    monkeypatch.setenv("RENDERER_PCF_RES", "full")
+    exact = render()
+    monkeypatch.setenv("RENDERER_PCF_RES", "yquarter")
+    fast = render()
+    err = np.abs(fast - exact)
+    # tolerances are for THIS toy scale (128^2 cascade maps on a 256-row
+    # frame): penumbra rows are a far larger image fraction than at the
+    # 1080p/1024^2 flagship, where the single-map y-quarter gate measured
+    # mean 2.9e-4 (probe_quality pcfyquarter)
+    assert float(err.mean()) < 0.01
+    assert float(np.quantile(err, 0.99)) < 0.25  # penumbra rows only
+    # even rows of each 4-row group are exact (the sampled rows)
+    np.testing.assert_allclose(fast[::4], exact[::4], atol=1e-6)
