@@ -31,12 +31,26 @@ import sys
 import time
 
 
-def _bench_frame(frame, scene, frames):
-    out = frame(scene)
+def _bench_frame(frame_fn, scene, frames):
+    """Time `frames` dispatches of frame_fn(scene).
+
+    Each iteration perturbs the vertex positions by a distinct ~1e-12
+    epsilon INSIDE the jit (the probes' pattern): the TPU tunnel serves
+    a result cache for bit-identical dispatches, and looping a jitted fn
+    on the same inputs can read absurdly fake-fast through it (CLAUDE.md;
+    observed: a 17 kFPS "dancer" reading on 2026-08-21). The epsilon is
+    visually nil and keeps the checksum drift guard within tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(
+        lambda s, eps: frame_fn(s.replace(positions=s.positions + eps))
+    )
+    out = f(scene, jnp.float32(0.0))
     out.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(frames):
-        out = frame(scene)
+    for i in range(frames):
+        out = f(scene, jnp.float32((i + 1) * 1e-12))
     out.block_until_ready()
     return frames / (time.perf_counter() - t0), out
 
@@ -134,7 +148,7 @@ def main() -> int:
             )
 
         t0 = time.perf_counter()
-        fps, out = _bench_frame(jax.jit(frame), scene, frames)
+        fps, out = _bench_frame(frame, scene, frames)
         fps_by_kind[kind] = fps
         if textured:
             result["compile_s"] = round(time.perf_counter() - t0, 2)
@@ -164,7 +178,7 @@ def main() -> int:
                     shadow_map=smap,
                 )
 
-            fps_static, _ = _bench_frame(jax.jit(frame_cached), scene, frames)
+            fps_static, _ = _bench_frame(frame_cached, scene, frames)
             result["static_scene_fps"] = round(fps_static, 3)
 
     # --- true-glTF workload: the reference's dancer asset instanced to the
@@ -191,7 +205,7 @@ def main() -> int:
                 shadow_params=kwargs.get("shadow_params"),
             )
 
-        fps_g, _ = _bench_frame(jax.jit(frame_g), scene_g, frames)
+        fps_g, _ = _bench_frame(frame_g, scene_g, frames)
         result["gltf_dancer_fps"] = round(fps_g, 3)
         result["gltf_dancer_tris"] = layout_g.num_triangles
 
@@ -212,7 +226,7 @@ def main() -> int:
             shadow_params=kwargs.get("shadow_params"),
         )
 
-    fps_c, _ = _bench_frame(jax.jit(frame_c), scene_c, frames)
+    fps_c, _ = _bench_frame(frame_c, scene_c, frames)
     result["csm_fps"] = round(fps_c, 3)
 
     # --- msaa4 at flagship scale (VERDICT r4 item 8): the shade-once
@@ -230,7 +244,7 @@ def main() -> int:
             shadow_params=kwargs.get("shadow_params"),
         )
 
-    fps_m, _ = _bench_frame(jax.jit(frame_m), scene_tex, frames)
+    fps_m, _ = _bench_frame(frame_m, scene_tex, frames)
     result["msaa4_fps"] = round(fps_m, 3)
 
     # --- deviation telemetry: density-cap truncation on both passes --------
