@@ -138,11 +138,15 @@ if "msaa_resolve" in want:
         )
 
     def mrender(mode, p=msaa_pipe):
+        old = os.environ.get("RENDERER_MSAA")
         os.environ["RENDERER_MSAA"] = mode
         try:
             return np.asarray(jax.jit(lambda x: mframe(x, p))(scene))
         finally:
-            os.environ.pop("RENDERER_MSAA", None)
+            if old is None:
+                os.environ.pop("RENDERER_MSAA", None)
+            else:
+                os.environ["RENDERER_MSAA"] = old
 
     ref4 = mrender("super")
     out4 = mrender("resolve")

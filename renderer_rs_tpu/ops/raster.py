@@ -239,6 +239,19 @@ def setup_triangles_planes(
     )
 
 
+def _z_gradient(x0, y0, x1, y1, x2, y2, z0, z1, z2, area2):
+    """Screen-space depth-plane gradient (dz/dx, dz/dy) of a triangle —
+    the ONE home of the cancellation-sensitive plane numerics, shared by
+    the depth-bias slope (`_biased_z`) and the depth-only plane form
+    (`z_plane_coeffs`); a precision tweak must land in both consumers."""
+    inv = jnp.where(
+        area2 != 0.0, 1.0 / jnp.where(area2 == 0.0, 1.0, area2), 0.0
+    )
+    dzdx = ((z1 - z0) * (y2 - y0) - (z2 - z0) * (y1 - y0)) * inv
+    dzdy = ((z2 - z0) * (x1 - x0) - (z1 - z0) * (x2 - x0)) * inv
+    return dzdx, dzdy
+
+
 def _biased_z(z, planes, area2, pipeline: GraphicsPipeline):
     """Apply the pipeline's depth bias to the per-vertex NDC z.
 
@@ -267,9 +280,7 @@ def _biased_z(z, planes, area2, pipeline: GraphicsPipeline):
         return z
     (x0, y0), (x1, y1), (x2, y2) = planes
     z0, z1, z2 = z[..., 0], z[..., 1], z[..., 2]
-    inv_a = jnp.where(area2 != 0.0, 1.0 / jnp.where(area2 == 0.0, 1.0, area2), 0.0)
-    dzdx = ((z1 - z0) * (y2 - y0) - (z2 - z0) * (y1 - y0)) * inv_a
-    dzdy = ((z2 - z0) * (x1 - x0) - (z1 - z0) * (x2 - x0)) * inv_a
+    dzdx, dzdy = _z_gradient(x0, y0, x1, y1, x2, y2, z0, z1, z2, area2)
     m = jnp.maximum(jnp.abs(dzdx), jnp.abs(dzdy))
     r = jnp.float32(2.0**-23)
     o = m * jnp.float32(pipeline.depth_bias_slope) + r * jnp.float32(
@@ -315,21 +326,17 @@ def z_plane_coeffs(xy, z, area2):
     lexicographically smaller of v1/v2 in (y, x)).
 
     xy [...,3,2], z [...,3], area2 [...] (signed). Returns
-    (zdx, zdy, zA, ax, ay), each [...]: z(px,py) is evaluated by ALL
-    THREE rasterizers as `eval_z_plane(zdx, zdy, zA, px-ax, py-ay)` —
-    same ops, same order, so the tri-rasterizer bit-identity contract
-    holds by construction. Anchoring at a vertex of the triangle keeps
-    the evaluation a LOCAL difference (no big-coordinate cancellation);
-    zA is exactly that vertex's z."""
+    (zdx, zdy, zA, ax, ay), each [...]: depth-only consumers evaluate
+    z(px,py) as `eval_z_plane(zdx, zdy, zA, px-ax, py-ay)` and agree to
+    the TOLERANCE contract documented in z_plane_mode (NOT bitwise —
+    see the FMA-contraction note there). Anchoring at a vertex of the
+    triangle keeps the evaluation a LOCAL difference (no big-coordinate
+    cancellation); zA is exactly that vertex's z."""
     x0, y0 = xy[..., 0, 0], xy[..., 0, 1]
     x1, y1 = xy[..., 1, 0], xy[..., 1, 1]
     x2, y2 = xy[..., 2, 0], xy[..., 2, 1]
     z0, z1, z2 = z[..., 0], z[..., 1], z[..., 2]
-    inv = jnp.where(
-        area2 != 0.0, 1.0 / jnp.where(area2 == 0.0, 1.0, area2), 0.0
-    )
-    zdx = ((z1 - z0) * (y2 - y0) - (z2 - z0) * (y1 - y0)) * inv
-    zdy = ((z2 - z0) * (x1 - x0) - (z1 - z0) * (x2 - x0)) * inv
+    zdx, zdy = _z_gradient(x0, y0, x1, y1, x2, y2, z0, z1, z2, area2)
     swap = (y1 > y2) | ((y1 == y2) & (x1 > x2))
     ax = jnp.where(swap, x2, x1)
     ay = jnp.where(swap, y2, y1)
@@ -338,21 +345,16 @@ def z_plane_coeffs(xy, z, area2):
 
 
 def eval_z_plane(zdx, zdy, za, dxp, dyp):
-    """THE canonical per-pixel depth-plane evaluation (op order is part
-    of the tri-rasterizer contract): (zdx*dx + zdy*dy) + zA.
+    """The per-pixel depth-plane evaluation: (zdx*dx + zdy*dy) + zA.
 
-    The optimization_barrier pins the result's BITS across programs:
-    without it, XLA's CSE/contraction choices depend on the surrounding
-    graph (the edge functions share the px-ax/py-ay subexpressions), and
-    the same formula rounds 1 ulp apart between the scan, binned, and
-    kernel programs — measured on XLA CPU. Barriering the diffs gives
-    the multiply-add chain an identical local context everywhere, which
-    restores deterministic lowering (tests assert tri-identity)."""
+    The optimization_barriers LIMIT (not eliminate — see z_plane_mode's
+    contraction note) cross-program drift: without them, XLA's CSE and
+    contraction choices depend on the surrounding graph (the edge
+    functions share the px-ax/py-ay subexpressions), which measured up
+    to tens of ulp between the binned and scan programs on XLA CPU. The
+    Mosaic kernel cannot lower the barrier and inlines the raw chain —
+    hence the depth-only scope and the tolerance contract."""
     dxp, dyp = jax.lax.optimization_barrier((dxp, dyp))
-    # barrier the RESULT too: downstream the raster compares zc for exact
-    # equality against its own min-reduction (winner selection); letting
-    # XLA rematerialize zc per consumer with different contraction makes
-    # zc != min(zc) at scattered pixels (measured: dropped fragments)
     return jax.lax.optimization_barrier((zdx * dxp + zdy * dyp) + za)
 
 

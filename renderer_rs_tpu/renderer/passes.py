@@ -1546,6 +1546,13 @@ def forward_frame(
                 ids_only=True,
             )
             return msaa_id_resolve(lo, lo_ids, sample_ids, sx, sy)
+        if return_ids:
+            # the supersampling path has no 1x id map to return; reject
+            # loudly instead of silently dropping the output
+            raise ValueError(
+                "return_ids does not compose with the supersampling MSAA "
+                "path (RENDERER_MSAA=super / band / stencil / return_depth)"
+            )
         if width * height * sx * sy > 4_000_000:
             # cost transparency (VERDICT r3 item 7): SUPERSAMPLING scales
             # the whole frame cost by the sample count (measured: msaa4 at

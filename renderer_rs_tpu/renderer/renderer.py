@@ -277,7 +277,6 @@ class Renderer:
                     shadow_map=shadow_map,
                 )
 
-            example = (self._scene, self._shadow_fn(self._scene))
         else:
 
             def frame_py(scene: GpuScene):
@@ -287,18 +286,23 @@ class Renderer:
                     shadow_map_size=sm_size, shadow_params=sp,
                 )
 
-            example = (self._scene,)
-
         if self.config.enable_validation:
             # validation mode: eager frame (≙ running under the layers —
             # slow by design; a CPU-backend debugging tool, see
-            # core/validation.py)
+            # core/validation.py). Returns BEFORE building the AOT
+            # example args: rendering a throwaway eager shadow map just
+            # to discard it would pay a full per-op pass for nothing.
             def frame_eager(*args):
                 with jax.disable_jit():
                     return frame_py(*args)
 
             return frame_eager
 
+        example = (
+            (self._scene, self._shadow_fn(self._scene))
+            if split_shadow
+            else (self._scene,)
+        )
         frame = jax.jit(frame_py)
 
         t0 = time.perf_counter()
