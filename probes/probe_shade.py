@@ -92,7 +92,10 @@ if want("stub_atlas"):
 
     real = sampling.sample_material_atlas_tri
 
-    def stub(atlas, offsets, sizes, n_levels, base_hw, c, mid, uv, sampler=None):
+    def stub(atlas, offsets, sizes, n_levels, base_hw, c, mid, uv,
+             sampler=None, **kw):
+        # **kw keeps the stub signature-proof against new keyword args on
+        # the real fetch (lod / y_parity — the r5 probe_shade RC=1)
         return jnp.ones(uv.shape[:-1] + (c,), jnp.float32) * (
             uv[..., :1] * 1e-8 + 1.0
         )
@@ -109,7 +112,7 @@ if want("stub_pcf"):
 
     real = passes.calculate_shadow
 
-    def stub(shadow_map, lsm, world_pos, normal, light_dir, params=None):
+    def stub(shadow_map, lsm, world_pos, normal, light_dir, params=None, **kw):
         return 1.0 + world_pos[..., 0] * 1e-12
 
     passes.calculate_shadow = stub
@@ -122,7 +125,7 @@ if want("stub_cube"):
 
     real = sampling.cube_trilinear_fetch
 
-    def stub(atlas13, offsets, sizes, lo_level, frac, face, uv, c):
+    def stub(atlas13, offsets, sizes, lo_level, frac, face, uv, c, **kw):
         return (
             jnp.ones(uv.shape[:-1] + (c,), jnp.float32)
             * (uv[..., :1] * 1e-8 + 0.5)
